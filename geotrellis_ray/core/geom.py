@@ -1,0 +1,222 @@
+"""Vectorized computational-geometry kernels (no shapely/JTS here — all from
+scratch per the north_rule).
+
+Re-expresses the JTS-delegated GeoTrellis geometry surface that the engine's
+operators need (SURVEY.md §2.2 "Geometry predicates & scalar fns";
+ref:vector/src/main/scala/geotrellis/vector/GeometryMethods (L:unverified,
+/root/reference empty at survey time)):
+
+- point-in-polygon (even-odd ray cast, vectorized over points)
+- bbox predicates, geometry bbox
+- Sutherland–Hodgman polygon clip against an axis-aligned rectangle
+- Liang–Barsky segment clip (for LineString x cell)
+- polygon area / centroid / line length (planar shoelace)
+- convex hull (Andrew monotone chain) — used by fixture generation & tests
+
+Inclusion rule (pinned by tests, shared with the relational SQL oracles):
+ray-cast uses HALF-OPEN edges ``[ymin, ymax)`` with the crossing test
+``(y1 > py) != (y2 > py)`` — a point exactly on a horizontal boundary shared
+by two polygons lands in exactly one of them; bbox containment used in the
+rectangle fast path is half-open ``xmin <= x < xmax, ymin <= y < ymax``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast of many points against ONE ring (n,2). Vectorized
+    over points, loop over edges (polygons have few edges; points are many)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(ring)
+    x1s, y1s = ring[:, 0], ring[:, 1]
+    x2s, y2s = np.roll(ring[:, 0], -1), np.roll(ring[:, 1], -1)
+    for i in range(n - (1 if np.array_equal(ring[0], ring[-1]) else 0)):
+        x1, y1, x2, y2 = x1s[i], y1s[i], x2s[i], y2s[i]
+        if y1 == y2:
+            continue
+        cond = (y1 > py) != (y2 > py)
+        if not cond.any():
+            continue
+        xi = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= cond & (px < xi)
+    return inside
+
+
+def point_in_polygon_geom(px, py, geom: dict) -> np.ndarray:
+    """PIP against a decoded WKB dict (Polygon with holes / MultiPolygon)."""
+    px = np.asarray(px, dtype=np.float64)
+    if geom["type"] == "Polygon":
+        inside = point_in_polygon(px, py, geom["rings"][0])
+        for hole in geom["rings"][1:]:
+            inside &= ~point_in_polygon(px, py, hole)
+        return inside
+    if geom["type"] == "MultiPolygon":
+        inside = np.zeros(px.shape, dtype=bool)
+        for part in geom["parts"]:
+            inside |= point_in_polygon_geom(px, py, part)
+        return inside
+    raise ValueError(f"PIP needs a polygonal geometry, got {geom['type']}")
+
+
+def geom_bbox(geom: dict) -> tuple[float, float, float, float]:
+    if geom["type"] == "Point":
+        x, y = geom["coords"][:2]
+        return (x, y, x, y)
+    if geom["type"] == "LineString":
+        c = geom["coords"]
+    elif geom["type"] == "Polygon":
+        c = geom["rings"][0]
+    else:
+        boxes = np.array([geom_bbox(p) for p in geom["parts"]])
+        return (boxes[:, 0].min(), boxes[:, 1].min(), boxes[:, 2].max(), boxes[:, 3].max())
+    return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+
+
+def clip_polygon_rect(ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of one ring against an axis-aligned rect.
+    Returns the clipped ring (closed not guaranteed) or None if empty."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+
+    def clip_edge(poly, inside_fn, intersect_fn):
+        if len(poly) == 0:
+            return poly
+        out = []
+        prev = poly[-1]
+        prev_in = inside_fn(prev)
+        for cur in poly:
+            cur_in = inside_fn(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect_fn(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect_fn(prev, cur))
+            prev, prev_in = cur, cur_in
+        return np.array(out) if out else np.empty((0, 2))
+
+    def ix_x(bound):
+        def f(p, q):
+            t = (bound - p[0]) / (q[0] - p[0])
+            return (bound, p[1] + t * (q[1] - p[1]))
+        return f
+
+    def ix_y(bound):
+        def f(p, q):
+            t = (bound - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), bound)
+        return f
+
+    pts = clip_edge(pts, lambda p: p[0] >= xmin, ix_x(xmin))
+    pts = clip_edge(pts, lambda p: p[0] <= xmax, ix_x(xmax))
+    pts = clip_edge(pts, lambda p: p[1] >= ymin, ix_y(ymin))
+    pts = clip_edge(pts, lambda p: p[1] <= ymax, ix_y(ymax))
+    if len(pts) < 3:
+        return None
+    return pts
+
+
+def clip_segment_rect(x1, y1, x2, y2, xmin, ymin, xmax, ymax):
+    """Liang–Barsky: clip segment to rect; returns (cx1,cy1,cx2,cy2) or None."""
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x1 - xmin), (dx, xmax - x1), (-dy, y1 - ymin), (dy, ymax - y1)):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        t = q / p
+        if p < 0:
+            if t > t1:
+                return None
+            t0 = max(t0, t)
+        else:
+            if t < t0:
+                return None
+            t1 = min(t1, t)
+    return (x1 + t0 * dx, y1 + t0 * dy, x1 + t1 * dx, y1 + t1 * dy)
+
+
+def clip_linestring_rect(coords: np.ndarray, xmin, ymin, xmax, ymax) -> list[np.ndarray]:
+    """Clip a LineString to a rect -> list of clipped sub-linestrings."""
+    coords = np.asarray(coords, dtype=np.float64)
+    parts: list[list[tuple[float, float]]] = []
+    cur: list[tuple[float, float]] = []
+    for i in range(len(coords) - 1):
+        seg = clip_segment_rect(*coords[i], *coords[i + 1], xmin, ymin, xmax, ymax)
+        if seg is None:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        a = (seg[0], seg[1])
+        b = (seg[2], seg[3])
+        if a == b:
+            continue
+        if cur and cur[-1] == a:
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        parts.append(cur)
+    return [np.array(p) for p in parts]
+
+
+def polygon_area(ring: np.ndarray) -> float:
+    """Planar shoelace area (positive regardless of winding)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if a == 0:
+        return float(x.mean()), float(y.mean())
+    cx = float(((x + xn) * cross).sum() / (6.0 * a))
+    cy = float(((y + yn) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+def line_length(coords: np.ndarray) -> float:
+    c = np.asarray(coords, dtype=np.float64)
+    return float(np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1)).sum())
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull ring CCW, not closed."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def bbox_intersects(a, b) -> bool:
+    return not (b[0] > a[2] or b[2] < a[0] or b[1] > a[3] or b[3] < a[1])
