@@ -1,0 +1,163 @@
+"""Deterministic synthetic fixtures: the `pages` corpus and the `polygons`
+join table (FIXTURES.md §1–§3). Everything is a pure function of (i, seed) —
+no RNG state across rows — so any scale/parallelism reproduces byte-identical
+tables. The generator writes ``text = extract_text(html)``, making the
+byte-identity invariant (BASELINE.json input_hint) testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .core.geocode import CLUSTERS, geotag_coords, url_hash64
+from .core.text import extract_text
+from .core.wkb import encode_polygon
+
+EPOCH_2025_US = 1735689600000000  # 2025-01-01T00:00:00Z in microseconds
+LANGS = ["en", "de", "fr", "es", "pt", "zh", "ru", "ja"]
+
+# fixed 256-word list, deterministic composition (no RNG)
+_SYL = ["ba", "co", "di", "fu", "ge", "ha", "ki", "lo", "mu", "ne", "po", "qua", "ri", "so", "tu", "ve"]
+WORDLIST = [_SYL[i // 16] + _SYL[i % 16] + ("s" if i % 3 == 0 else "") for i in range(256)]
+
+
+def page_url(i: int) -> str:
+    return f"https://site{i % 997}.example/p/{i}"
+
+
+def page_html(i: int) -> bytes:
+    url = page_url(i)
+    d = hashlib.sha256(url.encode()).digest()
+    h = int.from_bytes(d[:8], "big")
+    nwords = 20 + h % 61
+    body = " ".join(WORDLIST[(d[j % 32] + j) % 256] for j in range(nwords))
+    geotag = b""
+    if i % 5 == 0:
+        glat, glon = geotag_coords(h)
+        geotag = f'<meta name="geo.position" content="{glat:.6f};{glon:.6f}">'.encode()
+    return (
+        f"<html><head><title>Page {i}</title>".encode()
+        + geotag
+        + f"</head><body><h1>Page {i}</h1><p>".encode()
+        + body.encode()
+        + b"</p></body></html>"
+    )
+
+
+def gen_pages_table(n: int, start: int = 0) -> pa.Table:
+    """Rows [start, start+n) of the pages corpus (FIXTURES.md §1 schema)."""
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in range(start, start + n):
+        url = page_url(i)
+        html = page_html(i)
+        urls.append(url)
+        tss.append(EPOCH_2025_US + i * 37_000_000)
+        htmls.append(html)
+        texts.append(extract_text(html))
+        langs.append(LANGS[url_hash64(url) % 8])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def write_pages_parquet(path: str, n: int, shard_rows: int = 100_000) -> list[str]:
+    """Write the pages corpus as one parquet file per shard (resumable-layout
+    friendly); returns file paths. Deterministic at any shard size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    files = []
+    for s, start in enumerate(range(0, n, shard_rows)):
+        f = os.path.join(path, f"pages-{s:05d}.parquet")
+        files.append(f)
+        if os.path.exists(f):
+            continue
+        t = gen_pages_table(min(shard_rows, n - start), start)
+        pq.write_table(t, f + ".tmp", row_group_size=25_000)
+        os.replace(f + ".tmp", f)
+    return files
+
+
+# ---------------------------------------------------------------------------
+# polygons — the small join side (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+def _convex_polygon(cx: float, cy: float, radius: float, nverts: int, phase: float) -> np.ndarray:
+    ang = phase + np.arange(nverts) * (2 * np.pi / nverts)
+    # deterministic per-vertex radial jitter (pure function of the angle index)
+    jit = 0.6 + 0.4 * np.abs(np.sin(ang * 3.7 + phase))
+    xs = cx + radius * jit * np.cos(ang)
+    ys = cy + radius * jit * np.sin(ang)
+    return np.column_stack([xs, ys])
+
+
+def gen_polygons() -> list[dict]:
+    """~171 deterministic polygons: 16x8 world rectangle grid (ids 0..127),
+    40 convex polygons in the cluster boxes (ids 128..167), 3 overlapping
+    polygons over cluster 0 (ids 168..170). Each dict: polygon_id, name,
+    ring (numpy), bbox, zindex, value."""
+    out = []
+    for j in range(8):
+        for i in range(16):
+            pid = j * 16 + i
+            xmin, ymin = -180.0 + i * 22.5, -90.0 + j * 22.5
+            ring = np.array(
+                [(xmin, ymin), (xmin + 22.5, ymin), (xmin + 22.5, ymin + 22.5), (xmin, ymin + 22.5)]
+            )
+            out.append(
+                {
+                    "polygon_id": pid,
+                    "name": f"grid_{i}_{j}",
+                    "ring": ring,
+                    "zindex": 0,
+                    "value": pid,
+                }
+            )
+    for k in range(40):
+        c = CLUSTERS[k % 5]
+        h = int.from_bytes(hashlib.sha256(f"poly{k}".encode()).digest()[:8], "big")
+        radius = 0.5 + (h % 1000) / 1000.0 * 4.5
+        nverts = 8 + (h >> 10) % 9
+        phase = ((h >> 20) % 6283) / 1000.0
+        # center jittered inside the 2-degree cluster box
+        cx = c[1] - 1.0 + ((h >> 32) % 2000) / 1000.0
+        cy = c[0] - 1.0 + ((h >> 44) % 2000) / 1000.0
+        ring = _convex_polygon(cx, cy, radius, nverts, phase)
+        out.append({"polygon_id": 128 + k, "name": f"convex_{k}", "ring": ring, "zindex": 1, "value": 128 + k})
+    # 3 overlapping polygons over cluster 0 (NYC) — multi-hit joins + z-index
+    c0 = CLUSTERS[0]
+    for k, (dx, dy, r) in enumerate([(-0.5, -0.5, 1.2), (0.5, -0.3, 1.0), (0.0, 0.5, 1.4)]):
+        ring = _convex_polygon(c0[1] + dx, c0[0] + dy, r, 12, 0.3 * k)
+        out.append({"polygon_id": 168 + k, "name": f"overlap_{k}", "ring": ring, "zindex": 2 + k, "value": 168 + k})
+    for p in out:
+        r = p["ring"]
+        p["bbox"] = (float(r[:, 0].min()), float(r[:, 1].min()), float(r[:, 0].max()), float(r[:, 1].max()))
+    return out
+
+
+def gen_polygons_table() -> pa.Table:
+    polys = gen_polygons()
+    return pa.table(
+        {
+            "polygon_id": pa.array([p["polygon_id"] for p in polys], pa.int64()),
+            "name": pa.array([p["name"] for p in polys], pa.string()),
+            "wkb": pa.array([encode_polygon([p["ring"]]) for p in polys], pa.binary()),
+            "xmin": pa.array([p["bbox"][0] for p in polys], pa.float64()),
+            "ymin": pa.array([p["bbox"][1] for p in polys], pa.float64()),
+            "xmax": pa.array([p["bbox"][2] for p in polys], pa.float64()),
+            "ymax": pa.array([p["bbox"][3] for p in polys], pa.float64()),
+            "zindex": pa.array([p["zindex"] for p in polys], pa.int32()),
+            "value": pa.array([p["value"] for p in polys], pa.int32()),
+        }
+    )
