@@ -1,0 +1,67 @@
+"""The flagship pipeline — the BASELINE.json headline metric:
+
+    read pages.parquet -> extract_text -> geocode -> assign SpatialKey+SFC
+    -> STRtree point-in-polygon join (actor pool) -> tile-assignment
+    aggregation -> (optionally) layer write
+
+One linear streaming chain: no branch recomputes the enrichment, nothing
+materializes the full input; the only shuffle is the tiny groupby over
+per-batch partial aggregates. Throughput metric = pages/sec end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from ..stages.enrich import assign_keys_batch, enrich_batch
+from ..stages.pip_join import PipJoiner
+from ..stages.tile_agg import tile_assignments
+
+
+def enriched_pages(
+    ds,
+    zoom: int = 8,
+    s2_level: int | None = 12,
+    hex_res: int | None = 6,
+    verify_text: bool = False,
+):
+    """pages Dataset -> enriched+keyed Dataset (text, lat/lon, h, keys, sfc,
+    cell ids, time_bin). Stateless vectorized map_batches stages."""
+    ds = ds.map_batches(
+        lambda b: enrich_batch(b, verify_text=verify_text),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(
+        lambda b: assign_keys_batch(b, zoom=zoom, s2_level=s2_level, hex_res=hex_res),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def flagship(
+    pages_ds,
+    polygons_ref: Any,
+    zoom: int = 8,
+    batch_size: int = 8192,
+    concurrency=(2, 8),
+    verify_text: bool = False,
+):
+    """Full headline chain -> (joined_ds, tile_assignments_ds).
+
+    ``joined_ds``: one row per page with polygon_id (primary hit or -1) and
+    n_hits — left-outer PIP join, row count preserved.
+    ``tile_assignments_ds``: (key_col, key_row, sfc, n_docs, n_hits).
+    Both are lazy; consume with write_parquet / to_pandas / count.
+    """
+    enriched = enriched_pages(pages_ds, zoom=zoom, verify_text=verify_text)
+    joined = enriched.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": polygons_ref, "mode": "annotate"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    tiles = tile_assignments(joined, sum_cols=("n_hits",))
+    return joined, tiles

@@ -1,0 +1,98 @@
+"""Tile-assignment aggregation with partial (combiner) pre-aggregation and
+salt-and-split skew handling.
+
+The scale story (SURVEY.md §4): a bare ``groupby(sfc)`` ships every row
+through an all-to-all shuffle; with the skewed corpus (80% of pages in ~5% of
+cells) hot cells overload single reducers. So:
+
+1. **Partial aggregation** inside ``map_batches`` — each Arrow batch is
+   collapsed to one row per distinct key via ``pyarrow.Table.group_by``
+   (C++-vectorized) BEFORE the shuffle. The global ``groupby`` then moves
+   only per-batch partials (≤ distinct-keys × blocks rows, not N rows).
+2. **Salt-and-split** for non-mergeable per-group work (map_groups): a
+   ``salt = h % k`` column is appended FOR HOT KEYS ONLY (hot set measured by
+   a cheap partial-count sample), the grouped op runs per (key, salt), and an
+   associative merge collapses salts.
+
+Re-expresses the reducers of ref:spark/.../tiling/TilerMethods.scala and the
+SpacePartitioner shuffles (ref:spark/.../partition/SpacePartitioner.scala,
+L:unverified — /root/reference empty at survey time). Skew handling is OUR
+addition, mandated by the north_rule (unhandled in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def partial_tile_counts(batch: pa.Table, sum_cols: tuple[str, ...] = ("n_hits",)) -> pa.Table:
+    """Per-batch combiner: collapse to one row per (key_col, key_row, sfc)
+    with n_docs = count and sum_{c} for each sum col present."""
+    keys = ["key_col", "key_row", "sfc"]
+    aggs = [("sfc", "count")] + [(c, "sum") for c in sum_cols if c in batch.column_names]
+    g = batch.select(keys + [c for c in sum_cols if c in batch.column_names]).group_by(keys).aggregate(aggs)
+    names = {f"sfc_count": "n_docs"}
+    names.update({f"{c}_sum": c for c in sum_cols})
+    return g.rename_columns([names.get(n, n) for n in g.column_names])
+
+
+def tile_assignments(ds: "ray.data.Dataset", sum_cols: tuple[str, ...] = ("n_hits",)) -> "ray.data.Dataset":
+    """Dataset of per-tile aggregates: (key_col, key_row, sfc, n_docs,
+    sum cols). Partial-aggregate per block, then a small groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_tile_counts(b, sum_cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+    present = [c for c in sum_cols]
+    aggs = [Sum("n_docs", alias_name="n_docs")] + [Sum(c, alias_name=c) for c in present]
+    return partials.groupby(["key_col", "key_row", "sfc"]).aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# salt-and-split for grouped (non-mergeable) work
+# ---------------------------------------------------------------------------
+
+def measure_hot_keys(
+    ds: "ray.data.Dataset", key_col: str = "sfc", threshold_factor: float = 4.0, sample: float = 0.05
+) -> set[int]:
+    """Cheap skew probe: partial-count a sample, return keys whose count
+    exceeds ``threshold_factor`` x mean. At 100 TB this runs on a
+    sampled fraction of blocks — never the full input."""
+    sampled = ds.random_sample(sample, seed=42) if 0 < sample < 1 else ds
+    partial = sampled.map_batches(
+        lambda b: b.select([key_col]).group_by([key_col]).aggregate([(key_col, "count")]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Sum
+
+    counts = partial.groupby(key_col).aggregate(Sum(f"{key_col}_count", alias_name="n")).to_pandas()
+    if len(counts) == 0:
+        return set()
+    mean = counts["n"].mean()
+    hot = counts[counts["n"] > threshold_factor * mean]
+    return set(int(v) for v in hot[key_col])
+
+
+def add_salt(
+    ds: "ray.data.Dataset", hot_keys: set[int], key_col: str = "sfc", hash_col: str = "h", k: int = 16
+) -> "ray.data.Dataset":
+    """Append ``salt``: 0 for cold keys, ``h % k`` for hot keys. Grouping by
+    (key, salt) then splits each hot group into k shards."""
+    hot_arr = np.fromiter(hot_keys, dtype=np.uint64, count=len(hot_keys)) if hot_keys else np.empty(0, np.uint64)
+
+    def salt_batch(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        is_hot = np.isin(key.astype(np.uint64), hot_arr)
+        salt = np.where(is_hot, (h % np.uint64(k)).astype(np.int32), np.int32(0))
+        return batch.append_column("salt", pa.array(salt.astype(np.int32), pa.int32()))
+
+    return ds.map_batches(salt_batch, batch_format="pyarrow", zero_copy_batch=True)
