@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in geotrellis_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline (extract -> geocode -> SpatialKey/SFC -> STRtree
+  PIP join -> tile-assignment aggregate) on a deterministic pages corpus
+  (FIXTURES.md §1) at smoke scale.
+- queries(): one callable per implemented operator/pipeline (SURVEY.md §2).
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query, with
+  matching column names and bit-identical value derivations (see
+  geotrellis_ray/entry_queries.py docstring).
 """
 
 from __future__ import annotations
@@ -20,25 +19,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray
+    import ray.data
+
+    from geotrellis_ray.fixtures import gen_polygons_table, write_pages_parquet
+    from geotrellis_ray.pipelines.flagship import flagship
+
+    pages_dir = "/tmp/graft_pages_2000"
+    write_pages_parquet(pages_dir, 2_000, shard_rows=1_000)
+    ds = ray.data.read_parquet(pages_dir)
+    joined, tiles = flagship(ds, ray.put(gen_polygons_table()), zoom=8, verify_text=True)
+    return tiles
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geotrellis_ray.entry_queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geotrellis_ray.entry_queries import build_oracle_sql
+
+    return build_oracle_sql()

@@ -1,0 +1,759 @@
+"""The queries()/oracle_sql() implementations behind __ray_entry__.py.
+
+Every SQL-checkable query is defined TWICE — once as a Ray Data pipeline
+(engine operators) and once as ANSI SQL for DuckDB — with IDENTICAL column
+names and bit-identical value derivations:
+
+- money sums use integer cents: sum(cast(round(x*100) as bigint)) — no
+  float-accumulation-order divergence;
+- derived lat/lon use only exactly-representable int arithmetic and
+  power-of-two divisions, so numpy float64 and DuckDB double agree to the
+  last bit (same IEEE op order);
+- ties in top-k / kNN are broken by id, deterministically.
+
+Spatial queries run on the equirectangular ("latlng") ZoomedLayoutScheme so
+the SQL oracle is plain floor arithmetic; WebMercator paths are covered by
+pytest oracles instead (log/tan in SQL would not be bit-stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .core.layout import Extent, LayoutDefinition, TileLayout
+
+# ---------------------------------------------------------------------------
+# shared derivations (must match the SQL text below bit-for-bit)
+# ---------------------------------------------------------------------------
+
+LATLNG_Z4 = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 256, 256))
+
+
+def derive_coords_batch(batch: pa.Table, id_col: str) -> pa.Table:
+    """Deterministic lat/lon from an integer id — the SQL-parity geocode:
+    lat = -85 + ((id * 2654435761) % 2^32) / 2^32 * 170
+    lon = -180 + ((id * 40503)      % 2^16) / 2^16 * 360
+    (power-of-two divisions are exact; one rounding per * and +)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lat = -85.0 + ((ids * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0 * 170.0
+    lon = -180.0 + ((ids * 40503) % 65536).astype(np.float64) / 65536.0 * 360.0
+    out = batch.append_column("lat", pa.array(lat, pa.float64()))
+    return out.append_column("lon", pa.array(lon, pa.float64()))
+
+
+SQL_COORDS = """
+    SELECT *,
+           -85.0  + CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 * 170.0 AS lat,
+           -180.0 + CAST((event_id * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon
+    FROM events
+"""
+
+SQL_CUST_COORDS = """
+    SELECT *,
+           -85.0  + CAST((c_custkey * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 * 170.0 AS lat,
+           -180.0 + CAST((c_custkey * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon
+    FROM customer
+"""
+
+
+def _tile_keys_z4(batch: pa.Table) -> pa.Table:
+    """Equirect zoom-4 keys: col = floor((lon+180)/22.5), row = floor((90-lat)/11.25)."""
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    c, r = LATLNG_Z4.xy_to_key(lon, lat)
+    out = batch.append_column("key_col", pa.array(c.astype(np.int32), pa.int32()))
+    return out.append_column("key_row", pa.array(r.astype(np.int32), pa.int32()))
+
+
+SQL_KEYS_Z4 = """
+    LEAST(GREATEST(CAST(floor((lon + 180.0) / 22.5) AS INT), 0), 15) AS key_col,
+    LEAST(GREATEST(CAST(floor((90.0 - lat) / 11.25) AS INT), 0), 15) AS key_row
+"""
+
+
+def _cents(col: np.ndarray) -> np.ndarray:
+    return np.round(col * 100.0).astype(np.int64)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational queries (engine genericity: scan/filter/project/agg/join/sort)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "price_cents": pa.array(_cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_range(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    filt = ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return filt.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+
+
+SQL_FILTER_RANGE = """
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+def q_join_customer_orders(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "price_cents": pa.array(_cents(b["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()),
+            }
+        )
+
+    joined = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents")
+    )
+
+
+SQL_JOIN_CO = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def q_join_nation_rollup(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cn = cust.join(nation, join_type="inner", num_partitions=4, on=("c_nationkey",), right_on=("n_nationkey",))
+    j = orders.join(cn, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    return j.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+SQL_JOIN_NATION = """
+    SELECT n_name, count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+
+
+SQL_TOPK = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        tb = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 3_600_000_000
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "time_bin": pa.array(tb, pa.int64()),
+                "value_cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["event_type", "time_bin"]
+    ).aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+
+
+SQL_EVENTS_HOURLY = """
+    SELECT event_type, epoch_us(ts) // 3600000000 AS time_bin,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM events GROUP BY event_type, time_bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_docs_exact(sf_dir: str):
+    from .stages.dedup import dedup_exact
+
+    out = dedup_exact(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_dupes"])
+
+
+SQL_DEDUP_EXACT = """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents GROUP BY text
+"""
+
+
+def q_doc_token_counts(sf_dir: str):
+    from .functions.text_analysis import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+    SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    from .functions.text_analysis import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper", "quality_ok"]
+    )
+
+
+SQL_DOC_QUALITY = r"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           length(regexp_extract_all(text, '\S+')) AS n_tokens,
+           length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+           length(regexp_extract_all(text, '[0-9]')) AS n_digits,
+           length(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+           (length(text) >= 50 AND length(text) <= 20000
+            AND length(regexp_extract_all(text, '[.,!?;:]')) * 10
+                <= length(regexp_extract_all(text, '\S+')) * 3 + 10) AS quality_ok
+    FROM documents
+"""
+
+
+def q_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+SQL_LANG_STATS = """
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (SQL-parity derived coordinates, latlng zoom-4 layout)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign_events(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    keyed = ds.map_batches(
+        lambda b: _tile_keys_z4(derive_coords_batch(b, "event_id")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # partial-count combiner then tiny groupby (the scale pattern)
+    partial = keyed.map_batches(
+        lambda b: b.select(["key_col", "key_row"]).group_by(["key_col", "key_row"]).aggregate([("key_col", "count")]).rename_columns(["key_col", "key_row", "n_docs"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial.groupby(["key_col", "key_row"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+SQL_TILE_ASSIGN = f"""
+    WITH pts AS ({SQL_COORDS})
+    SELECT {SQL_KEYS_Z4}, count(*) AS n_docs
+    FROM pts GROUP BY key_col, key_row
+"""
+
+
+def q_pip_rect_grid(sf_dir: str):
+    """PIP join events x 16x8 world rectangle grid via the REAL geometry path
+    (STRtree + even-odd PIP — the half-open rect rule makes it SQL-checkable)."""
+    import ray
+
+    from .fixtures import gen_polygons_table
+    from .stages.pip_join import PipJoiner
+    from ray.data.aggregate import Count, Min
+
+    polys = gen_polygons_table()
+    grid = polys.filter(pa.compute.less(polys["polygon_id"], 128))
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": ray.put(grid), "mode": "inner"},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=2,
+    )
+    return joined.groupby("polygon_id").aggregate(
+        Count(alias_name="n_docs"), Min("event_id", alias_name="min_event")
+    )
+
+
+SQL_PIP_RECT = f"""
+    WITH pts AS ({SQL_COORDS}),
+    rects AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 AS xmin,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 AS ymin,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 + 22.5 AS xmax,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 + 22.5 AS ymax
+        FROM range(0, 128) t(i)
+    )
+    SELECT polygon_id, count(*) AS n_docs, min(event_id) AS min_event
+    FROM pts JOIN rects
+      ON pts.lon >= rects.xmin AND pts.lon < rects.xmax
+     AND pts.lat >= rects.ymin AND pts.lat < rects.ymax
+    GROUP BY polygon_id
+"""
+
+KNN_QUERIES = [(0, 40.0, -74.0), (1, 51.0, 0.0), (2, -23.0, -46.0), (3, 35.0, 139.0)]
+
+
+def q_knn_events(sf_dir: str):
+    from .stages.knn import knn_multi
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    queries = pd.DataFrame(
+        {"query_id": [q[0] for q in KNN_QUERIES], "lat": [q[1] for q in KNN_QUERIES],
+         "lon": [q[2] for q in KNN_QUERIES]}
+    )
+    out = knn_multi(ds, queries, k=5, id_col="event_id", metric="sqeuclid")
+    return out.select_columns(["query_id", "rank", "event_id"])
+
+
+SQL_KNN = f"""
+    WITH pts AS ({SQL_COORDS}),
+    queries(query_id, qlat, qlon) AS (VALUES {", ".join(f"({q}, {la}, {lo})" for q, la, lo in KNN_QUERIES)}),
+    scored AS (
+        SELECT query_id, event_id,
+               (lat - qlat) * (lat - qlat) + (lon - qlon) * (lon - qlon) AS d2
+        FROM pts CROSS JOIN queries
+    ),
+    ranked AS (
+        SELECT query_id, event_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, event_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, event_id FROM ranked WHERE rank <= 5
+"""
+
+
+def q_pyramid_counts(sf_dir: str):
+    from .stages.pyramid import pyramid_up_counts
+    from ray.data.aggregate import Sum
+
+    tiles = q_tile_assign_events(sf_dir)
+    # z4 -> z3 parent merge (power-of-2 pyramid: parent = key >> 1)
+    withsfc = tiles.map_batches(
+        lambda b: b.append_column(
+            "sfc",
+            pa.array(
+                np.zeros(len(b), dtype=np.uint64), pa.uint64()
+            ),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    up = pyramid_up_counts(withsfc, count_cols=("n_docs",))
+    return up.select_columns(["key_col", "key_row", "n_docs"])
+
+
+SQL_PYRAMID = f"""
+    WITH pts AS ({SQL_COORDS}),
+    z4 AS (SELECT {SQL_KEYS_Z4}, count(*) AS n_docs FROM pts GROUP BY key_col, key_row)
+    SELECT key_col // 2 AS key_col, key_row // 2 AS key_row, sum(n_docs) AS n_docs
+    FROM z4 GROUP BY key_col // 2, key_row // 2
+"""
+
+
+def q_spatial_join_layers(sf_dir: str):
+    from .stages.join import spatial_join
+
+    ev = q_tile_assign_events(sf_dir).map_batches(
+        lambda b: b.rename_columns(["key_col", "key_row", "n_events"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _tile_keys_z4(derive_coords_batch(b, "c_custkey")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust_partial = cust.map_batches(
+        lambda b: b.select(["key_col", "key_row"]).group_by(["key_col", "key_row"]).aggregate([("key_col", "count")]).rename_columns(["key_col", "key_row", "n_customers"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cust_tiles = cust_partial.groupby(["key_col", "key_row"]).aggregate(Sum("n_customers", alias_name="n_customers"))
+    return spatial_join(ev, cust_tiles, "inner", num_partitions=8, on=("key_col", "key_row"))
+
+
+SQL_SPATIAL_JOIN = f"""
+    WITH pts AS ({SQL_COORDS}),
+    ev AS (SELECT {SQL_KEYS_Z4}, count(*) AS n_events FROM pts GROUP BY key_col, key_row),
+    cpts AS ({SQL_CUST_COORDS}),
+    cu AS (SELECT {SQL_KEYS_Z4}, count(*) AS n_customers FROM cpts GROUP BY key_col, key_row)
+    SELECT ev.key_col AS key_col, ev.key_row AS key_row, n_events, n_customers
+    FROM ev JOIN cu ON ev.key_col = cu.key_col AND ev.key_row = cu.key_row
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: spatial curves, sketches, ANN,
+# pages corpus, stubs) — the driver records a weaker rows-only check;
+# exactness is covered by the pytest oracles instead.
+# ---------------------------------------------------------------------------
+
+def _pages_dir(sf_dir: str) -> str:
+    """Deterministic synthesized pages corpus sized to the sf tier, cached
+    under /tmp (TESTDATA tables carry no pages table; FIXTURES.md §1)."""
+    import os
+
+    from .fixtures import write_pages_parquet
+
+    n = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 2_000
+    )
+    path = f"/tmp/graft_pages_{n}"
+    write_pages_parquet(path, n, shard_rows=50_000)
+    return path
+
+
+def q_flagship_pages(sf_dir: str):
+    import ray
+
+    from .fixtures import gen_polygons_table
+    from .pipelines.flagship import flagship
+
+    import ray.data
+
+    ds = ray.data.read_parquet(_pages_dir(sf_dir))
+    joined, tiles = flagship(ds, ray.put(gen_polygons_table()), zoom=8, verify_text=True)
+    return tiles
+
+
+def q_pages_extract_geocode(sf_dir: str):
+    """Byte-identity surface: url + sha of re-extracted text + coords."""
+    import hashlib
+
+    import ray.data
+
+    from .stages.enrich import enrich_batch
+
+    ds = ray.data.read_parquet(_pages_dir(sf_dir))
+
+    def f(b: pa.Table) -> pa.Table:
+        e = enrich_batch(b, verify_text=True)
+        sha = pa.array(
+            [hashlib.sha256(t.encode()).hexdigest()[:16] for t in e["text"].to_pylist()], pa.string()
+        )
+        return pa.table({"url": e["url"], "text_sha": sha, "lat": e["lat"], "lon": e["lon"]})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cell_counts_hex(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from .core.cellid import cell_hexlike
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def addcell(b: pa.Table) -> pa.Table:
+        c = cell_hexlike(b["lat"].to_numpy(zero_copy_only=False), b["lon"].to_numpy(zero_copy_only=False), 3)
+        return b.append_column("cell", pa.array(c.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True).groupby("cell").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def q_cell_counts_s2(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from .core.cellid import cell_s2like
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def addcell(b: pa.Table) -> pa.Table:
+        c = cell_s2like(b["lat"].to_numpy(zero_copy_only=False), b["lon"].to_numpy(zero_copy_only=False), 6)
+        return b.append_column("cell", pa.array(c.view(np.int64), pa.int64()))
+
+    return ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True).groupby("cell").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    from .stages.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7, rounds=3)
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    from .stages.dedup import simhash_near_dups
+
+    return simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def q_langid_docs(sf_dir: str):
+    from .functions.text_analysis import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def q_doc_fingerprints(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from .functions.text_analysis import Fingerprinter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "n_fp": pc.list_value_length(b["fingerprint"]).cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _embedding_queries(sf_dir: str, nq: int = 4) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(e, dtype=np.float32) for e in t["embedding"].to_pylist()[:nq]])
+    return m
+
+
+def q_ann_embeddings(sf_dir: str):
+    from .stages.ann import ann_brute_force
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_brute_force(ds, _embedding_queries(sf_dir), k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_ann_lsh_embeddings(sf_dir: str):
+    from .stages.ann import ann_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_lsh(ds, _embedding_queries(sf_dir), k=5, nbits=8)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from .stages.ann import embedding_near_dups
+
+    return embedding_near_dups(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+
+
+def q_rasterize_toy(sf_dir: str):
+    """Rasterize the convex fixture polygons on the latlng zoom-4 layout;
+    per-tile count of painted cells (grid itself pytest-verified)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .core.raster import decode_tile
+    from .fixtures import gen_polygons_table
+    from .stages.rasterize_stage import rasterize_features
+
+    polys = gen_polygons_table()
+    convex = polys.filter(pc.greater_equal(polys["polygon_id"], 128))
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 32, 32))
+    tiles = rasterize_features(ray.data.from_arrow(convex), layout)
+
+    def count_painted(b: pa.Table) -> pa.Table:
+        ns = []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            ns.append(int(np.isfinite(t).sum()))
+        return pa.table(
+            {"key_col": b["key_col"], "key_row": b["key_row"], "n_painted": pa.array(ns, pa.int64())}
+        )
+
+    return tiles.map_batches(count_painted, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cliptogrid_toy(sf_dir: str):
+    import ray.data
+
+    from .stages.clip import clip_to_grid_batch
+
+    polys = gen_polygons_table_cached()
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 32, 32))
+    ds = ray.data.from_arrow(polys.select(["polygon_id", "wkb"]))
+    exploded = ds.map_batches(
+        lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Count
+
+    return exploded.groupby("polygon_id").aggregate(Count(alias_name="n_keys"))
+
+
+_POLY_CACHE: list = []
+
+
+def gen_polygons_table_cached():
+    if not _POLY_CACHE:
+        from .fixtures import gen_polygons_table
+
+        _POLY_CACHE.append(gen_polygons_table())
+    return _POLY_CACHE[0]
+
+
+def q_multimodal_stub(sf_dir: str):
+    from .stages.multimodal import ImageDecoder, media_meta_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"], "media": pa.array([t.encode()[:256] for t in b["text"].to_pylist()], pa.binary())}
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    media = media.map_batches(media_meta_batch, batch_format="pyarrow", zero_copy_batch=True)
+    decoded = media.map_batches(
+        ImageDecoder, fn_constructor_kwargs={"fake": True, "target_size": 8},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256, concurrency=2,
+    )
+    return decoded.select_columns(["doc_id", "media_bytes", "img_h", "img_w"])
+
+
+def q_histogram_breaks(sf_dir: str):
+    """classBreaks over l_extendedprice (approx sketch — rows-only check)."""
+    import ray.data
+
+    from .stages.stats import class_breaks
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    breaks = class_breaks(ds, "l_extendedprice", 8)
+    return pa.table({"brk": pa.array(np.arange(len(breaks), dtype=np.int64)), "value": pa.array(breaks, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q_filter_range": q_filter_range,
+        "q_join_customer_orders": q_join_customer_orders,
+        "q_join_nation_rollup": q_join_nation_rollup,
+        "q_topk_orders": q_topk_orders,
+        "q_events_hourly": q_events_hourly,
+        "q_dedup_docs_exact": q_dedup_docs_exact,
+        "q_doc_token_counts": q_doc_token_counts,
+        "q_doc_quality": q_doc_quality,
+        "q_lang_stats": q_lang_stats,
+        "q_tile_assign_events": q_tile_assign_events,
+        "q_pip_rect_grid": q_pip_rect_grid,
+        "q_knn_events": q_knn_events,
+        "q_pyramid_counts": q_pyramid_counts,
+        "q_spatial_join_layers": q_spatial_join_layers,
+        "q_flagship_pages": q_flagship_pages,
+        "q_pages_extract_geocode": q_pages_extract_geocode,
+        "q_cell_counts_hex": q_cell_counts_hex,
+        "q_cell_counts_s2": q_cell_counts_s2,
+        "q_minhash_dedup_docs": q_minhash_dedup_docs,
+        "q_simhash_pairs_docs": q_simhash_pairs_docs,
+        "q_langid_docs": q_langid_docs,
+        "q_doc_fingerprints": q_doc_fingerprints,
+        "q_ann_embeddings": q_ann_embeddings,
+        "q_ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "q_embedding_near_dups": q_embedding_near_dups,
+        "q_rasterize_toy": q_rasterize_toy,
+        "q_cliptogrid_toy": q_cliptogrid_toy,
+        "q_multimodal_stub": q_multimodal_stub,
+        "q_histogram_breaks": q_histogram_breaks,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "q1_pricing_summary": SQL_Q1,
+        "q_filter_range": SQL_FILTER_RANGE,
+        "q_join_customer_orders": SQL_JOIN_CO,
+        "q_join_nation_rollup": SQL_JOIN_NATION,
+        "q_topk_orders": SQL_TOPK,
+        "q_events_hourly": SQL_EVENTS_HOURLY,
+        "q_dedup_docs_exact": SQL_DEDUP_EXACT,
+        "q_doc_token_counts": SQL_TOKEN_COUNTS,
+        "q_doc_quality": SQL_DOC_QUALITY,
+        "q_lang_stats": SQL_LANG_STATS,
+        "q_tile_assign_events": SQL_TILE_ASSIGN,
+        "q_pip_rect_grid": SQL_PIP_RECT,
+        "q_knn_events": SQL_KNN,
+        "q_pyramid_counts": SQL_PYRAMID,
+        "q_spatial_join_layers": SQL_SPATIAL_JOIN,
+        # remaining queries are non-SQL-expressible (SFC curves, sketches,
+        # ANN, pages corpus synth, stubs) -> rows-only driver check
+    }

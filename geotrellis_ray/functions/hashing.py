@@ -1,0 +1,156 @@
+"""Deterministic hashing primitives for dedup / fingerprinting: shingles,
+MinHash, SimHash, rolling (Rabin-style) document fingerprints. Pure numpy —
+seeded by constants, no RNG state (reproducible at any parallelism)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MAX_H = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sha1_64(s: str) -> int:
+    return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "big")
+
+
+def tokenize(text: str) -> list[str]:
+    return text.lower().split()
+
+
+def shingles(tokens: list[str], n: int = 3) -> np.ndarray:
+    """n-gram word shingles -> uint64 hashes (sha1-based, deterministic)."""
+    if len(tokens) < n:
+        toks = [" ".join(tokens)] if tokens else []
+    else:
+        toks = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    return np.fromiter((sha1_64(t) for t in toks), dtype=np.uint64, count=len(toks))
+
+
+def _minhash_seeds(num_perm: int) -> np.ndarray:
+    """Deterministic per-permutation xor seeds (sha256 of the index)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(f"minhash-{i}".encode()).digest()[:8], "big")
+            for i in range(num_perm)
+        ),
+        dtype=np.uint64,
+        count=num_perm,
+    )
+
+
+_MH_CACHE: dict[int, np.ndarray] = {}
+
+
+def minhash_signature(sh: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle-hash set.
+
+    Permutation family (OUR spec): h_i(x) = (x ^ seed_i) * GOLDEN mod 2^64
+    (uint64 wraparound multiplicative hashing) — fully vectorizable, one
+    (num_perm x n_shingles) matrix op per doc."""
+    if num_perm not in _MH_CACHE:
+        _MH_CACHE[num_perm] = _minhash_seeds(num_perm)
+    seeds = _MH_CACHE[num_perm]
+    if len(sh) == 0:
+        return np.full(num_perm, _MAX_H, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = (sh[None, :].astype(np.uint64) ^ seeds[:, None]) * _GOLDEN
+    return m.min(axis=1)
+
+
+def minhash_signatures_batch(texts: list[str], num_perm: int = 64, ngram: int = 3) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures."""
+    out = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for d, text in enumerate(texts):
+        out[d] = minhash_signature(shingles(tokenize(text), ngram), num_perm)
+    return out
+
+
+def lsh_bands(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Signature (num_perm,) or batch (n, num_perm) -> per-band uint64 bucket
+    hashes (n, bands): sha1 of the band's bytes."""
+    single = sig.ndim == 1
+    s = sig[None, :] if single else sig
+    n, num_perm = s.shape
+    rows = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for i in range(n):
+        for bidx in range(bands):
+            seg = s[i, bidx * rows : (bidx + 1) * rows].tobytes()
+            out[i, bidx] = np.uint64(
+                int.from_bytes(hashlib.sha1(b"%d:" % bidx + seg).digest()[:8], "big")
+            )
+    return out[0] if single else out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two shingle-hash sets."""
+    sa, sb = set(a.tolist()), set(b.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash(tokens: list[str], bits: int = 64) -> int:
+    """Charikar SimHash over token hashes (unit weights)."""
+    if not tokens:
+        return 0
+    v = np.zeros(bits, dtype=np.int64)
+    for t in tokens:
+        h = sha1_64(t)
+        for bit in range(bits):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(bits):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_batch(texts: list[str], bits: int = 64) -> np.ndarray:
+    """Vectorized batch SimHash: per doc, sum +-1 bit contributions."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = tokenize(text)
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.fromiter((sha1_64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bitsm = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bitsm - 1).sum(axis=0)
+        pos = (v > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(pos << bit_idx)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via bit tricks (numpy has no popcount for uint64 pre-2.0)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def rolling_fingerprint(text: str, window: int = 32, keep_mod: int = 8) -> np.ndarray:
+    """Document fingerprint: Rabin-style rolling hash over bytes, keeping
+    hashes ≡ 0 (mod keep_mod) (winnowing-lite). Deterministic."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return np.array([sha1_64(text)], dtype=np.uint64)
+    base = 257
+    mod = (1 << 61) - 1  # Mersenne prime: python-int arithmetic, no overflow
+    n = len(data)
+    poww = pow(base, window - 1, mod)
+    h = 0
+    for i in range(window):
+        h = (h * base + data[i]) % mod
+    hashes = np.empty(n - window + 1, dtype=np.uint64)
+    hashes[0] = h
+    for i in range(window, n):
+        h = ((h - data[i - window] * poww) * base + data[i]) % mod
+        hashes[i - window + 1] = h
+    return np.unique(hashes[hashes % np.uint64(keep_mod) == 0])

@@ -1,0 +1,124 @@
+"""JSON/dict pipeline spec -> chained Dataset ops — the engine's counterpart
+of the spark-pipeline JSON AST (ref:spark-pipeline/src/main/scala/geotrellis/
+spark/pipeline/ast/, json/PipelineExprType.scala — L:unverified,
+/root/reference empty at survey time; SURVEY.md §2.10/§3.2).
+
+A spec is a list of stage dicts, folded left over a Dataset:
+
+    [
+      {"op": "read.parquet", "path": ".../pages", "columns": [...]},
+      {"op": "transform.enrich"},
+      {"op": "transform.assign_keys", "zoom": 8, "s2_level": 12},
+      {"op": "join.pip", "polygons": "<path to polygon parquet>"},
+      {"op": "agg.tile_assignments"},
+      {"op": "write.layer", "catalog": "/tmp/cat", "name": "pages", "zoom": 8}
+    ]
+
+``register_op(name, fn)`` is the user-extension surface (the method-extension
+analogue, SURVEY.md §2.10): fn(ds, **params) -> ds.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_op(name: str, fn: Callable) -> None:
+    _REGISTRY[name] = fn
+
+
+def get_op(name: str) -> Callable:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown pipeline op {name!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def run_spec(spec: list[dict[str, Any]] | str):
+    """Execute a pipeline spec; returns the final Dataset (or the write
+    result for sink stages)."""
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    ds = None
+    for stage in spec:
+        stage = dict(stage)
+        op = get_op(stage.pop("op"))
+        ds = op(ds, **stage)
+    return ds
+
+
+# --- built-in ops -----------------------------------------------------------
+
+def _op_read_parquet(ds, path: str, columns=None, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def _op_enrich(ds, **kw):
+    from ..stages.enrich import enrich_batch
+
+    return ds.map_batches(lambda b: enrich_batch(b, **kw), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _op_assign_keys(ds, **kw):
+    from ..stages.enrich import assign_keys_batch
+
+    return ds.map_batches(lambda b: assign_keys_batch(b, **kw), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _op_pip_join(ds, polygons, mode: str = "annotate", batch_size: int = 8192, concurrency=2, **kw):
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.pip_join import PipJoiner
+
+    table = pq.read_table(polygons) if isinstance(polygons, str) else polygons
+    return ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": ray.put(table), "mode": mode, **kw},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def _op_tile_assignments(ds, **kw):
+    from ..stages.tile_agg import tile_assignments
+
+    return tile_assignments(ds, **kw)
+
+
+def _op_filter_expr(ds, expr: str):
+    return ds.filter(expr=expr)
+
+
+def _op_select(ds, columns):
+    return ds.select_columns(columns)
+
+
+def _op_write_layer(ds, catalog: str, name: str, zoom: int, **kw):
+    from ..sources.layer import write_layer
+
+    write_layer(ds, catalog, name, zoom, **kw)
+    return ds
+
+
+def _op_write_parquet(ds, path: str, **kw):
+    ds.write_parquet(path, **kw)
+    return ds
+
+
+for _name, _fn in {
+    "read.parquet": _op_read_parquet,
+    "transform.enrich": _op_enrich,
+    "transform.assign_keys": _op_assign_keys,
+    "join.pip": _op_pip_join,
+    "agg.tile_assignments": _op_tile_assignments,
+    "filter.expr": _op_filter_expr,
+    "transform.select": _op_select,
+    "write.layer": _op_write_layer,
+    "write.parquet": _op_write_parquet,
+}.items():
+    register_op(_name, _fn)

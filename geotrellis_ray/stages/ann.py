@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_brute_force``: exact cosine top-k — the baseline. The query matrix is
+  broadcast (ray.put / closure) once; each batch does ONE numpy matmul
+  against it and keeps a per-batch partial top-k, so only k x blocks rows
+  shuffle into the final per-query groupby top-k.
+- ``ann_lsh``: the scale path — random-hyperplane LSH (deterministic
+  sha-seeded planes): embeddings are bucketed by sign-bit hash; queries probe
+  only their bucket (+ optional multi-probe neighbours); exact cosine re-rank
+  inside buckets.
+- ``embedding_near_dups``: embedding-cosine near-duplicate pairs via the same
+  LSH buckets (cos >= threshold).
+
+Engine additions for the training-data pipeline (driver mandate; no
+GeoTrellis counterpart).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """list<float> column -> (n, d) float32 matrix (zero-copy flat values)."""
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def hyperplanes(d: int, nbits: int = 16) -> np.ndarray:
+    """Deterministic random hyperplanes: (nbits, d) from sha256 counters."""
+    out = np.empty((nbits, d), dtype=np.float64)
+    for i in range(nbits):
+        vals = []
+        ctr = 0
+        while len(vals) < d:
+            dig = hashlib.sha256(f"plane-{i}-{ctr}".encode()).digest()
+            vals.extend(int.from_bytes(dig[j : j + 4], "big") / 2**32 - 0.5 for j in range(0, 32, 4))
+            ctr += 1
+        out[i] = vals[:d]
+    return out
+
+
+def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) -> uint64 sign-bit bucket ids."""
+    bits = (m @ planes.T) > 0
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """Exact cosine top-k for a (nq, d) query matrix -> Dataset (query_id,
+    rank, id, cosine)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        sims = qn @ m.T  # (nq, n) one matmul per batch
+        ids = batch[id_col]
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qn)):
+            sel = part[qi]
+            out_q.extend([qi] * len(sel))
+            out_i.extend(sel.tolist())
+            out_s.extend(sims[qi, sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: ids.take(pa.array(out_i, pa.int64())),
+                "cosine": pa.array(np.asarray(out_s, dtype=np.float64), pa.float64()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def add_lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, emb_col: str = "embedding") -> pa.Table:
+    m = _normalize(_batch_matrix(batch, emb_col))
+    return batch.append_column("lsh_bucket", pa.array(lsh_bucket(m, planes), pa.uint64()))
+
+
+def ann_lsh(ds, queries: np.ndarray, k: int = 5, nbits: int = 8, id_col: str = "vec_id",
+            emb_col: str = "embedding"):
+    """LSH-bucketed ANN: probe only the buckets the queries hash into.
+    Approximate (recall < 1); partitioning assumption: each probed bucket
+    holds >= k vectors — lower nbits (or add multi-probe) when short."""
+    q = np.asarray(queries, dtype=np.float32)
+    planes = hyperplanes(q.shape[1], nbits)
+    qn = _normalize(q)
+    qbuckets = lsh_bucket(qn, planes)
+    # multi-probe: query bucket plus all 1-bit flips (rescues boundary cases)
+    probe: set[int] = set()
+    for b in qbuckets:
+        probe.add(int(b))
+        for bit in range(nbits):
+            probe.add(int(b) ^ (1 << bit))
+    probe_arr = np.fromiter(probe, dtype=np.uint64, count=len(probe))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        withb = add_lsh_bucket_batch(batch, planes, emb_col)
+        keep = np.isin(withb["lsh_bucket"].to_numpy(zero_copy_only=False), probe_arr)
+        return withb.filter(pa.array(keep))
+
+    pruned = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return ann_brute_force(pruned, queries, k, id_col=id_col, emb_col=emb_col)
+
+
+def embedding_near_dups(ds, threshold: float = 0.95, nbits: int = 12, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Near-duplicate (cosine >= threshold) pairs via LSH buckets: bucket
+    groupby, in-bucket chained-pair compare (sorted by id), exact cosine."""
+    planes_holder: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, emb_col)
+        if not planes_holder:
+            planes_holder[0] = hyperplanes(m.shape[1], nbits)
+        withb = add_lsh_bucket_batch(batch, planes_holder[0], emb_col)
+        return withb.select([id_col, emb_col, "lsh_bucket"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = _normalize(np.stack([np.asarray(e, dtype=np.float32) for e in g[emb_col]]))
+        cos = (m[:-1] * m[1:]).sum(axis=1)
+        ids = g[id_col].to_numpy()
+        keep = cos >= threshold
+        return pd.DataFrame({"id_a": ids[:-1][keep], "id_b": ids[1:][keep],
+                             "cosine": cos[keep].astype(np.float64)})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lsh_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

@@ -1,0 +1,250 @@
+"""Deduplication operators over a document stream — first-class components of
+the 100 TB training-data pipeline (driver mandate; absent in the GeoTrellis
+reference beyond same-key collapse, SURVEY.md §2.7).
+
+All variants follow the same scale shape:
+- exact:   vectorized content hash per batch -> groupby(hash) -> keep min id.
+  Hash-partitioned shuffle moves only (hash, id) pairs, not text.
+- minhash: shingle->minhash per batch (actor pool) -> explode to
+  (band, band_hash, id) rows -> groupby buckets -> candidate pairs ->
+  exact-Jaccard verify -> min-label connected components (iterated groupby,
+  no driver union-find).
+- simhash: 4x16-bit band blocking -> candidate pairs -> Hamming verify.
+- embedding cosine near-dup lives in stages/ann.py (same bucketing idea).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import (
+    hamming64,
+    jaccard,
+    lsh_bands,
+    minhash_signatures_batch,
+    shingles,
+    simhash_batch,
+    tokenize,
+)
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:8], "big")
+            for t in batch[text_col].to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(batch),
+    )
+    return batch.append_column("content_hash", pa.array(hs, pa.uint64()))
+
+
+def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_text: bool = False):
+    """Exact dedup: one surviving row (min id) per distinct text. Returns
+    Dataset (content_hash, doc_id=min id, n_dupes). The shuffle carries only
+    (hash, id) — text is projected away before the groupby."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    slim = hashed.select_columns(["content_hash", id_col])
+    return slim.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dupes")
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: minhash signature + LSH band rows per doc."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.num_perm = num_perm
+        self.bands = bands
+        self.ngram = ngram
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures_batch(texts, self.num_perm, self.ngram)
+        bands = lsh_bands(sigs, self.bands)  # (n, bands)
+        n = len(texts)
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        out_hash = bands.ravel()
+        sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(self.bands)]
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.uint64()),
+                "sig": pa.array(sig_bytes, pa.binary()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (cap quadratic blowup: sort by
+    id, pair each doc with its predecessor — enough for connectivity)."""
+    if len(g) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
+    g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
+    if len(g) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
+    ids = g[id_col].to_numpy()
+    sigs = g["sig"].to_numpy()
+    return pd.DataFrame(
+        {"id_a": ids[:-1], "id_b": ids[1:], "sig_a": sigs[:-1], "sig_b": sigs[1:]}
+    )
+
+
+def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            concurrency=2, batch_size: int = 1024):
+    """Docs -> verified-similarity candidate pairs (id_a < id_b, est_jaccard =
+    signature agreement). The bucket groupby shuffles only band rows."""
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram,
+                               "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig_a"].to_pylist()])
+        sb = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig_b"].to_pylist()])
+        est = (sa == sb).mean(axis=1)
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4, **kw):
+    """Full near-dedup: candidate pairs above threshold -> connected
+    components by iterated min-label propagation (distributed; no driver
+    union-find) -> Dataset (doc_id, cluster_id). Docs with no near-dup get
+    cluster_id = doc_id."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    id_col = kw.get("id_col", "doc_id")
+    pairs = minhash_candidate_pairs(ds, **kw)
+    edges = pairs.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["est_jaccard"], threshold)).select(["id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # small: only near-dup edges
+    # label = min reachable id; propagate along edges `rounds` times
+    labels = ds.select_columns([id_col]).map_batches(
+        lambda b: pa.table({id_col: b[id_col], "label": b[id_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # symmetric edge list (a->b and b->a) so one join per round suffices
+    sym_edges = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.concat_arrays([b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]),
+                "dst": pa.concat_arrays([b["id_b"].combine_chunks(), b["id_a"].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    for _ in range(rounds):
+        # message passing via hash join (distributed — labels never collect to
+        # the driver, so this holds at 10^12-doc scale): each edge forwards its
+        # src's current label to dst.
+        msgs = (
+            sym_edges.join(labels.repartition(4), join_type="inner", num_partitions=8,
+                           on=("src",), right_on=(id_col,))
+            .select_columns(["dst", "label"])
+            .map_batches(lambda b: b.rename_columns([id_col, "label"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby(id_col)
+            .aggregate(Min("label", alias_name="label"))
+        )
+    return labels.map_batches(
+        lambda b: b.rename_columns([id_col, "cluster_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class SimHasher:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch[self.text_col].to_pylist())
+        return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(sh, pa.uint64())})
+
+
+def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                      concurrency=2):
+    """SimHash near-dup pairs: 4x16-bit band blocking (a pair within Hamming
+    distance 3 shares at least one of 4 bands), Hamming verify in-bucket."""
+    sh = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        v = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(v)
+        bands = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            bands[:, b] = (v >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(v, 4), pa.uint64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "band_val": pa.array(bands.ravel(), pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        v = g["simhash"].to_numpy().astype(np.uint64)
+        ham = hamming64(v[:-1], v[1:])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "hamming": ham[keep]})
+
+    return (
+        sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])  # a pair can surface from several bands
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 3) -> np.ndarray:
+    """Exact n-gram Jaccard for verification (driver/test-side helper)."""
+    return np.array(
+        [jaccard(shingles(tokenize(a), n), shingles(tokenize(b), n)) for a, b in zip(texts_a, texts_b)]
+    )

@@ -1,0 +1,112 @@
+"""Layer-layer joins keyed on SpatialKey/sfc.
+
+Re-expresses ref:spark/src/main/scala/geotrellis/spark/join/SpatialJoin.scala
+(join / leftOuterJoin over SpacePartitioner, L:unverified — /root/reference
+empty at survey time; SURVEY.md §2.4) as Ray's hash-partitioned
+``Dataset.join`` on the sfc column, plus semi/anti via broadcast key sets,
+and a partition-based (PBSM) large-large spatial join built from ClipToGrid
+explode + equi-join on sfc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.sfc import zorder
+
+
+def _normalize_blocks(ds, n: int):
+    """Workaround for Ray 2.49: groupby().aggregate() can emit an EMPTY block
+    with an EMPTY schema; Dataset.join then fails with ArrowInvalid ("no
+    match for key field on right side"). A repartition rebuilds uniform
+    blocks. Only needed when a join input has aggregate lineage."""
+    return ds.repartition(n)
+
+
+def spatial_join(left, right, how: str = "inner", num_partitions: int = 32,
+                 on: tuple[str, ...] = ("sfc",), left_suffix: str = "", right_suffix: str = "_r",
+                 normalize: bool = True):
+    """Equi-join two keyed layers on sfc (or any key tuple). how: inner |
+    left_outer. Result bounds = combined metadata (computed by the caller's
+    aggregate pass when needed)."""
+    if normalize:
+        left = _normalize_blocks(left, num_partitions)
+        right = _normalize_blocks(right, num_partitions)
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+def semi_join_keys(ds, key_set, key_col: str = "sfc", anti: bool = False):
+    """Semi/anti join against a SMALL key set: broadcast the set, filter
+    inside map_batches — no shuffle (SURVEY.md §2.4)."""
+    keys = np.fromiter((int(k) for k in key_set), dtype=np.uint64, count=len(key_set))
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hit = np.isin(v, keys)
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def key_intersection(left, right, key_cols=("key_col", "key_row")):
+    """Intersect the key sets of two layers (KeyBounds.intersect analogue on
+    actual keys): distinct keys present in BOTH."""
+    lk = left.select_columns(list(key_cols)).unique(list(key_cols))
+    return spatial_join(lk, right.select_columns(list(key_cols)).unique(list(key_cols)),
+                        how="inner", on=tuple(key_cols))
+
+
+def pbsm_spatial_join(points_ds, polygons_ds, layout, zoom: int, num_partitions: int = 32,
+                      wkb_col: str = "wkb"):
+    """Large-large spatial join (partition-based spatial-merge): explode the
+    polygon side to covering sfc keys via ClipToGrid, equi-join on sfc, then
+    exact PIP refine per joined batch. Use when the polygon side is too large
+    to broadcast (SURVEY.md §2.4 VectorJoin large-large variant)."""
+    from ..core import wkb as wkb_mod
+    from ..core.geom import point_in_polygon_geom
+    from .clip import clip_to_grid_batch
+
+    exploded = polygons_ds.map_batches(
+        lambda b: clip_to_grid_batch(b, layout, wkb_col=wkb_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda b: b.append_column(
+            "sfc",
+            pa.array(
+                zorder(
+                    b["key_col"].to_numpy(zero_copy_only=False),
+                    b["key_row"].to_numpy(zero_copy_only=False),
+                ),
+                pa.uint64(),
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = spatial_join(points_ds, exploded, how="inner", num_partitions=num_partitions)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        keep = np.zeros(len(batch), dtype=bool)
+        xs = batch["lon"].to_numpy(zero_copy_only=False)
+        ys = batch["lat"].to_numpy(zero_copy_only=False)
+        full = batch["full"].to_numpy(zero_copy_only=False)
+        wkbs = batch["clipped_wkb"].to_pylist()
+        for i in range(len(batch)):
+            if full[i]:
+                keep[i] = True
+            else:
+                g = wkb_mod.decode(wkbs[i])
+                if g["type"] in ("Polygon", "MultiPolygon"):
+                    keep[i] = bool(point_in_polygon_geom(xs[i : i + 1], ys[i : i + 1], g)[0])
+        return batch.filter(pa.array(keep))
+
+    return joined.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,111 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool map_batches stages.
+
+The decode kernels are STUBS (no imaging/audio libraries exist in this
+container — driver mandate): ``DecodeStub`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic fake decoder (sha-seeded
+pixel/pcm tensors) stands in so the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is real and tested end-to-end.
+
+Design notes for 100 TB: binary payloads dominate block size, so these
+stages must run with SMALL batch_size (memory = batch_size x payload x
+concurrency) and the payload column must be dropped as soon as features are
+extracted. ``media_meta_batch`` is the cheap pass that sizes payloads without
+decoding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def media_meta_batch(batch: pa.Table, media_col: str = "media") -> pa.Table:
+    """Cheap metadata pass (no decode): payload byte size + sha256 prefix."""
+    import pyarrow.compute as pc
+
+    sizes = pc.binary_length(batch[media_col]).cast(pa.int64())
+    digests = pa.array(
+        [hashlib.sha256(b).hexdigest()[:16] if b is not None else None
+         for b in batch[media_col].to_pylist()],
+        pa.string(),
+    )
+    return batch.append_column("media_bytes", sizes).append_column("media_sha", digests)
+
+
+class ImageDecoder:
+    """Actor-pool stage: binary image -> (height, width, channels) features.
+
+    Real pipelines plug a codec into ``_decode``; here it is a clearly-marked
+    stub. ``fake=True`` produces a deterministic fake image (sha-seeded),
+    keeping schemas and plumbing real."""
+
+    def __init__(self, fake: bool = False, target_size: int = 32, media_col: str = "media"):
+        self.fake = fake
+        self.size = target_size
+        self.media_col = media_col
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires an imaging library not present in this "
+                "container; construct with fake=True for the deterministic stub"
+            )
+        h = hashlib.sha256(payload).digest()
+        rng_base = np.frombuffer((h * ((3 * 64 * 64) // 32 + 1))[: 3 * 64 * 64], dtype=np.uint8)
+        return rng_base.reshape(64, 64, 3)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        # nearest-neighbour resize (no deps): same kernel as raster resample
+        from ..core.raster import resample_nearest
+
+        return np.stack(
+            [resample_nearest(img[:, :, c], self.size, self.size) for c in range(img.shape[2])],
+            axis=2,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, hh, ww = [], [], []
+        for payload in batch[self.media_col].to_pylist():
+            img = self._decode(payload)
+            hh.append(img.shape[0])
+            ww.append(img.shape[1])
+            small = self._resize(img).astype(np.float32)
+            # feature = per-channel mean+std (6-dim) — stand-in for an embedding
+            feats.append(
+                np.concatenate([small.mean(axis=(0, 1)), small.std(axis=(0, 1))]).tolist()
+            )
+        out = batch.drop_columns([self.media_col])  # project payload away ASAP
+        out = out.append_column("img_h", pa.array(hh, pa.int32()))
+        out = out.append_column("img_w", pa.array(ww, pa.int32()))
+        return out.append_column("img_feat", pa.array(feats, pa.list_(pa.float32())))
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: binary audio -> fixed-rate frame features (stub)."""
+
+    def __init__(self, fake: bool = False, frames: int = 8, media_col: str = "media"):
+        self.fake = fake
+        self.frames = frames
+        self.media_col = media_col
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires a codec library not present in this "
+                "container; construct with fake=True for the deterministic stub"
+            )
+        h = hashlib.sha256(payload).digest()
+        pcm = np.frombuffer((h * 257)[: 1024 * 2], dtype="<i2").astype(np.float32) / 32768.0
+        return pcm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch[self.media_col].to_pylist():
+            pcm = self._decode(payload)
+            seg = np.array_split(pcm, self.frames)
+            feats.append([float(np.sqrt((s**2).mean())) for s in seg])  # per-frame RMS
+        out = batch.drop_columns([self.media_col])
+        return out.append_column("audio_rms", pa.array(feats, pa.list_(pa.float32())))

@@ -1,0 +1,80 @@
+"""Pyramid: zoom z -> z-1 by parent-key grouping, merging 2x2 children with a
+decimating resample. Loop per level, one small shuffle per level keyed by the
+parent sfc (SURVEY.md §2.5).
+
+Re-expresses ref:spark/src/main/scala/geotrellis/spark/pyramid/Pyramid.scala
+(up / upLevels, L:unverified — /root/reference empty at survey time).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.raster import decode_tile, downsample_average_2x, encode_tile, is_nodata
+from ..core.sfc import zorder
+
+
+def parent_keys_batch(batch: pa.Table) -> pa.Table:
+    """Add parent_col/parent_row/parent_sfc (= key >> 1 on the 2^z pyramid)."""
+    pc_ = batch["key_col"].to_numpy(zero_copy_only=False) >> 1
+    pr = batch["key_row"].to_numpy(zero_copy_only=False) >> 1
+    out = batch.append_column("parent_col", pa.array(pc_.astype(np.int32), pa.int32()))
+    out = out.append_column("parent_row", pa.array(pr.astype(np.int32), pa.int32()))
+    return out.append_column("parent_sfc", pa.array(zorder(pc_, pr), pa.uint64()))
+
+
+def merge_children_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge the <=4 child tiles of one parent key: each child downsamples 2x
+    into its quadrant (decimating average, NoData-aware)."""
+    pcol = int(g["parent_col"].iloc[0])
+    prow = int(g["parent_row"].iloc[0])
+    first = g.iloc[0]
+    tc, tr = int(first["cols"]), int(first["rows"])
+    out = np.full((tr, tc), np.nan)
+    hc, hr = tc // 2, tr // 2
+    for row in g.itertuples():
+        child = decode_tile(row.cells, int(row.cols), int(row.rows), row.cell_type).astype(np.float64)
+        down = downsample_average_2x(child)
+        qx = (int(row.key_col) & 1) * hc
+        qy = (int(row.key_row) & 1) * hr
+        dst = out[qy : qy + hr, qx : qx + hc]
+        out[qy : qy + hr, qx : qx + hc] = np.where(is_nodata(dst), down, dst)
+    cells, cols, rows, ct = encode_tile(out)
+    return pd.DataFrame(
+        {
+            "key_col": [pcol],
+            "key_row": [prow],
+            "sfc": [int(zorder(pcol, prow))],
+            "cells": [cells],
+            "cols": [cols],
+            "rows": [rows],
+            "cell_type": [ct],
+        }
+    )
+
+
+def pyramid_up(tiles_ds):
+    """One pyramid level up: tile layer at zoom z -> layer at z-1."""
+    withp = tiles_ds.map_batches(parent_keys_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return withp.groupby(["parent_col", "parent_row"]).map_groups(
+        merge_children_group, batch_format="pandas"
+    )
+
+
+def pyramid_up_counts(tiles_ds, count_cols=("n_docs",)):
+    """Pyramid for AGGREGATE layers (no cells — per-tile counts): parent key
+    + sum. The cheap partial+final path used by the tile-assignment pyramid."""
+    from ray.data.aggregate import Sum
+
+    withp = tiles_ds.map_batches(parent_keys_batch, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(c, alias_name=c) for c in count_cols]
+    out = withp.groupby(["parent_col", "parent_row"]).aggregate(*aggs)
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["key_col" if n == "parent_col" else "key_row" if n == "parent_row" else n for n in b.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,117 @@
+"""Layer statistics: StreamingHistogram / FastMapHistogram aggregates
+(partial per block -> merge), classBreaks quantiles, polygonal (zonal)
+summaries.
+
+Re-expresses (SURVEY.md §2.5):
+- StatsTileRDDMethods.histogram / classBreaks
+  ref:spark/src/main/scala/geotrellis/spark/summary/StatsTileRDDMethods.scala (L:unverified)
+- PolygonalSummary ref:raster/.../summary/polygonal/PolygonalSummary.scala +
+  ref:spark/.../summary/polygonal/RDDPolygonalSummaryMethods.scala (L:unverified)
+- Zonal ops        ref:raster/.../mapalgebra/zonal/ (L:unverified)
+(/root/reference empty at survey time — SURVEY.md §0.)
+
+Shape: one sketch per block emitted by map_batches (the partial), merged on
+the driver (a handful of sketch rows — NOT the data) or via groupby for
+per-zone variants. This is the canonical partial+final aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.histogram import FastMapHistogram, StreamingHistogram
+
+
+def _values_from_batch(batch: pa.Table, value_col: str) -> np.ndarray:
+    col = batch[value_col]
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        arr = col.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        return arr.values.to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False)
+
+
+def layer_histogram(ds, value_col: str, size: int = 80) -> StreamingHistogram:
+    """Whole-layer StreamingHistogram: one sketch per block, merged at the
+    end. Only sketch rows cross the wire."""
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = StreamingHistogram(size).update(_values_from_batch(batch, value_col))
+        return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    out = StreamingHistogram(size)
+    for row in sketches:
+        out.merge(StreamingHistogram.from_dict(json.loads(row["sketch"])))
+    return out
+
+
+def layer_histogram_exact(ds, value_col: str) -> FastMapHistogram:
+    import json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = FastMapHistogram().update(_values_from_batch(batch, value_col))
+        return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    out = FastMapHistogram()
+    for row in sketches:
+        out.merge(FastMapHistogram.from_dict(json.loads(row["sketch"])))
+    return out
+
+
+def class_breaks(ds, value_col: str, n: int) -> list[float]:
+    """Approximate quantile breaks from the merged streaming sketch."""
+    return layer_histogram(ds, value_col).quantile_breaks(n)
+
+
+def layer_min_max_mean(ds, value_col: str) -> dict:
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    row = ds.aggregate(
+        Min(value_col, alias_name="min"),
+        Max(value_col, alias_name="max"),
+        Mean(value_col, alias_name="mean"),
+        Count(alias_name="n"),
+    )
+    return dict(row)
+
+
+def polygonal_summary(joined_ds, group_col: str = "polygon_id", value_col: str = "n_tokens",
+                      drop_unmatched: bool = True):
+    """Zonal stats over PIP-joined rows: groupby polygon, Sum/Min/Max/Mean/
+    Count. Mergeable -> plain grouped aggregate (partial+final under the
+    hood). ``drop_unmatched`` removes polygon_id == -1 (no-hit rows)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = joined_ds
+    if drop_unmatched:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.greater_equal(b[group_col], 0)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    return ds.groupby(group_col).aggregate(
+        Count(alias_name="n"),
+        Sum(value_col, alias_name=f"sum_{value_col}"),
+        Min(value_col, alias_name=f"min_{value_col}"),
+        Max(value_col, alias_name=f"max_{value_col}"),
+        Mean(value_col, alias_name=f"mean_{value_col}"),
+    )
+
+
+def zonal_histogram(joined_ds, zone_col: str, value_col: str):
+    """Per-zone exact histogram: grouped FastMap sketches via map_groups."""
+
+    def per_zone(g: pd.DataFrame) -> pd.DataFrame:
+        h = FastMapHistogram().update(g[value_col].to_numpy())
+        import json
+
+        return pd.DataFrame({zone_col: [g[zone_col].iloc[0]], "histogram": [json.dumps(h.to_dict())]})
+
+    return joined_ds.groupby(zone_col).map_groups(per_zone, batch_format="pandas")

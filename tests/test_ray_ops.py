@@ -1,0 +1,270 @@
+"""Ray Data operator tests: rasterize, pyramid, kNN, joins, dedup, ANN,
+stats — each against a brute-force oracle or duckdb."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotrellis_ray import fixtures
+from geotrellis_ray.core import wkb
+from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+from geotrellis_ray.core.raster import decode_tile, rasterize_value
+from geotrellis_ray.core.sfc import zorder
+from tests import oracle
+
+TOY = LayoutDefinition(Extent(0, 0, 16, 16), TileLayout(4, 4, 4, 4))
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_rasterize_features_matches_single_machine(ray_session):
+    """RasterizeRDDSpec pattern: distributed rasterize == rasterize the whole
+    grid on one machine, then cut to tiles."""
+    import ray.data
+
+    from geotrellis_ray.stages.rasterize_stage import rasterize_features
+
+    rings = [
+        np.array([(1.1, 1.1), (9.7, 2.2), (8.5, 9.5), (2.0, 8.0)], dtype=float),
+        np.array([(6.0, 6.0), (14.5, 6.5), (13.0, 14.0)], dtype=float),
+    ]
+    t = pa.table(
+        {
+            "wkb": pa.array([wkb.encode_polygon([r]) for r in rings], pa.binary()),
+            "zindex": pa.array([0, 1], pa.int32()),
+            "value": pa.array([10.0, 20.0], pa.float64()),
+        }
+    )
+    out = rasterize_features(ray.data.from_arrow(t), TOY).to_pandas()
+    # single-machine oracle over the full 16x16 grid
+    geoms = [({"type": "Polygon", "rings": [rings[i]]}, i, [10.0, 20.0][i]) for i in range(2)]
+    full = rasterize_value(geoms, TOY.extent, 16, 16)
+    for row in out.itertuples():
+        tile = decode_tile(row.cells, row.cols, row.rows, row.cell_type)
+        c0, r0 = row.key_col * 4, row.key_row * 4
+        np.testing.assert_array_equal(
+            np.nan_to_num(tile, nan=-1), np.nan_to_num(full[r0 : r0 + 4, c0 : c0 + 4], nan=-1)
+        )
+    # tiles not covering any geometry are absent
+    painted_keys = {(r.key_col, r.key_row) for r in out.itertuples()}
+    for c, r in painted_keys:
+        assert not np.isnan(full[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]).all()
+
+
+def test_pyramid_counts(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.pyramid import pyramid_up_counts
+
+    # synthetic tile counts at zoom 2 (4x4 grid)
+    rows = [
+        {"key_col": c, "key_row": r, "sfc": int(zorder(c, r)), "n_docs": c + 10 * r}
+        for c in range(4)
+        for r in range(4)
+    ]
+    ds = ray.data.from_items(rows)
+    up = pyramid_up_counts(ds).to_pandas().sort_values(["key_col", "key_row"]).reset_index(drop=True)
+    assert len(up) == 4
+    want = {}
+    for row in rows:
+        k = (row["key_col"] >> 1, row["key_row"] >> 1)
+        want[k] = want.get(k, 0) + row["n_docs"]
+    for r in up.itertuples():
+        assert want[(r.key_col, r.key_row)] == r.n_docs
+
+
+def test_pyramid_tiles_merge(ray_session):
+    import ray.data
+
+    from geotrellis_ray.core.raster import encode_tile
+    from geotrellis_ray.stages.pyramid import pyramid_up
+
+    # 2x2 children each constant-valued -> parent quadrants hold child means
+    items = []
+    for c in range(2):
+        for r in range(2):
+            tile = np.full((4, 4), float(10 * c + r))
+            cells, cols, rows_, ct = encode_tile(tile)
+            items.append(
+                {"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                 "cells": cells, "cols": cols, "rows": rows_, "cell_type": ct}
+            )
+    up = pyramid_up(ray.data.from_items(items)).to_pandas()
+    assert len(up) == 1
+    tile = decode_tile(up.cells[0], up.cols[0], up.rows[0], up.cell_type[0])
+    assert tile.shape == (4, 4)
+    assert tile[0, 0] == 0.0 and tile[0, 2] == 10.0 and tile[2, 0] == 1.0 and tile[2, 2] == 11.0
+
+
+def test_knn_single_and_multi(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.knn import knn_multi, knn_single
+
+    pages = fixtures.gen_pages_table(400)
+    from geotrellis_ray.stages.enrich import enrich_batch
+
+    enr = enrich_batch(pages)
+    ds = ray.data.from_arrow(enr.select(["url", "lat", "lon"]))
+    pts = [(u, la, lo) for u, la, lo in zip(enr["url"].to_pylist(), enr["lat"].to_numpy(), enr["lon"].to_numpy())]
+    got = knn_single(ds, 40.71, -74.01, 5, id_col="url").to_pandas()
+    want_ids = oracle.knn_scalar(pts, 40.71, -74.01, 5)
+    assert got["url"].tolist() == want_ids
+    queries = pd.DataFrame({"query_id": [0, 1], "lat": [51.51, -23.55], "lon": [-0.13, -46.63]})
+    multi = knn_multi(ds, queries, 5, id_col="url").to_pandas()
+    for qid in (0, 1):
+        sub = multi[multi.query_id == qid].sort_values("rank")
+        want = oracle.knn_scalar(pts, queries.lat[qid], queries.lon[qid], 5)
+        assert sub["url"].tolist() == want
+
+
+def test_spatial_join_layers(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.join import semi_join_keys, spatial_join
+
+    a = ray.data.from_items(
+        [{"sfc": int(zorder(c, r)), "key_col": c, "key_row": r, "va": c * 10 + r}
+         for c in range(4) for r in range(4)]
+    )
+    b = ray.data.from_items(
+        [{"sfc": int(zorder(c, r)), "vb": c * 100 + r}
+         for c in range(2, 6) for r in range(2, 6)]
+    )
+    inner = spatial_join(a, b, "inner", num_partitions=4).to_pandas()
+    assert len(inner) == 4  # overlap keys: c,r in {2,3}x{2,3}
+    assert set(zip(inner.key_col, inner.key_row)) == {(2, 2), (2, 3), (3, 2), (3, 3)}
+    left = spatial_join(a, b, "left_outer", num_partitions=4).to_pandas()
+    assert len(left) == 16
+    assert left["vb"].notna().sum() == 4
+    semi = semi_join_keys(a, {int(zorder(0, 0)), int(zorder(1, 1))}).to_pandas()
+    assert len(semi) == 2
+    anti = semi_join_keys(a, {int(zorder(0, 0))}, anti=True).to_pandas()
+    assert len(anti) == 15
+
+
+def test_dedup_exact_vs_duckdb(docs_ds, ray_session):
+    import duckdb
+
+    from geotrellis_ray.stages.dedup import dedup_exact
+
+    got = dedup_exact(docs_ds).to_pandas()
+    want = duckdb.sql(
+        f"SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM '{SF}/documents.parquet' GROUP BY text"
+    ).df()
+    assert len(got) == len(want)
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(g["doc_id"].to_numpy(), w["doc_id"].to_numpy())
+    np.testing.assert_array_equal(g["n_dupes"].to_numpy(), w["n_dupes"].to_numpy())
+
+
+def test_minhash_dedup_finds_planted_dups(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.dedup import minhash_dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and then runs far away home tonight " * 2,
+        "completely different content about ray data pipelines and arrow batches in engines " * 2,
+        "a third unrelated document that talks about tile layouts and spatial keys at zoom " * 2,
+    ]
+    docs = []
+    did = 0
+    for b in base:
+        docs.append({"doc_id": did, "text": b}); did += 1
+        docs.append({"doc_id": did, "text": b.replace("the", "that", 1)}); did += 1  # near-dup
+    docs.append({"doc_id": did, "text": "lonely single short doc with no duplicates anywhere"})
+    ds = ray.data.from_items(docs)
+    labels = minhash_dedup(ds, threshold=0.5, rounds=2).to_pandas().sort_values("doc_id")
+    lab = dict(zip(labels.doc_id, labels.cluster_id))
+    assert lab[0] == lab[1] and lab[2] == lab[3] and lab[4] == lab[5]
+    assert len({lab[0], lab[2], lab[4], lab[6]}) == 4
+
+
+def test_simhash_near_dups(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.dedup import simhash_near_dups
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4},
+        {"doc_id": 1, "text": ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).replace("kappa", "kappa", 1)},
+        {"doc_id": 2, "text": "wholly different terms about numpy arrow shuffles actors pools " * 4},
+    ]
+    pairs = simhash_near_dups(ray.data.from_items(docs), max_hamming=8).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)} == {(0, 1)}
+
+
+def test_ann_brute_force_vs_numpy(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.ann import ann_brute_force, ann_lsh
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    emb = ds.to_pandas()
+    m = np.stack([np.asarray(e, dtype=np.float32) for e in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    q = m[:3] + 0.01
+    got = ann_brute_force(ds, q, k=5).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    sims = qn @ mn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        want = ids[order].tolist()
+        sub = got[got.query_id == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == want
+    # lsh variant is approximate: with random 16-dim embeddings expect partial
+    # recall; the top-1 (the perturbed vector itself) must survive multi-probe
+    lsh = ann_lsh(ds, q, k=5, nbits=4).to_pandas()
+    for qi in range(3):
+        got_ids = set(lsh[lsh.query_id == qi]["vec_id"].tolist())
+        want_ids = set(ids[np.lexsort((ids, -sims[qi]))[:5]].tolist())
+        assert len(got_ids & want_ids) >= 2
+        top1 = ids[np.lexsort((ids, -sims[qi]))[0]]
+        assert top1 in got_ids
+
+
+def test_stats_and_polygonal_summary(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.stats import (
+        layer_histogram,
+        layer_histogram_exact,
+        layer_min_max_mean,
+        polygonal_summary,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(50, 10, 5000)
+    zones = rng.integers(0, 4, 5000)
+    ds = ray.data.from_arrow(
+        pa.table({"polygon_id": pa.array(zones, pa.int64()), "v": pa.array(vals, pa.float64())})
+    ).repartition(4)
+    h = layer_histogram(ds, "v")
+    assert h.total() == pytest.approx(5000)
+    assert h.mean() == pytest.approx(vals.mean(), rel=0.01)
+    he = layer_histogram_exact(
+        ray.data.from_arrow(pa.table({"v": pa.array((vals // 10).astype(np.int64))})).repartition(3),
+        "v",
+    )
+    assert he.total() == 5000 and he.item_count(4) == int(((vals // 10) == 4).sum())
+    mmm = layer_min_max_mean(ds, "v")
+    assert mmm["min"] == pytest.approx(vals.min()) and mmm["n"] == 5000
+    ps = polygonal_summary(ds, "polygon_id", "v").to_pandas().sort_values("polygon_id")
+    for z in range(4):
+        sub = vals[zones == z]
+        row = ps[ps.polygon_id == z].iloc[0]
+        assert row["n"] == len(sub)
+        assert row[f"sum_v"] == pytest.approx(sub.sum())
+        assert row[f"mean_v"] == pytest.approx(sub.mean())
