@@ -1,0 +1,200 @@
+"""Benchmark entry point (driver contract).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=int($RAY_GRAFT_CPUS))`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": ..., "num_cpus": N,
+     "flagship": {"rows": n, "sec": s, "docs_per_sec": r}}
+
+``--scaling``: run the flagship pages pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and report both throughputs
+plus scaling efficiency ``(T32/T8)/4`` (the in-sandbox proxy for the
+N->4N-node criterion; see BASELINE.md).
+
+Owns its Ray session(s); __ray_entry__/geotrellis_ray never init Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Representative per-operator benchmarks (subset of entry_queries: one per
+# operator family — scan/agg, join, temporal groupby, tile assign, PIP join,
+# kNN, dedup exact + MinHash, ANN, text analysis).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_join_customer_orders",
+    "q_events_hourly",
+    "q_topk_orders",
+    "q_tile_assign_events",
+    "q_pip_rect_grid",
+    "q_knn_events",
+    "q_pyramid_counts",
+    "q_spatial_join_layers",
+    "q_dedup_docs_exact",
+    "q_minhash_dedup_docs",
+    "q_ann_embeddings",
+    "q_doc_token_counts",
+    "q_cell_counts_s2",
+]
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    n = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def run_flagship(sf_dir: str, n_pages: int | None = None) -> dict:
+    """Headline: pages corpus -> extract -> geocode -> keys -> PIP join ->
+    tile aggregation, fully consumed. Returns rows/sec/docs_per_sec."""
+    import ray
+    import ray.data
+
+    from geotrellis_ray.entry_queries import _pages_dir
+    from geotrellis_ray.fixtures import gen_polygons_table, write_pages_parquet
+    from geotrellis_ray.pipelines.flagship import flagship
+
+    if n_pages is not None:
+        pages_path = f"/tmp/graft_pages_{n_pages}"
+        write_pages_parquet(pages_path, n_pages, shard_rows=50_000)
+    else:
+        pages_path = _pages_dir(sf_dir)
+
+    ds = ray.data.read_parquet(pages_path)
+    n_rows = ds.count()
+    polys_ref = ray.put(gen_polygons_table())
+    t0 = time.monotonic()
+    joined, tiles = flagship(ds, polys_ref, zoom=8)
+    n_tiles = _consume(tiles)
+    wall = time.monotonic() - t0
+    return {
+        "rows": n_rows,
+        "tiles": n_tiles,
+        "sec": round(wall, 3),
+        "docs_per_sec": round(n_rows / wall, 1),
+    }
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    _init_ray(num_cpus)
+    try:
+        from geotrellis_ray.entry_queries import build_queries
+
+        queries = build_queries()
+        per_query: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.monotonic()
+            _consume(fn(sf_dir))
+            per_query[name] = round(time.monotonic() - t0, 3)
+
+        flag = run_flagship(sf_dir)
+        return {
+            "metric": "flagship spatial-join + tile-assignment wall (pages corpus)",
+            "value": flag["sec"],
+            "unit": "sec",
+            "queries": per_query,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus,
+            "flagship": flag,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling_child(num_cpus: int, n_pages: int) -> None:
+    import ray
+
+    _init_ray(num_cpus)
+    try:
+        flag = run_flagship(SF_DIR, n_pages=n_pages)
+        print("CHILD_RESULT " + json.dumps(flag))
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(n_pages: int, cpus_lo: int, cpus_hi: int) -> dict:
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child",
+             "--cpus", str(cpus), "--n-pages", str(n_pages)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"scaling child (cpus={cpus}) failed")
+        results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+    t_lo = results[cpus_lo]["docs_per_sec"]
+    t_hi = results[cpus_hi]["docs_per_sec"]
+    factor = cpus_hi / cpus_lo
+    return {
+        "metric": f"flagship scaling {cpus_lo}->{cpus_hi} cpus (fresh processes, same input)",
+        "value": round((t_hi / t_lo) / factor, 3),
+        "unit": "efficiency",
+        "n_pages": n_pages,
+        "throughput": {str(cpus_lo): t_lo, str(cpus_hi): t_hi},
+        "detail": {str(k): v for k, v in results.items()},
+        "caveat": "single-host logical-CPU oversubscription proxy for N vs 4N nodes (BASELINE.md)",
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--n-pages", type=int, default=int(os.environ.get("GRAFT_SCALING_PAGES", "400000")))
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    if args.scaling_child:
+        run_scaling_child(args.cpus, args.n_pages)
+        return 0
+    if args.scaling:
+        print(json.dumps(run_scaling(args.n_pages, args.cpus_lo, args.cpus_hi)))
+        return 0
+    print(json.dumps(run_default(SF_DIR, args.cpus)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

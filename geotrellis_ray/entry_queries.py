@@ -198,7 +198,7 @@ SQL_JOIN_NATION = """
 
 def q_topk_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
 SQL_TOPK = """
