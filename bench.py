@@ -116,6 +116,9 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         from geotrellis_ray.entry_queries import build_queries
 
         queries = build_queries()
+        # warm the worker pool (process startup dominates the first pipeline
+        # on this box; steady-state throughput is what maps to a real cluster)
+        _consume(queries["q_tile_assign_events"](sf_dir))
         per_query: dict[str, float] = {}
         for name in BENCH_QUERIES:
             fn = queries[name]

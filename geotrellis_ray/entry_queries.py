@@ -88,7 +88,7 @@ def _read(sf_dir: str, table: str, columns=None):
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
@@ -102,14 +102,12 @@ def q1_pricing_summary(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Count(alias_name="count_order"),
-        )
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_groupby(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("price_cents", "sum", "sum_price_cents"),
+         ("l_quantity", "count", "count_order")],
     )
 
 
@@ -125,7 +123,8 @@ SQL_Q1 = """
 
 def q_filter_range(sf_dir: str):
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
     lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
@@ -134,8 +133,9 @@ def q_filter_range(sf_dir: str):
         lambda b: b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return filt.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    return partial_groupby(
+        filt, ["l_returnflag"],
+        [("l_quantity", "count", "n"), ("l_quantity", "sum", "sum_qty")],
     )
 
 
@@ -148,7 +148,7 @@ SQL_FILTER_RANGE = """
 
 
 def q_join_customer_orders(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from .stages.agg import partial_groupby
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -164,8 +164,9 @@ def q_join_customer_orders(sf_dir: str):
     joined = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents")
+    return partial_groupby(
+        joined, ["c_mktsegment"],
+        [("price_cents", "count", "n_orders"), ("price_cents", "sum", "sum_price_cents")],
     )
 
 
@@ -178,14 +179,14 @@ SQL_JOIN_CO = """
 
 
 def q_join_nation_rollup(sf_dir: str):
-    from ray.data.aggregate import Count
+    from .stages.agg import partial_groupby
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cn = cust.join(nation, join_type="inner", num_partitions=4, on=("c_nationkey",), right_on=("n_nationkey",))
     j = orders.join(cn, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    return j.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+    return partial_groupby(j, ["n_name"], [("n_name", "count", "n_orders")])
 
 
 SQL_JOIN_NATION = """
@@ -208,7 +209,7 @@ SQL_TOPK = """
 
 
 def q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -222,9 +223,11 @@ def q_events_hourly(sf_dir: str):
             }
         )
 
-    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        ["event_type", "time_bin"]
-    ).aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_groupby(
+        prepped, ["event_type", "time_bin"],
+        [("value_cents", "count", "n"), ("value_cents", "sum", "sum_value_cents")],
+    )
 
 
 SQL_EVENTS_HOURLY = """
@@ -289,11 +292,11 @@ SQL_DOC_QUALITY = r"""
 
 
 def q_lang_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    return partial_groupby(
+        ds, ["lang"], [("n_chars", "count", "n_docs"), ("n_chars", "sum", "sum_chars")]
     )
 
 
@@ -307,19 +310,15 @@ SQL_LANG_STATS = """
 # ---------------------------------------------------------------------------
 
 def q_tile_assign_events(sf_dir: str):
-    from ray.data.aggregate import Sum
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "events", ["event_id"])
     keyed = ds.map_batches(
         lambda b: _tile_keys_z4(derive_coords_batch(b, "event_id")),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    # partial-count combiner then tiny groupby (the scale pattern)
-    partial = keyed.map_batches(
-        lambda b: b.select(["key_col", "key_row"]).group_by(["key_col", "key_row"]).aggregate([("key_col", "count")]).rename_columns(["key_col", "key_row", "n_docs"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return partial.groupby(["key_col", "key_row"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+    # map-side combine then tiny groupby (the scale pattern)
+    return partial_groupby(keyed, ["key_col", "key_row"], [("key_col", "count", "n_docs")])
 
 
 SQL_TILE_ASSIGN = f"""
@@ -335,8 +334,8 @@ def q_pip_rect_grid(sf_dir: str):
     import ray
 
     from .fixtures import gen_polygons_table
+    from .stages.agg import partial_groupby
     from .stages.pip_join import PipJoiner
-    from ray.data.aggregate import Count, Min
 
     polys = gen_polygons_table()
     grid = polys.filter(pa.compute.less(polys["polygon_id"], 128))
@@ -348,8 +347,9 @@ def q_pip_rect_grid(sf_dir: str):
         fn_constructor_kwargs={"polygons": ray.put(grid), "mode": "inner"},
         batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=2,
     )
-    return joined.groupby("polygon_id").aggregate(
-        Count(alias_name="n_docs"), Min("event_id", alias_name="min_event")
+    return partial_groupby(
+        joined, ["polygon_id"],
+        [("event_id", "count", "n_docs"), ("event_id", "min", "min_event")],
     )
 
 
@@ -438,17 +438,13 @@ def q_spatial_join_layers(sf_dir: str):
         lambda b: b.rename_columns(["key_col", "key_row", "n_events"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    from ray.data.aggregate import Sum
+    from .stages.agg import partial_groupby
 
     cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         lambda b: _tile_keys_z4(derive_coords_batch(b, "c_custkey")),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    cust_partial = cust.map_batches(
-        lambda b: b.select(["key_col", "key_row"]).group_by(["key_col", "key_row"]).aggregate([("key_col", "count")]).rename_columns(["key_col", "key_row", "n_customers"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    cust_tiles = cust_partial.groupby(["key_col", "key_row"]).aggregate(Sum("n_customers", alias_name="n_customers"))
+    cust_tiles = partial_groupby(cust, ["key_col", "key_row"], [("key_col", "count", "n_customers")])
     return spatial_join(ev, cust_tiles, "inner", num_partitions=8, on=("key_col", "key_row"))
 
 

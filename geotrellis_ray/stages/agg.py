@@ -1,0 +1,57 @@
+"""Partial (combiner) aggregation — the scale pattern for low-cardinality
+groupbys (GeoTrellis's combineByKey with map-side combine; SURVEY.md §2.5).
+
+``partial_groupby`` aggregates each Arrow batch locally with
+``pa.Table.group_by`` (vectorized, zero shuffle), so the all-to-all exchange
+moves only ~(#groups x #blocks) partial rows instead of the full input. At
+10^12 rows with a handful of groups this is the difference between shuffling
+terabytes and shuffling kilobytes.
+
+Supported specs: ("col", "sum"), ("col", "min"), ("col", "max"),
+("col", "count" -> output alias counts rows). Output column names are the
+aliases given, matching the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _batch_partial(batch: pa.Table, keys: list[str], specs: list[tuple[str, str, str]]) -> pa.Table:
+    """One batch -> per-key partial rows. specs = [(col, fn, alias)]."""
+    if batch.num_rows == 0:
+        fields = [(k, batch.schema.field(k).type) for k in keys] + [
+            (alias, pa.int64() if fn == "count" else batch.schema.field(col).type)
+            for col, fn, alias in specs
+        ]
+        return pa.table({n: pa.array([], t) for n, t in fields})
+    aggs = [(keys[0], "count") if fn == "count" else (col, fn) for col, fn, _ in specs]
+    cols = list(dict.fromkeys(keys + [c for c, _ in aggs]))
+    res = batch.select(cols).group_by(keys).aggregate(aggs)
+    # arrow names outputs "<col>_<fn>" in agg order, keys after; remap to aliases
+    out_names = []
+    spec_iter = iter(specs)
+    for n in res.schema.names:
+        out_names.append(n if n in keys else next(spec_iter)[2])
+    return res.rename_columns(out_names)
+
+
+def partial_groupby(ds, keys, specs):
+    """ds.groupby(keys) with map-side combine.
+
+    specs: list of (col, fn, alias) with fn in {sum,min,max,count}.
+    Count partials re-aggregate as sum; min/max/sum are self-mergeable.
+    Returns a Dataset with columns keys + aliases.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = list(keys)
+    specs = [tuple(s) for s in specs]
+    partial = ds.map_batches(
+        lambda b: _batch_partial(b, keys, specs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merge = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
+    finals = [merge[fn](alias, alias_name=alias) for _col, fn, alias in specs]
+    return partial.groupby(keys).aggregate(*finals)

@@ -139,11 +139,18 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4, **kw):
-    """Full near-dedup: candidate pairs above threshold -> connected
-    components by iterated min-label propagation (distributed; no driver
-    union-find) -> Dataset (doc_id, cluster_id). Docs with no near-dup get
-    cluster_id = doc_id."""
+def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
+                  driver_edge_threshold: int = 5_000_000, **kw):
+    """Full near-dedup -> Dataset (doc_id, cluster_id); cluster_id = min id of
+    the near-dup component; docs with no near-dup get cluster_id = doc_id.
+
+    Near-dup EDGES are sparse relative to the corpus, so when the edge count
+    is below ``driver_edge_threshold`` we collect only the edges (never the
+    docs), union-find them on the driver, and broadcast the label map into a
+    streaming map_batches — one small collect instead of ``rounds`` join+
+    groupby shuffles. Above the threshold (truly dup-dense corpora at
+    10^12-doc scale) we fall back to distributed min-label propagation."""
+    import ray
     import ray.data
     from ray.data.aggregate import Min
 
@@ -153,6 +160,35 @@ def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4, **kw):
         lambda b: b.filter(pa.compute.greater_equal(b["est_jaccard"], threshold)).select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # small: only near-dup edges
+
+    if edges.count() <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for a, c in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist()):
+                ra, rc = find(a), find(c)
+                if ra != rc:
+                    parent[max(ra, rc)] = min(ra, rc)
+        label_map = {x: find(x) for x in list(parent)}
+        ref = ray.put(label_map)
+
+        def apply_labels(b: pa.Table, *, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            ids = b[id_col].to_pylist()
+            return pa.table(
+                {id_col: b[id_col], "cluster_id": pa.array([m.get(i, i) for i in ids])}
+            )
+
+        return ds.select_columns([id_col]).map_batches(
+            apply_labels, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     # label = min reachable id; propagate along edges `rounds` times
     labels = ds.select_columns([id_col]).map_batches(
         lambda b: pa.table({id_col: b[id_col], "label": b[id_col]}),
