@@ -78,9 +78,20 @@ def _cents(col: np.ndarray) -> np.ndarray:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read. Ray's default parallelism oversplits tiny
+    tables (64 blocks for 80 KB -> pure scheduling overhead), so below 256 MiB
+    we size blocks at ~8 MiB ourselves; at real scale the default (many
+    files, target_max_block_size) is correct and untouched."""
+    import os
+
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    kw = {}
+    sz = os.path.getsize(path)
+    if sz < 256 * 1024 * 1024:
+        kw["override_num_blocks"] = max(1, sz // (8 * 1024 * 1024))
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -6,9 +6,11 @@ All variants follow the same scale shape:
 - exact:   vectorized content hash per batch -> groupby(hash) -> keep min id.
   Hash-partitioned shuffle moves only (hash, id) pairs, not text.
 - minhash: shingle->minhash per batch (actor pool) -> explode to
-  (band, band_hash, id) rows -> groupby buckets -> candidate pairs ->
-  exact-Jaccard verify -> min-label connected components (iterated groupby,
-  no driver union-find).
+  (band, band_hash, id) rows -> ONE range sort co-locates buckets ->
+  vectorized adjacent-pair extraction (block boundaries stitched from an
+  O(blocks) side channel) -> signature-agreement verify -> connected
+  components (driver union-find over the sparse edge set; distributed
+  min-label propagation above a threshold).
 - simhash: 4x16-bit band blocking -> candidate pairs -> Hamming verify.
 - embedding cosine near-dup lives in stages/ann.py (same bucketing idea).
 """
@@ -90,26 +92,72 @@ class MinHasher:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (cap quadratic blowup: sort by
-    id, pair each doc with its predecessor — enough for connectivity)."""
-    if len(g) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
-    g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
-    if len(g) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "sig_a": [], "sig_b": []})
-    ids = g[id_col].to_numpy()
-    sigs = g["sig"].to_numpy()
-    return pd.DataFrame(
-        {"id_a": ids[:-1], "id_b": ids[1:], "sig_a": sigs[:-1], "sig_b": sigs[1:]}
+def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
+    """Vectorized per-block pair extraction over a bucket-sorted stream.
+
+    Emits kind=0 rows pairing each row with its predecessor when both share
+    (band, band_hash) — chains every bucket segment inside the block — plus
+    kind=1 rows for the block's first and last record. After a global range
+    sort, bucket rows are contiguous, so every segment of a bucket that spans
+    blocks touches a block edge; chaining the (tiny, 2-per-block) boundary
+    rows therefore reconnects cross-block segments without per-group calls.
+    """
+    n = batch.num_rows
+    empty = pa.table(
+        {"kind": pa.array([], pa.int8()),
+         "id_a": pa.array([], batch.schema.field(id_col).type),
+         "id_b": pa.array([], batch.schema.field(id_col).type),
+         "sig_a": pa.array([], pa.binary()), "sig_b": pa.array([], pa.binary()),
+         "band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.uint64())}
     )
+    if n == 0:
+        return empty
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    band = batch["band"].to_numpy(zero_copy_only=False)
+    bhash = batch["band_hash"].to_numpy(zero_copy_only=False)
+    sigs = batch["sig"].to_pylist()
+    same = (band[1:] == band[:-1]) & (bhash[1:] == bhash[:-1]) & (ids[1:] != ids[:-1])
+    idx = np.nonzero(same)[0]
+    parts = [
+        pa.table(
+            {
+                "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
+                "id_a": pa.array(ids[idx]),
+                "id_b": pa.array(ids[idx + 1]),
+                "sig_a": pa.array([sigs[i] for i in idx], pa.binary()),
+                "sig_b": pa.array([sigs[i + 1] for i in idx], pa.binary()),
+                "band": pa.array(band[idx].astype(np.int32), pa.int32()),
+                "band_hash": pa.array(bhash[idx].astype(np.uint64), pa.uint64()),
+            }
+        )
+    ]
+    edge = [0, n - 1] if n > 1 else [0]
+    parts.append(
+        pa.table(
+            {
+                "kind": pa.array(np.ones(len(edge), dtype=np.int8), pa.int8()),
+                "id_a": pa.array(ids[edge]),
+                "id_b": pa.array(ids[edge]),
+                "sig_a": pa.array([sigs[i] for i in edge], pa.binary()),
+                "sig_b": pa.array([sigs[i] for i in edge], pa.binary()),
+                "band": pa.array(band[edge].astype(np.int32), pa.int32()),
+                "band_hash": pa.array(bhash[edge].astype(np.uint64), pa.uint64()),
+            }
+        )
+    )
+    return pa.concat_tables(parts)
 
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
                             concurrency=2, batch_size: int = 1024):
-    """Docs -> verified-similarity candidate pairs (id_a < id_b, est_jaccard =
-    signature agreement). The bucket groupby shuffles only band rows."""
+    """Docs -> verified-similarity candidate pairs (est_jaccard = signature
+    agreement). Bucket co-location via ONE range sort on (band, band_hash);
+    pair extraction is vectorized per block (no per-group Python), with the
+    2-rows-per-block boundary set stitched on the driver — O(blocks), not
+    O(rows), so the collect stays trivial at any scale."""
+    import ray.data
+
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram,
@@ -117,9 +165,36 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency,
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
+    mixed = (
+        band_rows.sort(["band", "band_hash", id_col])
+        .map_batches(lambda b: _block_adjacent_pairs(b, id_col),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
     )
+    pairs = mixed.filter(expr="kind == 0")
+    boundary = mixed.filter(expr="kind == 1").to_pandas()  # 2 rows per block
+    if len(boundary) > 1:
+        boundary = boundary.sort_values(["band", "band_hash", "id_a"], kind="stable")
+        bb = boundary.reset_index(drop=True)
+        same = (
+            (bb["band"].to_numpy()[1:] == bb["band"].to_numpy()[:-1])
+            & (bb["band_hash"].to_numpy()[1:] == bb["band_hash"].to_numpy()[:-1])
+            & (bb["id_a"].to_numpy()[1:] != bb["id_a"].to_numpy()[:-1])
+        )
+        idx = np.nonzero(same)[0]
+        if len(idx):
+            cross = pa.table(
+                {
+                    "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
+                    "id_a": pa.array(bb["id_a"].to_numpy()[idx]),
+                    "id_b": pa.array(bb["id_a"].to_numpy()[idx + 1]),
+                    "sig_a": pa.array([bb["sig_a"][i] for i in idx], pa.binary()),
+                    "sig_b": pa.array([bb["sig_a"][i + 1] for i in idx], pa.binary()),
+                    "band": pa.array(bb["band"].to_numpy()[idx].astype(np.int32), pa.int32()),
+                    "band_hash": pa.array(bb["band_hash"].to_numpy()[idx].astype(np.uint64), pa.uint64()),
+                }
+            )
+            pairs = pairs.union(ray.data.from_arrow(cross))
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
