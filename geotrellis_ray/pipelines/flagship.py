@@ -27,15 +27,21 @@ def enriched_pages(
 ):
     """pages Dataset -> enriched+keyed Dataset (text, lat/lon, h, keys, sfc,
     cell ids, time_bin). Stateless vectorized map_batches stages."""
+    # num_cpus=0.5 serves two purposes: finer-grained scheduling for the
+    # cheap vectorized stages, and (critically) it blocks Ray's task->actor
+    # operator fusion — fused, the whole chain would run on only the PIP
+    # actor pool and the other cores would idle (measured 3x slower)
     ds = ds.map_batches(
         lambda b: enrich_batch(b, verify_text=verify_text),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        num_cpus=0.5,
     )
     return ds.map_batches(
         lambda b: assign_keys_batch(b, zoom=zoom, s2_level=s2_level, hex_res=hex_res),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        num_cpus=0.5,
     )
 
 
@@ -44,7 +50,7 @@ def flagship(
     polygons_ref: Any,
     zoom: int = 8,
     batch_size: int = 8192,
-    concurrency=(2, 8),
+    concurrency=None,
     verify_text: bool = False,
 ):
     """Full headline chain -> (joined_ds, tile_assignments_ds).
@@ -54,6 +60,16 @@ def flagship(
     ``tile_assignments_ds``: (key_col, key_row, sfc, n_docs, n_hits).
     Both are lazy; consume with write_parquet / to_pandas / count.
     """
+    if concurrency is None:
+        # scale the actor pool to the cluster: the PIP probe is the heavy
+        # stage, so a fixed cap would serialize it on a large cluster
+        import ray
+
+        # the PIP probe takes ~1/4 of pipeline CPU; oversizing its pool
+        # starves the enrichment task stages (measured: 8 actors beat 30
+        # on a 32-cpu node at 1.6M pages)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, cpus // 4)
     enriched = enriched_pages(pages_ds, zoom=zoom, verify_text=verify_text)
     joined = enriched.map_batches(
         PipJoiner,

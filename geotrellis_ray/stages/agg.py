@@ -52,6 +52,16 @@ def partial_groupby(ds, keys, specs):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # tree combine: coalesce many small partial blocks per task before the
+    # shuffle (sort-aggregate cost scales with block count). count partials
+    # re-merge as sum; min/max/sum are self-mergeable.
+    merge_specs = [(alias, "sum" if fn in ("sum", "count") else fn, alias) for _c, fn, alias in specs]
+    partial = partial.map_batches(
+        lambda b: _batch_partial(b, keys, merge_specs),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 18,
+    )
     merge = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
     finals = [merge[fn](alias, alias_name=alias) for _col, fn, alias in specs]
     return partial.groupby(keys).aggregate(*finals)

@@ -43,8 +43,20 @@ def enrich_batch(batch: pa.Table, keep_html: bool = False, verify_text: bool = F
         eq = pc.all(pc.equal(pa.chunked_array([text]), stored))
         if not (eq.as_py() if eq.is_valid else False):
             raise AssertionError("byte-identity violation: extracted text != stored text")
-    htmls = html_col.to_pylist()
-    lat, lon, h = geocode_batch(urls, htmls)
+    # geotag override: vectorized binary scan finds the ~10% of rows with a
+    # tag; only those are materialized to Python (was: full-column to_pylist)
+    import pyarrow.compute as pc
+
+    from ..core.geocode import parse_geotag
+
+    h = url_hash64_batch(urls)
+    lat, lon = hash_coords(h)
+    arr = html_col.chunk(0) if isinstance(html_col, pa.ChunkedArray) else html_col
+    mask = pc.fill_null(pc.match_substring(arr, "geo.position"), False)
+    for i in np.nonzero(mask.to_numpy(zero_copy_only=False))[0]:
+        tag = parse_geotag(arr[int(i)].as_py())
+        if tag is not None:
+            lat[i], lon[i] = tag
     cols = {n: batch[n] for n in batch.column_names if n not in ("text", "html")}
     cols["text"] = text
     if keep_html:

@@ -50,9 +50,24 @@ def tile_assignments(ds: "ray.data.Dataset", sum_cols: tuple[str, ...] = ("n_hit
     partials = ds.map_batches(
         lambda b: partial_tile_counts(b, sum_cols), batch_format="pyarrow", zero_copy_batch=True
     )
+    # tree combine: a large batch_size coalesces many small partial blocks
+    # into one task, re-collapsing them before the shuffle — the sort-based
+    # aggregate's cost scales with input block count, not row count
+    keys = ["key_col", "key_row", "sfc"]
     present = [c for c in sum_cols]
+
+    def recombine(b: pa.Table) -> pa.Table:
+        aggs = [("n_docs", "sum")] + [(c, "sum") for c in present]
+        g = b.group_by(keys).aggregate(aggs)
+        ren = {"n_docs_sum": "n_docs"}
+        ren.update({f"{c}_sum": c for c in present})
+        return g.rename_columns([ren.get(n, n) for n in g.column_names])
+
+    partials = partials.map_batches(
+        recombine, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 18
+    )
     aggs = [Sum("n_docs", alias_name="n_docs")] + [Sum(c, alias_name=c) for c in present]
-    return partials.groupby(["key_col", "key_row", "sfc"]).aggregate(*aggs)
+    return partials.groupby(keys).aggregate(*aggs)
 
 
 # ---------------------------------------------------------------------------
