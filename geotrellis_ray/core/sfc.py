@@ -198,3 +198,44 @@ def sfc_key(col, row, zoom: int, kind: str = "zorder") -> np.ndarray:
     if kind == "hilbert":
         return hilbert(col, row, zoom)
     raise ValueError(f"unknown sfc kind: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# SpaceTimeKey Z3 index (col, row, time_bin) -> uint64
+# (ref:store/src/main/scala/geotrellis/store/index/zcurve/Z3.scala +
+#  ZSpaceTimeKeyIndex.scala, L:unverified — /root/reference empty at survey
+#  time). 21 bits per dimension: zooms <= 21 and 2^21 time bins.
+# ---------------------------------------------------------------------------
+
+def _spread3(v: np.ndarray) -> np.ndarray:
+    """Insert two zero bits between each of the low 21 bits."""
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def _compact3(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0x1249249249249249)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v >> np.uint64(32))) & np.uint64(0x1FFFFF)
+    return v
+
+
+def zorder3(col, row, t) -> np.ndarray:
+    """SpaceTimeKey Morton interleave: bit i of col/row/t -> bits 3i/3i+1/3i+2."""
+    c = np.asarray(col, dtype=np.uint64)
+    r = np.asarray(row, dtype=np.uint64)
+    tt = np.asarray(t, dtype=np.uint64)
+    return _spread3(c) | (_spread3(r) << np.uint64(1)) | (_spread3(tt) << np.uint64(2))
+
+
+def zorder3_decode(z) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    z = np.asarray(z, dtype=np.uint64)
+    return _compact3(z), _compact3(z >> np.uint64(1)), _compact3(z >> np.uint64(2))

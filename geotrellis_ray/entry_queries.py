@@ -618,9 +618,25 @@ def q_ann_lsh_embeddings(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """The sf embeddings carry no true near-dups (max pairwise cosine ~0.51),
+    so plant deterministic ones: perturbed copies (id+100000, +0.5% seeded
+    noise) of the first 32 vectors union'd in — the LSH-bucketed detector must
+    recover exactly those planted pairs."""
+    import pyarrow.parquet as pq
+    import ray.data
+
     from .stages.ann import embedding_near_dups
 
-    return embedding_near_dups(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = t.slice(0, 32)
+    rng = np.random.default_rng(42)
+    planted = []
+    for row in head.to_pylist():
+        v = np.asarray(row["embedding"], dtype=np.float32)
+        planted.append({"vec_id": row["vec_id"] + 100_000,
+                        "embedding": (v + rng.normal(0, 0.005 * np.abs(v).mean(), v.shape).astype(np.float32)).tolist()})
+    ds = ray.data.from_arrow(t).union(ray.data.from_arrow(pa.Table.from_pylist(planted, schema=head.schema)))
+    return embedding_near_dups(ds, threshold=0.95, nbits=8)
 
 
 def q_rasterize_toy(sf_dir: str):
@@ -707,6 +723,159 @@ def q_histogram_breaks(sf_dir: str):
     return pa.table({"brk": pa.array(np.arange(len(breaks), dtype=np.int64)), "value": pa.array(breaks, pa.float64())})
 
 
+def q_polygonal_summary(sf_dir: str):
+    """Zonal stats over polygon regions: PIP join then grouped sum — the
+    PolygonalSummary shape (SURVEY.md §2.5) on the SQL-parity rect grid."""
+    import ray
+
+    from .stages.agg import partial_groupby
+    from .stages.pip_join import PipJoiner
+
+    polys = gen_polygons_table_cached()
+    grid = polys.filter(pa.compute.less(polys["polygon_id"], 128))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = derive_coords_batch(b, "event_id")
+        return b.append_column("value_cents", pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": ray.put(grid), "mode": "inner"},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=2,
+    )
+    return partial_groupby(
+        joined, ["polygon_id"],
+        [("value_cents", "sum", "sum_value_cents"), ("value_cents", "count", "n_events"),
+         ("value_cents", "min", "min_value_cents"), ("value_cents", "max", "max_value_cents")],
+    )
+
+
+SQL_POLY_SUMMARY = f"""
+    WITH pts AS (
+        SELECT *,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM ({SQL_COORDS})
+    ),
+    rects AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 AS xmin,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 AS ymin,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 + 22.5 AS xmax,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 + 22.5 AS ymax
+        FROM range(0, 128) t(i)
+    )
+    SELECT polygon_id,
+           sum(value_cents) AS sum_value_cents,
+           count(*) AS n_events,
+           min(value_cents) AS min_value_cents,
+           max(value_cents) AS max_value_cents
+    FROM pts JOIN rects
+      ON pts.lon >= rects.xmin AND pts.lon < rects.xmax
+     AND pts.lat >= rects.ymin AND pts.lat < rects.ymax
+    GROUP BY polygon_id
+"""
+
+
+def q_spacetime_counts(sf_dir: str):
+    """SpaceTimeKey layer: (key_col, key_row, daily time_bin) counts; the Ray
+    path also carries the Z3 sfc3 key (dropped before output)."""
+    from .stages.agg import partial_groupby
+    from .stages.spacetime import assign_spacetime_key_batch
+
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        lambda b: _tile_keys_z4(derive_coords_batch(b, "event_id")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda b: assign_spacetime_key_batch(b, ts_col="ts", time_bin_us=DAY_US),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = partial_groupby(ds, ["key_col", "key_row", "time_bin"], [("key_col", "count", "n")])
+    return out
+
+
+SQL_SPACETIME = f"""
+    WITH pts AS ({SQL_COORDS})
+    SELECT {SQL_KEYS_Z4}, epoch_us(ts) // 86400000000 AS time_bin, count(*) AS n
+    FROM pts GROUP BY key_col, key_row, time_bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# layer-operator queries (rows-only: tile payloads are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _toy_layer(sf_dir: str, seed: int = 0):
+    """Deterministic 4x4 layer of 16x16 tiles derived from event counts."""
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            a = rng.uniform(1.0, 9.0, (16, 16))
+            a[rng.random((16, 16)) < 0.1] = np.nan
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(_z(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def q_layer_algebra_toy(sf_dir: str):
+    from .stages.layer_ops import layer_local_binary, layer_local_scalar, layer_local_unary
+
+    a = layer_local_scalar(_toy_layer(sf_dir, 0), "multiply", 2.0)
+    b = layer_local_unary(_toy_layer(sf_dir, 1), "sqrt")
+    out = layer_local_binary(a, b, "add", num_partitions=4)
+    return out.select_columns(["key_col", "key_row", "cols", "rows"])
+
+
+def q_buffer_focal_toy(sf_dir: str):
+    from .stages.layer_ops import focal_mean
+
+    out = focal_mean(_toy_layer(sf_dir, 2), margin=1)
+    return out.select_columns(["key_col", "key_row", "cols", "rows"])
+
+
+def q_merge_layers_toy(sf_dir: str):
+    from .stages.layer_ops import merge_layers
+
+    out = merge_layers(_toy_layer(sf_dir, 0), _toy_layer(sf_dir, 1))
+    return out.select_columns(["key_col", "key_row", "cols", "rows"])
+
+
+def q_vector_tiles_toy(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .stages.vector_tile import vector_tiles
+
+    polys = gen_polygons_table_cached()
+    convex = polys.filter(pc.greater_equal(polys["polygon_id"], 128))
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 32, 32))
+    out = vector_tiles(ray.data.from_arrow(convex.select(["polygon_id", "wkb"])), layout)
+    return out.select_columns(["key_col", "key_row", "n_features"])
+
+
+def q_reproject_points(sf_dir: str):
+    from .stages.reproject import reproject_points_batch
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.map_batches(
+        lambda b: reproject_points_batch(b, "latlng", "webmercator"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.select_columns(["event_id", "x", "y"])
+
+
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict:
@@ -741,6 +910,13 @@ def build_queries() -> dict:
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
         "q_histogram_breaks": q_histogram_breaks,
+        "q_polygonal_summary": q_polygonal_summary,
+        "q_spacetime_counts": q_spacetime_counts,
+        "q_layer_algebra_toy": q_layer_algebra_toy,
+        "q_buffer_focal_toy": q_buffer_focal_toy,
+        "q_merge_layers_toy": q_merge_layers_toy,
+        "q_vector_tiles_toy": q_vector_tiles_toy,
+        "q_reproject_points": q_reproject_points,
     }
 
 
@@ -761,6 +937,8 @@ def build_oracle_sql() -> dict:
         "q_knn_events": SQL_KNN,
         "q_pyramid_counts": SQL_PYRAMID,
         "q_spatial_join_layers": SQL_SPATIAL_JOIN,
+        "q_polygonal_summary": SQL_POLY_SUMMARY,
+        "q_spacetime_counts": SQL_SPACETIME,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
-        # ANN, pages corpus synth, stubs) -> rows-only driver check
+        # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

@@ -144,13 +144,22 @@ def embedding_near_dups(ds, threshold: float = 0.95, nbits: int = 12, id_col: st
         withb = add_lsh_bucket_batch(batch, planes_holder[0], emb_col)
         return withb.select([id_col, emb_col, "lsh_bucket"])
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame, cap: int = 4096) -> pd.DataFrame:
+        """ALL pairs within the bucket (one matmul) — a pair detector must not
+        miss pairs separated by unrelated ids, unlike dedup's chained pairing
+        which only needs connectivity. Buckets above ``cap`` rows fall back to
+        sorted-adjacent chaining (quadratic guard for degenerate buckets)."""
         g = g.sort_values(id_col, kind="stable")
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         m = _normalize(np.stack([np.asarray(e, dtype=np.float32) for e in g[emb_col]]))
-        cos = (m[:-1] * m[1:]).sum(axis=1)
         ids = g[id_col].to_numpy()
+        if len(g) <= cap:
+            sim = m @ m.T
+            ia, ib = np.nonzero(np.triu(sim >= threshold, k=1))
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                                 "cosine": sim[ia, ib].astype(np.float64)})
+        cos = (m[:-1] * m[1:]).sum(axis=1)
         keep = cos >= threshold
         return pd.DataFrame({"id_a": ids[:-1][keep], "id_b": ids[1:][keep],
                              "cosine": cos[keep].astype(np.float64)})

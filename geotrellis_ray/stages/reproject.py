@@ -1,0 +1,117 @@
+"""Reproject operators: vector coordinate transform and tile-layer warp
+between the two corpus CRSs (latlng EPSG:4326 <-> webmercator EPSG:3857).
+
+Vector reproject is pure column math in map_batches
+(ref:vector/src/main/scala/geotrellis/vector/reproject/Reproject.scala,
+L:unverified — /root/reference empty at survey time).
+
+Layer reproject re-expresses ref:spark/.../reproject/TileRDDReproject.scala
+as a Ray-native explode+merge: each source tile finds the destination keys
+its extent covers, produces a PARTIAL destination tile by nearest-neighbor
+sampling (dst cell centers inverse-projected into the source tile), and a
+groupby(dst key) merges partials (non-NoData wins). No driver-side state;
+the shuffle key is the destination SpatialKey.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.layout import Extent, LayoutDefinition
+from ..core.mercator import latlng_to_webmercator, webmercator_to_latlng
+from ..core.raster import decode_tile, encode_tile, merge as tile_merge
+from ..core.sfc import zorder
+
+
+def reproject_points_batch(batch: pa.Table, src: str, dst: str,
+                           x_col: str = "lon", y_col: str = "lat",
+                           out_x: str = "x", out_y: str = "y") -> pa.Table:
+    """Vectorized point reproject latlng<->webmercator."""
+    xs = batch[x_col].to_numpy(zero_copy_only=False)
+    ys = batch[y_col].to_numpy(zero_copy_only=False)
+    if (src, dst) == ("latlng", "webmercator"):
+        ox, oy = latlng_to_webmercator(ys, xs)
+    elif (src, dst) == ("webmercator", "latlng"):
+        oy, ox = webmercator_to_latlng(xs, ys)
+    elif src == dst:
+        ox, oy = xs, ys
+    else:
+        raise ValueError(f"unsupported reproject {src}->{dst}")
+    return batch.append_column(out_x, pa.array(np.asarray(ox, np.float64), pa.float64())) \
+                .append_column(out_y, pa.array(np.asarray(oy, np.float64), pa.float64()))
+
+
+def _fwd(src: str, dst: str, xs, ys):
+    if (src, dst) == ("latlng", "webmercator"):
+        return latlng_to_webmercator(ys, xs)
+    if (src, dst) == ("webmercator", "latlng"):
+        lat, lon = webmercator_to_latlng(xs, ys)
+        return lon, lat
+    return xs, ys
+
+
+def reproject_layer(ds, src_layout: LayoutDefinition, dst_layout: LayoutDefinition,
+                    src_crs: str, dst_crs: str):
+    """Warp a tile layer into another CRS/layout (nearest-neighbor).
+
+    explode: src tile -> per-covered-dst-key partial tile (vectorized
+    inverse sampling); shuffle: groupby dst key; merge: non-NoData wins."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"key_col": [], "key_row": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
+        for row in batch.to_pylist():
+            a = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            src_ext = src_layout.key_to_extent(row["key_col"], row["key_row"])
+            # forward-project the src extent corners to find covered dst keys
+            cx = np.array([src_ext.xmin, src_ext.xmax, src_ext.xmin, src_ext.xmax])
+            cy = np.array([src_ext.ymin, src_ext.ymin, src_ext.ymax, src_ext.ymax])
+            fx, fy = _fwd(src_crs, dst_crs, cx, cy)
+            dst_ext = Extent(float(fx.min()), float(fy.min()), float(fx.max()), float(fy.max()))
+            c0, r0, c1, r1 = dst_layout.extent_to_bounds(dst_ext)
+            tc, tr = dst_layout.tile_layout.tile_cols, dst_layout.tile_layout.tile_rows
+            for dc in range(c0, c1 + 1):
+                for drr in range(r0, r1 + 1):
+                    d_ext = dst_layout.key_to_extent(dc, drr)
+                    # dst cell centers -> src coords (inverse = fwd dst->src)
+                    xs = d_ext.xmin + (np.arange(tc) + 0.5) * (d_ext.xmax - d_ext.xmin) / tc
+                    ys = d_ext.ymax - (np.arange(tr) + 0.5) * (d_ext.ymax - d_ext.ymin) / tr
+                    gx, gy = np.meshgrid(xs, ys)
+                    sx, sy = _fwd(dst_crs, src_crs, gx.ravel(), gy.ravel())
+                    ic = np.floor((sx - src_ext.xmin) / (src_ext.xmax - src_ext.xmin) * a.shape[1]).astype(np.int64)
+                    ir = np.floor((src_ext.ymax - sy) / (src_ext.ymax - src_ext.ymin) * a.shape[0]).astype(np.int64)
+                    ok = (ic >= 0) & (ic < a.shape[1]) & (ir >= 0) & (ir < a.shape[0])
+                    tile = np.full(tr * tc, np.nan)
+                    tile[ok] = a[ir[ok], ic[ok]]
+                    tile = tile.reshape(tr, tc)
+                    if np.isnan(tile).all():
+                        continue
+                    cells, cc, rr2, ct = encode_tile(tile)
+                    out["key_col"].append(dc); out["key_row"].append(drr)
+                    out["cells"].append(cells); out["cols"].append(cc)
+                    out["rows"].append(rr2); out["cell_type"].append(ct)
+        return pa.table(
+            {"key_col": pa.array(out["key_col"], pa.int32()),
+             "key_row": pa.array(out["key_row"], pa.int32()),
+             "cells": pa.array(out["cells"], pa.binary()),
+             "cols": pa.array(out["cols"], pa.int32()),
+             "rows": pa.array(out["rows"], pa.int32()),
+             "cell_type": pa.array(out["cell_type"], pa.string())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
+        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
+        for i in range(1, len(g)):
+            out = tile_merge(out, decode_tile(g["cells"].iloc[i], cols, rows, ct))
+        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+        cells, cc, rr, ct2 = encode_tile(out)
+        return pd.DataFrame(
+            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
+             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct2]}
+        )
+
+    return exploded.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pandas")
