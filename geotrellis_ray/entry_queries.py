@@ -617,6 +617,14 @@ def q_ann_lsh_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def q_ann_ivf_embeddings(sf_dir: str):
+    from .stages.ann import ann_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_ivf(ds, _embedding_queries(sf_dir), k=5, n_centroids=16, nprobe=6)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def q_embedding_near_dups(sf_dir: str):
     """The sf embeddings carry no true near-dups (max pairwise cosine ~0.51),
     so plant deterministic ones: perturbed copies (id+100000, +0.5% seeded
@@ -905,6 +913,7 @@ def build_queries() -> dict:
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_ann_embeddings": q_ann_embeddings,
         "q_ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "q_ann_ivf_embeddings": q_ann_ivf_embeddings,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_rasterize_toy": q_rasterize_toy,
         "q_cliptogrid_toy": q_cliptogrid_toy,

@@ -110,6 +110,60 @@ def _op_write_parquet(ds, path: str, **kw):
     return ds
 
 
+def _op_local_unary(ds, op: str):
+    from ..stages.layer_ops import layer_local_unary
+
+    return layer_local_unary(ds, op)
+
+
+def _op_local_scalar(ds, op: str, scalar: float):
+    from ..stages.layer_ops import layer_local_scalar
+
+    return layer_local_scalar(ds, op, scalar)
+
+
+def _op_focal_mean(ds, margin: int = 1):
+    from ..stages.layer_ops import focal_mean
+
+    return focal_mean(ds, margin=margin)
+
+
+def _op_buffer_tiles(ds, margin: int = 1):
+    from ..stages.layer_ops import buffer_tiles
+
+    return buffer_tiles(ds, margin=margin)
+
+
+def _op_reproject_points(ds, src: str, dst: str, **kw):
+    from ..stages.reproject import reproject_points_batch
+
+    return ds.map_batches(
+        lambda b: reproject_points_batch(b, src, dst, **kw),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _op_spacetime_key(ds, **kw):
+    from ..stages.spacetime import assign_spacetime_key_batch
+
+    return ds.map_batches(
+        lambda b: assign_spacetime_key_batch(b, **kw),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _op_dedup_exact(ds, **kw):
+    from ..stages.dedup import dedup_exact
+
+    return dedup_exact(ds, **kw)
+
+
+def _op_partial_groupby(ds, keys, specs):
+    from ..stages.agg import partial_groupby
+
+    return partial_groupby(ds, keys, [tuple(s) for s in specs])
+
+
 for _name, _fn in {
     "read.parquet": _op_read_parquet,
     "transform.enrich": _op_enrich,
@@ -120,5 +174,13 @@ for _name, _fn in {
     "transform.select": _op_select,
     "write.layer": _op_write_layer,
     "write.parquet": _op_write_parquet,
+    "local.unary": _op_local_unary,
+    "local.scalar": _op_local_scalar,
+    "focal.mean": _op_focal_mean,
+    "buffer.tiles": _op_buffer_tiles,
+    "transform.reproject": _op_reproject_points,
+    "transform.spacetime_key": _op_spacetime_key,
+    "dedup.exact": _op_dedup_exact,
+    "agg.partial_groupby": _op_partial_groupby,
 }.items():
     register_op(_name, _fn)

@@ -47,6 +47,14 @@ def partial_groupby(ds, keys, specs):
 
     keys = list(keys)
     specs = [tuple(s) for s in specs]
+    if not keys:
+        # global (keyless) aggregate: constant dummy key, dropped at the end
+        ds = ds.map_batches(
+            lambda b: b.append_column("__g", pa.array([0] * b.num_rows, pa.int8())),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        out = partial_groupby(ds, ["__g"], specs)
+        return out.drop_columns(["__g"])
     partial = ds.map_batches(
         lambda b: _batch_partial(b, keys, specs),
         batch_format="pyarrow",

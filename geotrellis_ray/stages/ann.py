@@ -169,3 +169,52 @@ def embedding_near_dups(ds, threshold: float = 0.95, nbits: int = 12, id_col: st
         .groupby("lsh_bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic small k-means on a driver-side SAMPLE (normalized rows,
+    cosine ~ dot). At 100 TB the sample is ds.random_sample output — training
+    never touches the full corpus."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(sample.astype(np.float32))
+    idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = m[mask].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ann_ivf(ds, queries: np.ndarray, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+            sample_fraction: float = 1.0, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF ANN — the coarse-quantizer scale path: centroids trained on a
+    sample, every vector assigned to its nearest centroid (one matmul per
+    batch against the broadcast centroid matrix), queries probe only the
+    ``nprobe`` nearest inverted lists, exact cosine re-rank inside them.
+
+    Partitioning assumption: ~uniform list sizes; skewed corpora need more
+    centroids (or spilling hot lists), mirroring salt-and-split for tiles."""
+    sampled = ds.random_sample(sample_fraction, seed=7) if 0 < sample_fraction < 1 else ds
+    stabs = [
+        _normalize(_batch_matrix(b, emb_col))
+        for b in sampled.limit(10_000).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    cents = kmeans_lite(np.vstack(stabs), n_centroids)
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probe_set = np.unique(probe_lists)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        assign = np.argmax(m @ cents.T, axis=1)
+        keep = np.isin(assign, probe_set)
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return ann_brute_force(pruned, queries, k, id_col=id_col, emb_col=emb_col)

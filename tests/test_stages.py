@@ -213,3 +213,56 @@ def test_flagship_end_to_end(pages_table, polygons, ray_session):
     tp = tiles.to_pandas()
     assert int(tp["n_docs"].sum()) == N_PAGES
     assert (tp["n_hits"] >= tp["n_docs"]).all()  # world grid guarantees >= 1 hit/page
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF top-k vs exact brute force: recall@5 >= 0.8 with generous nprobe."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.ann import ann_brute_force, ann_ivf
+
+    rng = np.random.default_rng(11)
+    n, d = 800, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+    queries = m[:6] + rng.normal(scale=0.05, size=(6, d)).astype(np.float32)
+    ds = ray.data.from_arrow(t)
+    exact = ann_brute_force(ds, queries, k=5).to_pandas()
+    ivf = ann_ivf(ds, queries, k=5, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in range(6):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(ivf[ivf.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+    # rank-1 hit should be the perturbed source vector for most queries
+    top1 = ivf[ivf["rank"] == 1].sort_values("query_id").vec_id.tolist()
+    assert sum(int(top1[q] == q) for q in range(6)) >= 5
+
+
+def test_spec_pipeline_new_ops(ray_session, tmp_path):
+    """CLI-spec registry drives the new ops end-to-end (read -> reproject ->
+    partial groupby) — the spark-pipeline JSON AST equivalent."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from geotrellis_ray.pipelines.spec import run_spec
+
+    p = str(tmp_path / "pts.parquet")
+    pq.write_table(
+        pa.table({"lon": pa.array([0.0, 10.0, 10.0, -60.0]),
+                  "lat": pa.array([0.0, 45.0, 45.0, -10.0]),
+                  "grp": pa.array([0, 1, 1, 2], pa.int64())}), p)
+    out = run_spec([
+        {"op": "read.parquet", "path": p},
+        {"op": "transform.reproject", "src": "latlng", "dst": "webmercator"},
+        {"op": "agg.partial_groupby", "keys": ["grp"], "specs": [["x", "sum", "sum_x"], ["x", "count", "n"]]},
+    ]).to_pandas().sort_values("grp").reset_index(drop=True)
+    from geotrellis_ray.core.mercator import latlng_to_webmercator
+    ex, _ = latlng_to_webmercator(np.array([0.0, 45.0, -10.0]), np.array([0.0, 10.0, -60.0]))
+    assert out["n"].tolist() == [1, 2, 1]
+    np.testing.assert_allclose(out["sum_x"], [ex[0], 2 * ex[1], ex[2]])
