@@ -228,10 +228,14 @@ def _dda_line(out: np.ndarray, p0, p1, extent: Extent, cw: float, ch: float) -> 
 
 
 def rasterize_value(
-    geoms: list[tuple[dict, int, float]], extent: Extent, cols: int, rows: int
-) -> np.ndarray:
+    geoms: list[tuple[dict, int, float]], extent: Extent, cols: int, rows: int,
+    return_zbuf: bool = False,
+):
     """Burn (geom, zindex, value) triples into one float64 grid. Priority:
-    higher zindex wins; tie -> larger value wins (OUR spec). Unpainted = NaN."""
+    higher zindex wins; tie -> larger value wins (OUR spec). Unpainted = NaN.
+    ``return_zbuf=True`` also returns the per-cell winning zindex plane
+    (-inf where unpainted) so salted partial paints can merge associatively
+    by per-cell (z, value) lexicographic max."""
     out = np.full((rows, cols), np.nan)
     z = np.full((rows, cols), -np.inf)
     for geom, zindex, value in geoms:
@@ -239,4 +243,16 @@ def rasterize_value(
         better = m & ((zindex > z) | ((zindex == z) & (value > np.where(np.isnan(out), -np.inf, out))))
         out = np.where(better, value, out)
         z = np.where(better, zindex, z)
+    if return_zbuf:
+        return out, z
     return out
+
+
+def zmerge(a: np.ndarray, za: np.ndarray, b: np.ndarray, zb: np.ndarray):
+    """Associative merge of two z-buffered paints: per cell, the higher
+    zindex wins; tie -> larger value (same rule as rasterize_value, so
+    paint(all) == zmerge(paint(shard1), paint(shard2)) for any split)."""
+    av = np.where(np.isnan(a), -np.inf, a)
+    bv = np.where(np.isnan(b), -np.inf, b)
+    take_b = (zb > za) | ((zb == za) & (bv > av))
+    return np.where(take_b, b, a), np.where(take_b, zb, za)

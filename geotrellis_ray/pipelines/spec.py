@@ -164,6 +164,42 @@ def _op_partial_groupby(ds, keys, specs):
     return partial_groupby(ds, keys, [tuple(s) for s in specs])
 
 
+def _layout_from_args(extent, tile_layout):
+    from ..core.layout import Extent, LayoutDefinition, TileLayout
+
+    return LayoutDefinition(Extent(*extent), TileLayout(*tile_layout))
+
+
+def _op_rasterize(ds, extent, tile_layout, salt_k: int = 0, **kw):
+    from ..stages.rasterize_stage import rasterize_features
+
+    return rasterize_features(ds, _layout_from_args(extent, tile_layout), salt_k=salt_k, **kw)
+
+
+def _op_clip_to_grid(ds, extent, tile_layout, **kw):
+    from ..stages.clip import clip_to_grid_batch
+
+    layout = _layout_from_args(extent, tile_layout)
+    return ds.map_batches(
+        lambda b: clip_to_grid_batch(b, layout, **kw),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _op_pyramid_up_levels(ds, catalog: str, name: str, zoom: int, down_to: int = 0):
+    import ray.data
+
+    from ..stages.pyramid import pyramid_up_levels
+
+    paths = pyramid_up_levels(ds, catalog, name, zoom, down_to)
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        "zoom": pa.array(sorted(paths), pa.int32()),
+        "path": pa.array([paths[z] for z in sorted(paths)], pa.string()),
+    }))
+
+
 for _name, _fn in {
     "read.parquet": _op_read_parquet,
     "transform.enrich": _op_enrich,
@@ -182,5 +218,8 @@ for _name, _fn in {
     "transform.spacetime_key": _op_spacetime_key,
     "dedup.exact": _op_dedup_exact,
     "agg.partial_groupby": _op_partial_groupby,
+    "rasterize.features": _op_rasterize,
+    "transform.clip_to_grid": _op_clip_to_grid,
+    "pyramid.up_levels": _op_pyramid_up_levels,
 }.items():
     register_op(_name, _fn)

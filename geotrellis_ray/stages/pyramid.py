@@ -78,3 +78,21 @@ def pyramid_up_counts(tiles_ds, count_cols=("n_docs",)):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def pyramid_up_levels(tiles_ds, catalog: str, name: str, zoom: int, down_to: int = 0):
+    """Pyramid.upLevels equivalent: write zoom, then iterate z -> z-1 writing
+    each level to ``{catalog}/{name}/{z}/`` (SFC-sorted, bucketed) down to
+    ``down_to``. One small parent-key shuffle per level; each written level
+    seeds the next, so nothing is recomputed. Returns {zoom: layer_path}."""
+    import ray.data
+
+    from ..sources.layer import read_layer, write_layer
+
+    paths = {zoom: write_layer(tiles_ds, catalog, name, zoom)}
+    cur = read_layer(catalog, name, zoom)
+    for z in range(zoom - 1, down_to - 1, -1):
+        cur = pyramid_up(cur)
+        paths[z] = write_layer(cur, catalog, name, z)
+        cur = read_layer(catalog, name, z)
+    return paths

