@@ -284,7 +284,7 @@ def q_doc_quality(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_score_batch, batch_format="pyarrow", zero_copy_batch=True).select_columns(
-        ["doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper", "quality_ok"]
+        ["doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_upper", "n_stop", "quality_ok"]
     )
 
 
@@ -295,11 +295,30 @@ SQL_DOC_QUALITY = r"""
            length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
            length(regexp_extract_all(text, '[0-9]')) AS n_digits,
            length(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+           length(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|in|a|is|that|for|it|on|as|with|was|at)\b')) AS n_stop,
            (length(text) >= 50 AND length(text) <= 20000
             AND length(regexp_extract_all(text, '[.,!?;:]')) * 10
                 <= length(regexp_extract_all(text, '\S+')) * 3 + 10) AS quality_ok
     FROM documents
 """
+
+
+def q_doc_bpe_tokens(sf_dir: str):
+    from .functions.text_analysis import bpe_ish_token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(bpe_ish_token_count_batch, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["doc_id", "n_bpe_tokens"]
+    )
+
+
+def _sql_bpe() -> str:
+    from .functions.text_analysis import BPE_ISH_PATTERN
+
+    quoted = BPE_ISH_PATTERN.replace("'", "''")
+    return (
+        "SELECT doc_id, length(regexp_extract_all(text, '" + quoted + "')) AS n_bpe_tokens FROM documents"
+    )
 
 
 def q_lang_stats(sf_dir: str):
@@ -896,6 +915,7 @@ def build_queries() -> dict:
         "q_events_hourly": q_events_hourly,
         "q_dedup_docs_exact": q_dedup_docs_exact,
         "q_doc_token_counts": q_doc_token_counts,
+        "q_doc_bpe_tokens": q_doc_bpe_tokens,
         "q_doc_quality": q_doc_quality,
         "q_lang_stats": q_lang_stats,
         "q_tile_assign_events": q_tile_assign_events,
@@ -939,6 +959,7 @@ def build_oracle_sql() -> dict:
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,
+        "q_doc_bpe_tokens": _sql_bpe(),
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_lang_stats": SQL_LANG_STATS,
         "q_tile_assign_events": SQL_TILE_ASSIGN,

@@ -48,6 +48,7 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_punct = pc.count_substring_regex(t, r"[.,!?;:]").cast(pa.int64())
     n_digits = pc.count_substring_regex(t, r"[0-9]").cast(pa.int64())
     n_upper = pc.count_substring_regex(t, r"[A-Z]").cast(pa.int64())
+    n_stop = pc.count_substring_regex(t, STOPWORD_PATTERN).cast(pa.int64())
     ok = pc.and_(
         pc.and_(pc.greater_equal(n_chars, 50), pc.less_equal(n_chars, 20000)),
         pc.less_equal(pc.multiply(n_punct, 10), pc.add(pc.multiply(n_tokens, 3), 10)),
@@ -57,6 +58,7 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column("n_punct", n_punct)
     out = out.append_column("n_digits", n_digits)
     out = out.append_column("n_upper", n_upper)
+    out = out.append_column("n_stop", n_stop)
     return out.append_column("quality_ok", ok)
 
 
@@ -104,3 +106,21 @@ class Fingerprinter:
             for t in batch[self.text_col].to_pylist()
         ]
         return batch.append_column("fingerprint", pa.array(fps, pa.list_(pa.uint64())))
+
+
+def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds n_bpe_tokens: GPT-2-style pre-tokenizer piece count (ASCII
+    simplification, RE2-compatible so pyarrow and DuckDB agree exactly):
+    contraction suffixes | optional-space+letters | optional-space+digits |
+    optional-space+punct-run | whitespace-run-not-before-nonspace."""
+    counts = pc.count_substring_regex(batch[text_col], BPE_ISH_PATTERN)
+    return batch.append_column("n_bpe_tokens", counts.cast(pa.int64()))
+
+
+# RE2 syntax (no lookahead): the trailing \s+ alternative matches residual
+# whitespace runs; order matters — alternation is first-match-wins at each
+# position in both RE2 engines.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+# RE2-compatible in both pyarrow and DuckDB (\b word boundaries, (?i))
+STOPWORD_PATTERN = r"(?i)\b(?:the|and|of|to|in|a|is|that|for|it|on|as|with|was|at)\b"
