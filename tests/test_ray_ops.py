@@ -344,3 +344,31 @@ def test_pyramid_up_levels_writes_catalog(ray_session, tmp_path):
     assert meta.zoom == 1
     t0 = decode_tile(z0[0]["cells"], z0[0]["cols"], z0[0]["rows"], z0[0]["cell_type"])
     assert t0.shape == (8, 8) and not np.isnan(t0).any()
+
+
+def test_parallelism_determinism_block_structure(ray_session):
+    """SURVEY §5 item 2 (proxy): identical canonical output regardless of the
+    parallel decomposition — 1 block vs 32 blocks through the same pipeline.
+    (A fresh-cluster num_cpus=1-vs-8 comparison is exercised by bench.py
+    --scaling children; spawning extra Ray clusters under pytest thrashes
+    this host.)"""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geotrellis_ray.entry_queries import derive_coords_batch, _tile_keys_z4
+    from geotrellis_ray.stages.agg import partial_groupby
+
+    t = pq.read_table("/root/testdata/sf0.01/events.parquet", columns=["event_id"])
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        keyed = ds.map_batches(
+            lambda b: _tile_keys_z4(derive_coords_batch(b, "event_id")),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        df = partial_groupby(keyed, ["key_col", "key_row"], [("key_col", "count", "n")]).to_pandas()
+        return df.sort_values(["key_col", "key_row"]).reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(run(1), run(32))
