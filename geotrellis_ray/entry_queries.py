@@ -584,6 +584,17 @@ def q_minhash_dedup_docs(sf_dir: str):
     return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7, rounds=3)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """MinHash-LSH candidates -> EXACT n-gram Jaccard verify (distributed
+    pair->text joins). The 'n-gram Jaccard dedup' scale shape."""
+    from .stages.dedup import minhash_candidate_pairs, verify_pairs_exact_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs).filter(expr="est_jaccard >= 0.5")
+    out = verify_pairs_exact_jaccard(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), docs)
+    return out.select_columns(["id_a", "id_b", "jaccard"])
+
+
 def q_simhash_pairs_docs(sf_dir: str):
     from .stages.dedup import simhash_near_dups
 
@@ -929,6 +940,7 @@ def build_queries() -> dict:
         "q_cell_counts_s2": q_cell_counts_s2,
         "q_minhash_dedup_docs": q_minhash_dedup_docs,
         "q_simhash_pairs_docs": q_simhash_pairs_docs,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_langid_docs": q_langid_docs,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_ann_embeddings": q_ann_embeddings,

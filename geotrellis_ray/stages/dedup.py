@@ -359,3 +359,39 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 3) -> n
     return np.array(
         [jaccard(shingles(tokenize(a), n), shingles(tokenize(b), n)) for a, b in zip(texts_a, texts_b)]
     )
+
+
+def verify_pairs_exact_jaccard(pairs_ds, docs_ds, ngram: int = 3,
+                               id_col: str = "doc_id", text_col: str = "text",
+                               num_partitions: int | None = None):
+    """Exact n-gram Jaccard for candidate pairs, distributed: two hash joins
+    ship each pair's TWO texts (never the corpus cross-product), then a
+    vectorized shingle/Jaccard per batch. Output: (id_a, id_b, est_jaccard,
+    jaccard). The scale shape for 'n-gram Jaccard dedup': candidates come
+    from MinHash-LSH; exactness comes from this verify."""
+    if num_partitions is None:
+        # each Ray hash join spawns num_partitions aggregator ACTORS; two
+        # chained joins at a fixed 16 deadlock small clusters (needs 32 cpus
+        # of actors) — size to the cluster instead
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 2))
+    docs_a = docs_ds.map_batches(
+        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs_b = docs_ds.map_batches(
+        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = pairs_ds.join(docs_a, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(docs_b, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def exact(b: pa.Table) -> pa.Table:
+        ja = ngram_jaccard_pairs(b["text_a"].to_pylist(), b["text_b"].to_pylist(), ngram)
+        keep = [c for c in ("id_a", "id_b", "est_jaccard") if c in b.column_names]
+        out = b.select(keep)
+        return out.append_column("jaccard", pa.array(ja, pa.float64()))
+
+    return j.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)

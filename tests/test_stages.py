@@ -266,3 +266,26 @@ def test_spec_pipeline_new_ops(ray_session, tmp_path):
     ex, _ = latlng_to_webmercator(np.array([0.0, 45.0, -10.0]), np.array([0.0, 10.0, -60.0]))
     assert out["n"].tolist() == [1, 2, 1]
     np.testing.assert_allclose(out["sum_x"], [ex[0], 2 * ex[1], ex[2]])
+
+
+def test_exact_jaccard_verify_pairs(ray_session):
+    """verify_pairs_exact_jaccard == brute-force oracle on known texts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.functions.hashing import jaccard, shingles, tokenize
+    from geotrellis_ray.stages.dedup import verify_pairs_exact_jaccard
+
+    texts = ["the quick brown fox jumps over the lazy dog tonight",
+             "the quick brown fox jumps over the lazy dog",
+             "completely different content about arrow batches"]
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                                         "text": pa.array(texts)}))
+    pairs = ray.data.from_arrow(pa.table({"id_a": pa.array([1, 1], pa.int64()),
+                                          "id_b": pa.array([2, 3], pa.int64())}))
+    out = verify_pairs_exact_jaccard(pairs, docs).to_pandas().sort_values("id_b").reset_index(drop=True)
+    exp12 = jaccard(shingles(tokenize(texts[0]), 3), shingles(tokenize(texts[1]), 3))
+    exp13 = jaccard(shingles(tokenize(texts[0]), 3), shingles(tokenize(texts[2]), 3))
+    np.testing.assert_allclose(out["jaccard"], [exp12, exp13])
+    assert exp12 > 0.6 and exp13 == 0.0
