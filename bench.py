@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q_minhash_dedup_docs",
     "q_ann_embeddings",
     "q_doc_token_counts",
+    "q_doc_bpe_tokens",
+    "q_polygonal_summary",
+    "q_spacetime_counts",
+    "q_ngram_jaccard_pairs",
     "q_cell_counts_s2",
 ]
 
@@ -127,6 +131,8 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             _consume(fn(sf_dir))
             per_query[name] = round(time.monotonic() - t0, 3)
 
+        # warm flagship (actor-pool spin-up) then measure steady state
+        run_flagship(sf_dir)
         flag = run_flagship(sf_dir)
         return {
             "metric": "flagship spatial-join + tile-assignment wall (pages corpus)",
