@@ -522,6 +522,36 @@ def q_flagship_pages(sf_dir: str):
     return tiles
 
 
+def q_flagship_resumable(sf_dir: str):
+    """North_rule lineage path: flagship over sharded pages with per-shard
+    checkpoints; returns the lineage records (shard, rows_out, status) — a
+    second invocation in the same round skips all shards (visible as
+    status=done with identical rows)."""
+    import shutil
+
+    from .pipelines.flagship import flagship_resumable
+    from .pipelines.resume import read_lineage
+
+    pages = _pages_dir(sf_dir)
+    out = f"/tmp/graft_flagship_resume_{os_basename(sf_dir)}"
+    shutil.rmtree(out, ignore_errors=True)
+    flagship_resumable(pages, out, shard_size=1)
+    recs = read_lineage(out)
+    return pa.table(
+        {
+            "shard": pa.array([r["shard"] for r in recs], pa.int64()),
+            "rows_out": pa.array([r["rows_out"] for r in recs], pa.int64()),
+            "status": pa.array([r["status"] for r in recs], pa.string()),
+        }
+    )
+
+
+def os_basename(p: str) -> str:
+    import os
+
+    return os.path.basename(os.path.normpath(p))
+
+
 def q_pages_extract_geocode(sf_dir: str):
     """Byte-identity surface: url + sha of re-extracted text + coords."""
     import hashlib
@@ -935,6 +965,7 @@ def build_queries() -> dict:
         "q_pyramid_counts": q_pyramid_counts,
         "q_spatial_join_layers": q_spatial_join_layers,
         "q_flagship_pages": q_flagship_pages,
+        "q_flagship_resumable": q_flagship_resumable,
         "q_pages_extract_geocode": q_pages_extract_geocode,
         "q_cell_counts_hex": q_cell_counts_hex,
         "q_cell_counts_s2": q_cell_counts_s2,

@@ -81,3 +81,31 @@ def flagship(
     )
     tiles = tile_assignments(joined, sum_cols=("n_hits",))
     return joined, tiles
+
+
+def flagship_resumable(pages_dir: str, out_dir: str, zoom: int = 8, shard_size: int = 2):
+    """The north_rule integration: the flagship join over a sharded pages
+    corpus with per-shard lineage checkpoints — a killed run restarts and
+    skips completed shards (pipelines/resume.py). Output: per-shard Parquet
+    dirs of join rows (url, polygon_id, n_hits, key_col, key_row, sfc).
+    Returns the run metrics dict (shards/processed/skipped/rows)."""
+    import glob
+
+    import ray
+    import ray.data
+
+    from ..fixtures import gen_polygons_table
+    from ..pipelines.resume import run_resumable
+
+    polys_ref = ray.put(gen_polygons_table())
+    files = sorted(glob.glob(f"{pages_dir}/*.parquet"))
+
+    def pipeline(shard_files):
+        ds = ray.data.read_parquet(shard_files)
+        joined, _tiles = flagship(ds, polys_ref, zoom=zoom)
+        return joined.select_columns(["url", "polygon_id", "n_hits", "key_col", "key_row", "sfc"])
+
+    # content hashing disabled for speed: shard identity is the input
+    # fingerprint; outputs are deterministic given the shard (tested)
+    return run_resumable(files, out_dir, pipeline, shard_size=shard_size,
+                         stage_name="flagship", hasher=None)

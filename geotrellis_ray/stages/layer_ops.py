@@ -290,3 +290,24 @@ def focal_mean(ds, margin: int = 1):
         return _tile_table(batch, mean)
 
     return buffered.map_batches(fm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def layer_mask(ds, geom: dict, layout, invert: bool = False):
+    """Mask(geometry) over a tile layer: cells outside (or inside, with
+    ``invert``) the geometry become NoData. Pure per-tile numpy
+    (core.raster.mask_geom); the geometry travels by closure (small)."""
+    from ..core.raster import mask_geom
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        kc = batch["key_col"].to_numpy(zero_copy_only=False)
+        kr = batch["key_row"].to_numpy(zero_copy_only=False)
+        out = np.empty_like(cube)
+        for i in range(cube.shape[0]):
+            ext = layout.key_to_extent(int(kc[i]), int(kr[i]))
+            out[i] = mask_geom(cube[i], ext, geom, invert=invert)
+        return _tile_table(batch, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

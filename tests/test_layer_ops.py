@@ -122,3 +122,18 @@ def test_focal_mean_matches_bruteforce(ray_session):
         assert tile.shape == (T, T)
         exp = exp_big[r * T:(r + 1) * T, c * T:(c + 1) * T]
         np.testing.assert_allclose(tile, exp, equal_nan=True)
+
+
+def test_layer_mask(ray_session):
+    """Mask(geometry) over a layer == per-tile numpy oracle."""
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.core.raster import mask_geom
+    from geotrellis_ray.stages.layer_ops import layer_mask
+
+    layout = LayoutDefinition(Extent(0.0, 0.0, 3.0, 3.0), TileLayout(3, 3, T, T))
+    geom = {"type": "Polygon", "rings": [np.array([(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5), (0.5, 0.5)])]}
+    got = layer_to_dict(layer_mask(make_layer(KEYS), geom, layout))
+    assert set(got) == set(KEYS)
+    for (c, r), tile in got.items():
+        exp = mask_geom(tile_values(c, r), layout.key_to_extent(c, r), geom)
+        np.testing.assert_allclose(tile, exp, equal_nan=True)

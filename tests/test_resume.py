@@ -78,3 +78,18 @@ def test_resume_skips_completed_shards(ray_session, shard_inputs, tmp_path):
     ha = {r["shard"]: r["content_hash"] for r in read_lineage(out_a)}
     hb = {r["shard"]: r["content_hash"] for r in read_lineage(out_b)}
     assert ha == hb
+
+
+def test_flagship_resumable(ray_session, tmp_path):
+    """Flagship over a sharded pages corpus with lineage: crash-free run then
+    an idempotent re-run that skips everything."""
+    from geotrellis_ray.fixtures import write_pages_parquet
+    from geotrellis_ray.pipelines.flagship import flagship_resumable
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 2_000, shard_rows=500)  # 4 shard files
+    out = str(tmp_path / "out")
+    m1 = flagship_resumable(pages, out, shard_size=1)
+    assert m1["shards"] == 4 and m1["processed"] == 4 and m1["rows_out"] == 2_000
+    m2 = flagship_resumable(pages, out, shard_size=1)
+    assert m2["skipped"] == 4 and m2["processed"] == 0
