@@ -1,0 +1,148 @@
+"""Pure-stdlib media codecs (no imaging/audio libraries in this container):
+
+- BMP: uncompressed 24-bit BI_RGB encode/decode (struct + numpy).
+- PNG: 8-bit RGB/RGBA decode with all five scanline filters (zlib + numpy);
+  encoder lives in core/render.py (filter 0 only).
+- WAV: 16-bit PCM encode/decode via the stdlib ``wave`` module.
+
+These make the multimodal stages' decode REAL for the formats a from-scratch
+engine can honestly own; compressed formats (JPEG, MP3, H.264) remain
+NotImplementedError behind the same interface (driver mandate: stub what the
+container cannot support, keep the plumbing real).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+
+# --- BMP (24-bit BI_RGB) ---------------------------------------------------
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> BMP bytes (bottom-up rows, BGR, 4-byte row pad)."""
+    h, w, _ = rgb.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += rgb[y, :, ::-1].tobytes()  # BGR
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB. Supports uncompressed 24/32-bit."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack_from("<I", buf, 10)
+    (dib_size, w, h, _planes, bpp, compression) = struct.unpack_from("<IiiHHI", buf, 14)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} unsupported")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    row_raw = w * nch
+    stride = (row_raw + 3) & ~3 if bpp == 24 else row_raw
+    rows = []
+    for y in range(h):
+        off = pixel_off + y * stride
+        row = np.frombuffer(buf, dtype=np.uint8, count=row_raw, offset=off).reshape(w, nch)
+        rows.append(row[:, 2::-1])  # BGR(A) -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+# --- PNG decode (8-bit RGB / RGBA) -----------------------------------------
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, c) uint8 for 8-bit RGB/RGBA (all 5 filters)."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = bitdepth = coltype = None
+    idat = bytearray()
+    while off < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitdepth, coltype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if bitdepth != 8 or coltype not in (2, 6) or interlace != 0:
+                raise NotImplementedError("only 8-bit RGB/RGBA non-interlaced PNG")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    nch = 3 if coltype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, nch)
+
+
+# --- WAV (16-bit PCM) ------------------------------------------------------
+
+def encode_wav(pcm: np.ndarray, rate: int = 16_000) -> bytes:
+    """float32 [-1, 1] mono -> 16-bit PCM WAV bytes."""
+    i16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(i16.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float32 mono pcm in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(buf), "rb") as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        frames = f.readframes(f.getnframes())
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM WAV")
+    pcm = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm, rate

@@ -762,19 +762,28 @@ def gen_polygons_table_cached():
 
 
 def q_multimodal_stub(sf_dir: str):
+    """Multimodal pipeline over REAL payloads: deterministic BMP images
+    synthesized per doc (sha-seeded pixels, real codec), decoded by the
+    actor-pool ImageDecoder through the real BMP path (core/media.py)."""
+    import hashlib
+
+    from .core.media import encode_bmp
     from .stages.multimodal import ImageDecoder, media_meta_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_media(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": b["doc_id"], "media": pa.array([t.encode()[:256] for t in b["text"].to_pylist()], pa.binary())}
-        )
+        payloads = []
+        for t in b["text"].to_pylist():
+            h = hashlib.sha256(t.encode()).digest()
+            px = np.frombuffer((h * ((3 * 16 * 16) // 32 + 1))[: 3 * 16 * 16], dtype=np.uint8)
+            payloads.append(encode_bmp(px.reshape(16, 16, 3)))
+        return pa.table({"doc_id": b["doc_id"], "media": pa.array(payloads, pa.binary())})
 
     media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     media = media.map_batches(media_meta_batch, batch_format="pyarrow", zero_copy_batch=True)
     decoded = media.map_batches(
-        ImageDecoder, fn_constructor_kwargs={"fake": True, "target_size": 8},
+        ImageDecoder, fn_constructor_kwargs={"target_size": 8},
         batch_format="pyarrow", zero_copy_batch=True, batch_size=256, concurrency=2,
     )
     return decoded.select_columns(["doc_id", "media_bytes", "img_h", "img_w"])

@@ -263,33 +263,61 @@ def buffer_tiles(ds, margin: int = 1):
     return exploded.groupby(["t_col", "t_row"]).map_groups(assemble, batch_format="pandas")
 
 
-def focal_mean(ds, margin: int = 1):
-    """Focal mean with a (2*margin+1)^2 square neighborhood across tile
-    boundaries: buffer_tiles then a vectorized sliding-window NoData-aware
-    mean, cropping the collar off the result."""
+def focal_op(ds, op: str = "mean", margin: int = 1):
+    """Focal mean/sum/min/max/median with a (2*margin+1)^2 square
+    neighborhood ACROSS tile boundaries: buffer_tiles supplies each tile its
+    neighbor collar; the window reduce is vectorized (integral image for
+    mean/sum, nan-aware shift-stack for min/max/median); the collar is
+    cropped off the result. NoData centers stay NoData; NoData neighbors are
+    excluded from the statistic (GeoTrellis focal semantics,
+    ref:raster/.../mapalgebra/focal/, L:unverified)."""
     m = margin
+    k = 2 * m + 1
     buffered = buffer_tiles(ds, margin=m)
 
     def fm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         cube = batch_to_cube(batch)  # (n, R+2m, C+2m)
-        vals = np.nan_to_num(cube, nan=0.0)
-        cnt = (~np.isnan(cube)).astype(np.float64)
-        k = 2 * m + 1
-        # integral-image windowed sum over the buffered frame
-        def win(a):
-            cs = np.cumsum(np.cumsum(a, axis=1), axis=2)
-            cs = np.pad(cs, ((0, 0), (1, 0), (1, 0)))
-            return (cs[:, k:, k:] - cs[:, :-k, k:] - cs[:, k:, :-k] + cs[:, :-k, :-k])
-        s = win(vals)
-        n = win(cnt)
         center_def = ~np.isnan(cube[:, m:-m, m:-m])
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where((n > 0) & center_def, s / n, np.nan)
-        return _tile_table(batch, mean)
+        if op in ("mean", "sum"):
+            vals = np.nan_to_num(cube, nan=0.0)
+            cnt = (~np.isnan(cube)).astype(np.float64)
+
+            def win(a):
+                cs = np.cumsum(np.cumsum(a, axis=1), axis=2)
+                cs = np.pad(cs, ((0, 0), (1, 0), (1, 0)))
+                return (cs[:, k:, k:] - cs[:, :-k, k:] - cs[:, k:, :-k] + cs[:, :-k, :-k])
+
+            s = win(vals)
+            n = win(cnt)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where((n > 0) & center_def, s / n if op == "mean" else s, np.nan)
+        else:
+            # shift-stack: (k*k, n, R, C) views of the buffered frame
+            R = cube.shape[1] - 2 * m
+            C = cube.shape[2] - 2 * m
+            stack = np.stack([
+                cube[:, dr:dr + R, dc:dc + C] for dr in range(k) for dc in range(k)
+            ])
+            with np.errstate(invalid="ignore"), np.testing.suppress_warnings() as sup:
+                sup.filter(RuntimeWarning)
+                if op == "min":
+                    out = np.nanmin(stack, axis=0)
+                elif op == "max":
+                    out = np.nanmax(stack, axis=0)
+                elif op == "median":
+                    out = np.nanmedian(stack, axis=0)
+                else:
+                    raise ValueError(f"unknown focal op {op!r}")
+            out = np.where(center_def, out, np.nan)
+        return _tile_table(batch, out)
 
     return buffered.map_batches(fm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_mean(ds, margin: int = 1):
+    return focal_op(ds, "mean", margin)
 
 
 def layer_mask(ds, geom: dict, layout, invert: bool = False):

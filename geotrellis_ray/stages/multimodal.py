@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels are STUBS (no imaging/audio libraries exist in this
-container — driver mandate): ``DecodeStub`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder (sha-seeded
-pixel/pcm tensors) stands in so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested end-to-end.
+Decode is REAL for the formats a from-scratch engine can own with the
+stdlib: BMP + PNG images and 16-bit PCM WAV audio (core/media.py). Formats
+needing external codecs (JPEG, MP3, video) raise ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic sha-seeded stand-in keeps
+the Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — real and tested end-to-end (driver mandate).
 
 Design notes for 100 TB: binary payloads dominate block size, so these
 stages must run with SMALL batch_size (memory = batch_size x payload x
@@ -38,9 +39,8 @@ def media_meta_batch(batch: pa.Table, media_col: str = "media") -> pa.Table:
 class ImageDecoder:
     """Actor-pool stage: binary image -> (height, width, channels) features.
 
-    Real pipelines plug a codec into ``_decode``; here it is a clearly-marked
-    stub. ``fake=True`` produces a deterministic fake image (sha-seeded),
-    keeping schemas and plumbing real."""
+    BMP and PNG decode natively (core/media.py); other formats raise unless
+    ``fake=True`` (deterministic sha-seeded stand-in image)."""
 
     def __init__(self, fake: bool = False, target_size: int = 32, media_col: str = "media"):
         self.fake = fake
@@ -48,10 +48,21 @@ class ImageDecoder:
         self.media_col = media_col
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        # REAL decode for the formats we own (core/media.py); fake stub or
+        # NotImplementedError for the rest (JPEG etc. need codecs this
+        # container does not have)
+        from ..core.media import decode_bmp, decode_png
+
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(payload)
+            return img[:, :, :3]
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires an imaging library not present in this "
-                "container; construct with fake=True for the deterministic stub"
+                "only BMP/PNG decode supported natively; other formats need an "
+                "imaging library not present in this container — construct "
+                "with fake=True for the deterministic stub"
             )
         h = hashlib.sha256(payload).digest()
         rng_base = np.frombuffer((h * ((3 * 64 * 64) // 32 + 1))[: 3 * 64 * 64], dtype=np.uint8)
@@ -92,10 +103,16 @@ class AudioFrameSampler:
         self.media_col = media_col
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        from ..core.media import decode_wav
+
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pcm, _rate = decode_wav(payload)
+            return pcm
         if not self.fake:
             raise NotImplementedError(
-                "audio decode requires a codec library not present in this "
-                "container; construct with fake=True for the deterministic stub"
+                "only 16-bit PCM WAV decode supported natively; compressed "
+                "audio needs codecs not present in this container — construct "
+                "with fake=True for the deterministic stub"
             )
         h = hashlib.sha256(payload).digest()
         pcm = np.frombuffer((h * 257)[: 1024 * 2], dtype="<i2").astype(np.float32) / 32768.0

@@ -137,3 +137,23 @@ def test_layer_mask(ray_session):
     for (c, r), tile in got.items():
         exp = mask_geom(tile_values(c, r), layout.key_to_extent(c, r), geom)
         np.testing.assert_allclose(tile, exp, equal_nan=True)
+
+
+@pytest.mark.parametrize("op,npfn", [("sum", np.nansum), ("min", np.nanmin),
+                                     ("max", np.nanmax), ("median", np.nanmedian)])
+def test_focal_ops_match_bruteforce(ray_session, op, npfn):
+    from geotrellis_ray.stages.layer_ops import focal_op
+
+    got = layer_to_dict(focal_op(make_layer(KEYS), op, margin=1))
+    big = _mosaic(KEYS)
+    pad = np.pad(big, 1, constant_values=np.nan)
+    exp_big = np.full_like(big, np.nan)
+    for i in range(big.shape[0]):
+        for j in range(big.shape[1]):
+            if np.isnan(big[i, j]):
+                continue
+            w = pad[i:i + 3, j:j + 3]
+            exp_big[i, j] = npfn(w)
+    for (c, r), tile in got.items():
+        exp = exp_big[r * T:(r + 1) * T, c * T:(c + 1) * T]
+        np.testing.assert_allclose(tile, exp, equal_nan=True)
