@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.layout import KeyBounds, TileLayerMetadata
-from ..core.sfc import zorder_ranges
+from ..core.sfc import hilbert_ranges, zorder_ranges
 
 DEFAULT_BUCKET_SHIFT = 8  # 4^zoom cells -> 4^zoom / 256 buckets
 
@@ -46,6 +46,7 @@ def write_layer(
     metadata: TileLayerMetadata | None = None,
     bucket_shift: int = DEFAULT_BUCKET_SHIFT,
     sort: bool = True,
+    sfc_kind: str = "zorder",
 ):
     """Write a keyed Dataset as a layer: sorted by sfc, partitioned by
     sfc_bucket (resumable layout: one dir per bucket), metadata sidecar.
@@ -61,7 +62,7 @@ def write_layer(
     if metadata is None:
         metadata = metadata_from_ds(ds, zoom)
     meta = json.loads(metadata.to_json())
-    meta["extra"] = dict(meta.get("extra") or {}, bucket_shift=bucket_shift)
+    meta["extra"] = dict(meta.get("extra") or {}, bucket_shift=bucket_shift, sfc_kind=sfc_kind)
     with open(os.path.join(path, "_metadata.json"), "w") as f:
         json.dump(meta, f, sort_keys=True)
     return path
@@ -120,10 +121,24 @@ def read_layer(
     path = layer_path(catalog, name, zoom)
     expr = None
     if intersects is not None:
-        ranges = zorder_ranges(
-            intersects.col_min, intersects.row_min, intersects.col_max, intersects.row_max,
-            zoom, max_ranges=max_ranges,
-        )
+        # the sidecar records which SFC keyed this layer (KeyIndex registry
+        # equivalent); decompose the bbox on the matching curve
+        kind = "zorder"
+        try:
+            meta = read_layer_metadata(catalog, name, zoom)
+            kind = (meta.extra or {}).get("sfc_kind", "zorder")
+        except FileNotFoundError:
+            pass
+        if kind == "hilbert":
+            ranges = hilbert_ranges(
+                intersects.col_min, intersects.row_min, intersects.col_max,
+                intersects.row_max, zoom,
+            )
+        else:
+            ranges = zorder_ranges(
+                intersects.col_min, intersects.row_min, intersects.col_max,
+                intersects.row_max, zoom, max_ranges=max_ranges,
+            )
         expr = sfc_filter_expr(ranges)
     if time_between is not None:
         import pyarrow.dataset as pads

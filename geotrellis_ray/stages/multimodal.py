@@ -42,10 +42,12 @@ class ImageDecoder:
     BMP and PNG decode natively (core/media.py); other formats raise unless
     ``fake=True`` (deterministic sha-seeded stand-in image)."""
 
-    def __init__(self, fake: bool = False, target_size: int = 32, media_col: str = "media"):
+    def __init__(self, fake: bool = False, target_size: int = 32, media_col: str = "media",
+                 on_error: str = "raise"):
         self.fake = fake
         self.size = target_size
         self.media_col = media_col
+        self.on_error = on_error  # "raise" | "skip" (null feature + decode_ok=False)
 
     def _decode(self, payload: bytes) -> np.ndarray:
         # REAL decode for the formats we own (core/media.py); fake stub or
@@ -78,11 +80,22 @@ class ImageDecoder:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, hh, ww = [], [], []
+        feats, hh, ww, ok = [], [], [], []
         for payload in batch[self.media_col].to_pylist():
-            img = self._decode(payload)
+            try:
+                img = self._decode(payload)
+            except Exception:
+                # at corpus scale a corrupt payload must not kill the task;
+                # "skip" records the failure row-level instead
+                if self.on_error != "skip":
+                    raise
+                # empty list, not null: Ray's pandas tensor extension cannot
+                # represent a null among list rows
+                feats.append([]); hh.append(-1); ww.append(-1); ok.append(False)
+                continue
             hh.append(img.shape[0])
             ww.append(img.shape[1])
+            ok.append(True)
             small = self._resize(img).astype(np.float32)
             # feature = per-channel mean+std (6-dim) — stand-in for an embedding
             feats.append(
@@ -91,6 +104,7 @@ class ImageDecoder:
         out = batch.drop_columns([self.media_col])  # project payload away ASAP
         out = out.append_column("img_h", pa.array(hh, pa.int32()))
         out = out.append_column("img_w", pa.array(ww, pa.int32()))
+        out = out.append_column("decode_ok", pa.array(ok, pa.bool_()))
         return out.append_column("img_feat", pa.array(feats, pa.list_(pa.float32())))
 
 

@@ -129,3 +129,18 @@ def test_unsupported_format_raises(ray_session):
     dec = ImageDecoder()
     with pytest.raises(NotImplementedError):
         dec._decode(b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+def test_image_decoder_on_error_skip(ray_session):
+    from geotrellis_ray.stages.multimodal import ImageDecoder
+
+    good = encode_bmp(np.full((4, 4, 3), 7, np.uint8))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "media": pa.array([good, good[:20], b"\xff\xd8garbage"], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        ImageDecoder, fn_constructor_kwargs={"on_error": "skip"},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=1,
+    ).to_pandas().sort_values("doc_id")
+    assert out["decode_ok"].tolist() == [True, False, False]
+    assert out["img_h"].tolist() == [4, -1, -1]
+    assert len(out["img_feat"].iloc[1]) == 0 and len(out["img_feat"].iloc[0]) == 6

@@ -372,3 +372,32 @@ def test_parallelism_determinism_block_structure(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(run(1), run(32))
+
+
+def test_hilbert_layer_roundtrip_bbox_query(ray_session, tmp_path):
+    """Write a layer keyed by the HILBERT curve, read back with a bbox query:
+    the sidecar's sfc_kind drives the range decomposition; result set equals
+    the brute-force key filter."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.layout import KeyBounds
+    from geotrellis_ray.core.sfc import hilbert
+    from geotrellis_ray.sources.layer import read_layer, write_layer
+
+    zoom = 5
+    n = 1 << zoom
+    cols, rows_ = np.meshgrid(np.arange(n), np.arange(n))
+    cols, rows_ = cols.ravel(), rows_.ravel()
+    t = pa.table({
+        "key_col": pa.array(cols.astype(np.int32), pa.int32()),
+        "key_row": pa.array(rows_.astype(np.int32), pa.int32()),
+        "sfc": pa.array(hilbert(cols, rows_, zoom), pa.uint64()),
+        "v": pa.array(np.arange(n * n, dtype=np.int64)),
+    })
+    catalog = str(tmp_path / "cat")
+    write_layer(ray.data.from_arrow(t), catalog, "hil", zoom, sfc_kind="hilbert")
+    got = read_layer(catalog, "hil", zoom, intersects=KeyBounds(3, 5, 9, 12)).to_pandas()
+    exp_keys = {(c, r) for c in range(3, 10) for r in range(5, 13)}
+    assert {(r.key_col, r.key_row) for r in got.itertuples()} == exp_keys
+    assert len(got) == len(exp_keys)
