@@ -761,6 +761,37 @@ def gen_polygons_table_cached():
     return _POLY_CACHE[0]
 
 
+def q_raster_ingest(sf_dir: str):
+    """Canonical raster ingest flow (SURVEY §3.1): deterministic GRD grids ->
+    read_binary_files -> CutTiles/tileToLayout -> per-tile defined-cell count."""
+    import os
+
+    from .core.layout import Extent as Ext2
+    from .core.raster import decode_tile
+    from .sources.raster_ingest import encode_grid, read_raster_files, tile_to_layout
+
+    d = f"/tmp/graft_grids_{os_basename(sf_dir)}"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(13)
+        world = rng.uniform(1, 9, (64, 64))
+        # four overlapping quadrant files over extent (0,0,8,8)
+        for i, (x0, y0) in enumerate([(0, 0), (3, 0), (0, 3), (3, 3)]):
+            sub = world[y0 * 8:(y0 + 5) * 8, x0 * 8:(x0 + 5) * 8]
+            with open(f"{d}/g{i}.grd", "wb") as f:
+                f.write(encode_grid(Ext2(float(x0), 8.0 - float(y0 + 5), float(x0 + 5), 8.0 - float(y0)), sub))
+    layout = LayoutDefinition(Extent(0.0, 0.0, 8.0, 8.0), TileLayout(8, 8, 8, 8))
+    tiles = tile_to_layout(read_raster_files(d), layout)
+
+    def count_defined(b: pa.Table) -> pa.Table:
+        ns = [int(np.isfinite(decode_tile(r["cells"], r["cols"], r["rows"], r["cell_type"])).sum())
+              for r in b.to_pylist()]
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "n_defined": pa.array(ns, pa.int64())})
+
+    return tiles.map_batches(count_defined, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_multimodal_stub(sf_dir: str):
     """Multimodal pipeline over REAL payloads: deterministic BMP images
     synthesized per doc (sha-seeded pixels, real codec), decoded by the
@@ -990,6 +1021,7 @@ def build_queries() -> dict:
         "q_rasterize_toy": q_rasterize_toy,
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
+        "q_raster_ingest": q_raster_ingest,
         "q_histogram_breaks": q_histogram_breaks,
         "q_polygonal_summary": q_polygonal_summary,
         "q_spacetime_counts": q_spacetime_counts,

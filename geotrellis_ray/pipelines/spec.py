@@ -186,6 +186,18 @@ def _op_clip_to_grid(ds, extent, tile_layout, **kw):
     )
 
 
+def _op_read_rasters(ds, path: str):
+    from ..sources.raster_ingest import read_raster_files
+
+    return read_raster_files(path)
+
+
+def _op_tile_to_layout(ds, extent, tile_layout):
+    from ..sources.raster_ingest import tile_to_layout
+
+    return tile_to_layout(ds, _layout_from_args(extent, tile_layout))
+
+
 def _op_pyramid_up_levels(ds, catalog: str, name: str, zoom: int, down_to: int = 0):
     import ray.data
 
@@ -221,5 +233,7 @@ for _name, _fn in {
     "rasterize.features": _op_rasterize,
     "transform.clip_to_grid": _op_clip_to_grid,
     "pyramid.up_levels": _op_pyramid_up_levels,
+    "read.rasters": _op_read_rasters,
+    "transform.tile_to_layout": _op_tile_to_layout,
 }.items():
     register_op(_name, _fn)

@@ -1,0 +1,146 @@
+"""Raster ingest: binary grid files -> (ProjectedExtent, Tile) rows ->
+tileToLayout — the canonical GeoTrellis ingest flow (SURVEY.md §3.1) from
+RASTER input.
+
+The on-disk format is our own minimal "GRD1" grid (no GeoTiff codec in
+scope — SURVEY.md §7 non-goals): magic | 4x float64 extent | int32 cols,rows
+| float64 cells (row-major, NaN = NoData). It stands in for GeoTiff segments:
+``read_raster_files`` uses ``ray.data.read_binary_files`` exactly as a real
+GeoTiff reader would, and everything downstream is format-agnostic.
+
+``tile_to_layout`` re-expresses CutTiles + TilerMethods.tileToLayout
+(ref:spark/src/main/scala/geotrellis/spark/tiling/CutTiles.scala,
+TilerMethods.scala — L:unverified, /root/reference empty at survey time):
+explode each input raster into its covering layout tiles (vectorized cell
+resample per tile, nearest neighbor), then ``groupby(key)`` merges
+overlapping contributions first-non-NoData-wins.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.layout import Extent, LayoutDefinition
+from ..core.raster import decode_tile, encode_tile, merge as tile_merge
+from ..core.sfc import zorder
+
+MAGIC = b"GRD1"
+
+
+def encode_grid(extent: Extent, arr: np.ndarray) -> bytes:
+    rows, cols = arr.shape
+    return (
+        MAGIC
+        + struct.pack("<4d", extent.xmin, extent.ymin, extent.xmax, extent.ymax)
+        + struct.pack("<ii", cols, rows)
+        + arr.astype("<f8").tobytes()
+    )
+
+
+def decode_grid(buf: bytes) -> tuple[Extent, np.ndarray]:
+    if buf[:4] != MAGIC:
+        raise ValueError("not a GRD1 grid")
+    xmin, ymin, xmax, ymax = struct.unpack_from("<4d", buf, 4)
+    cols, rows = struct.unpack_from("<ii", buf, 36)
+    arr = np.frombuffer(buf, dtype="<f8", count=cols * rows, offset=44).reshape(rows, cols)
+    return Extent(xmin, ymin, xmax, ymax), arr
+
+
+def read_raster_files(path: str):
+    """Directory of .grd files -> Dataset (xmin, ymin, xmax, ymax, cells,
+    cols, rows, cell_type) — the RDD[(ProjectedExtent, Tile)] equivalent."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(path, file_extensions=["grd"], include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        xs0, ys0, xs1, ys1, cells, cc, rr = [], [], [], [], [], [], []
+        for buf in batch["bytes"].to_pylist():
+            ext, arr = decode_grid(buf)
+            e, c, r, _ct = encode_tile(arr)
+            xs0.append(ext.xmin); ys0.append(ext.ymin); xs1.append(ext.xmax); ys1.append(ext.ymax)
+            cells.append(e); cc.append(c); rr.append(r)
+        return pa.table(
+            {"src": batch["path"],
+             "xmin": pa.array(xs0, pa.float64()), "ymin": pa.array(ys0, pa.float64()),
+             "xmax": pa.array(xs1, pa.float64()), "ymax": pa.array(ys1, pa.float64()),
+             "cells": pa.array(cells, pa.binary()), "cols": pa.array(cc, pa.int32()),
+             "rows": pa.array(rr, pa.int32()),
+             "cell_type": pa.array(["float64"] * len(cells), pa.string())}
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cut_one(ext: Extent, arr: np.ndarray, layout: LayoutDefinition):
+    """Yield (key_col, key_row, tile) pieces of one raster resampled onto the
+    layout grid (nearest neighbor on cell centers)."""
+    c0, r0, c1, r1 = layout.extent_to_bounds(ext)
+    tc = layout.tile_layout.tile_cols
+    tr = layout.tile_layout.tile_rows
+    for kc in range(c0, c1 + 1):
+        for kr in range(r0, r1 + 1):
+            cell_ext = layout.key_to_extent(kc, kr)
+            xs = cell_ext.xmin + (np.arange(tc) + 0.5) * (cell_ext.xmax - cell_ext.xmin) / tc
+            ys = cell_ext.ymax - (np.arange(tr) + 0.5) * (cell_ext.ymax - cell_ext.ymin) / tr
+            ic = np.floor((xs - ext.xmin) / (ext.xmax - ext.xmin) * arr.shape[1]).astype(np.int64)
+            ir = np.floor((ext.ymax - ys) / (ext.ymax - ext.ymin) * arr.shape[0]).astype(np.int64)
+            okc = (ic >= 0) & (ic < arr.shape[1])
+            okr = (ir >= 0) & (ir < arr.shape[0])
+            tile = np.full((tr, tc), np.nan)
+            if okc.any() and okr.any():
+                sub = arr[np.ix_(ir[okr], ic[okc])]
+                tile[np.ix_(okr, okc)] = sub
+            if np.isnan(tile).all():
+                continue
+            yield kc, kr, tile
+
+
+def tile_to_layout(rasters_ds, layout: LayoutDefinition):
+    """(ProjectedExtent, Tile) Dataset -> tile layer Dataset. Explode
+    (flat map_batches, no state) then groupby(key) merge — shuffle key is
+    the SpatialKey, merge = first-non-NoData-wins (CutTiles semantics)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"src": [], "key_col": [], "key_row": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
+        for row in batch.to_pylist():
+            ext = Extent(row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+            arr = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            for kc, kr, tile in _cut_one(ext, arr, layout):
+                cells, c, r, ct = encode_tile(tile)
+                out["src"].append(row.get("src", ""))
+                out["key_col"].append(kc); out["key_row"].append(kr)
+                out["cells"].append(cells); out["cols"].append(c)
+                out["rows"].append(r); out["cell_type"].append(ct)
+        return pa.table(
+            {"src": pa.array(out["src"], pa.string()),
+             "key_col": pa.array(out["key_col"], pa.int32()),
+             "key_row": pa.array(out["key_row"], pa.int32()),
+             "cells": pa.array(out["cells"], pa.binary()),
+             "cols": pa.array(out["cols"], pa.int32()),
+             "rows": pa.array(out["rows"], pa.int32()),
+             "cell_type": pa.array(out["cell_type"], pa.string())}
+        )
+
+    exploded = rasters_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic merge order regardless of shuffle arrival: by source
+        if "src" in g.columns:
+            g = g.sort_values("src", kind="stable")
+        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
+        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
+        for i in range(1, len(g)):
+            out = tile_merge(out, decode_tile(g["cells"].iloc[i], cols, rows, ct))
+        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+        cells, cc, rr, ct2 = encode_tile(out)
+        return pd.DataFrame(
+            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
+             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct2]}
+        )
+
+    return exploded.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pandas")
