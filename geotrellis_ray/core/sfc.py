@@ -167,16 +167,17 @@ def hilbert_ranges(
     bboxes up to ``max_cells`` cells; for larger boxes returns the single
     conservative [min,max] superset range (callers re-filter by key)."""
     ncells = (col_max - col_min + 1) * (row_max - row_min + 1)
-    cols, rows = np.meshgrid(
-        np.arange(col_min, col_max + 1), np.arange(row_min, row_max + 1)
-    )
     if ncells > max_cells:
         # conservative: hilbert of the 4 corners + edges doesn't bound the
         # range in general; enumerate the bbox PERIMETER is also insufficient,
         # so fall back to full-curve superset of observed min/max over a
         # coarse subsample — still a superset ONLY if we take [0, 4^zoom);
-        # we choose correctness: whole-curve range.
+        # we choose correctness: whole-curve range. (Checked BEFORE any
+        # allocation — a near-full-grid bbox at zoom 20 is ~2^40 cells.)
         return [(0, (1 << (2 * zoom)) * 1 - 1)]
+    cols, rows = np.meshgrid(
+        np.arange(col_min, col_max + 1), np.arange(row_min, row_max + 1)
+    )
     d = np.sort(hilbert(cols.ravel(), rows.ravel(), zoom))
     ranges: list[tuple[int, int]] = []
     lo = prev = int(d[0])

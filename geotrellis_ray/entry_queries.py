@@ -77,6 +77,16 @@ def _cents(col: np.ndarray) -> np.ndarray:
     return np.round(col * 100.0).astype(np.int64)
 
 
+def _pool_size(frac: int = 4, lo: int = 2) -> int:
+    """Actor-pool size scaled to the cluster (flagship.py's measured sizing:
+    a heavy actor stage takes ~1/4 of pipeline CPU; a fixed tiny pool
+    starves it at 32 cpus while oversizing starves the task stages)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(lo, cpus // frac)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     """Column-pruned parquet read. Ray's default parallelism oversplits tiny
     tables (64 blocks for 80 KB -> pure scheduling overhead), so below 256 MiB
@@ -125,7 +135,7 @@ def q1_pricing_summary(sf_dir: str):
 SQL_Q1 = """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -183,7 +193,7 @@ def q_join_customer_orders(sf_dir: str):
 
 SQL_JOIN_CO = """
     SELECT c_mktsegment, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
 """
@@ -244,7 +254,7 @@ def q_events_hourly(sf_dir: str):
 SQL_EVENTS_HOURLY = """
     SELECT event_type, epoch_us(ts) // 3600000000 AS time_bin,
            count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY event_type, time_bin
 """
 
@@ -331,7 +341,7 @@ def q_lang_stats(sf_dir: str):
 
 
 SQL_LANG_STATS = """
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM documents GROUP BY lang
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang
 """
 
 
@@ -375,7 +385,7 @@ def q_pip_rect_grid(sf_dir: str):
     joined = ds.map_batches(
         PipJoiner,
         fn_constructor_kwargs={"polygons": ray.put(grid), "mode": "inner"},
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=2,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=_pool_size(),
     )
     return partial_groupby(
         joined, ["polygon_id"],
@@ -430,7 +440,7 @@ SQL_KNN = f"""
                row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, event_id ASC) AS rank
         FROM scored
     )
-    SELECT query_id, rank, event_id FROM ranked WHERE rank <= 5
+    SELECT CAST(query_id AS BIGINT) AS query_id, rank, event_id FROM ranked WHERE rank <= 5
 """
 
 
@@ -456,7 +466,7 @@ def q_pyramid_counts(sf_dir: str):
 SQL_PYRAMID = f"""
     WITH pts AS ({SQL_COORDS}),
     z4 AS (SELECT {SQL_KEYS_Z4}, count(*) AS n_docs FROM pts GROUP BY key_col, key_row)
-    SELECT key_col // 2 AS key_col, key_row // 2 AS key_row, sum(n_docs) AS n_docs
+    SELECT key_col // 2 AS key_col, key_row // 2 AS key_row, CAST(sum(n_docs) AS BIGINT) AS n_docs
     FROM z4 GROUP BY key_col // 2, key_row // 2
 """
 
@@ -573,9 +583,8 @@ def q_pages_extract_geocode(sf_dir: str):
 
 
 def q_cell_counts_hex(sf_dir: str):
-    from ray.data.aggregate import Count
-
     from .core.cellid import cell_hexlike
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
         lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
@@ -583,17 +592,17 @@ def q_cell_counts_hex(sf_dir: str):
 
     def addcell(b: pa.Table) -> pa.Table:
         c = cell_hexlike(b["lat"].to_numpy(zero_copy_only=False), b["lon"].to_numpy(zero_copy_only=False), 3)
-        return b.append_column("cell", pa.array(c.astype(np.int64), pa.int64()))
+        return pa.table({"cell": pa.array(c.astype(np.int64), pa.int64())})
 
-    return ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True).groupby("cell").aggregate(
-        Count(alias_name="n")
-    )
+    # map-side combine: ~2k distinct cells from 1M rows — shuffle partials,
+    # never the full row stream
+    cells = ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_groupby(cells, ["cell"], [("cell", "count", "n")])
 
 
 def q_cell_counts_s2(sf_dir: str):
-    from ray.data.aggregate import Count
-
     from .core.cellid import cell_s2like
+    from .stages.agg import partial_groupby
 
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(
         lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
@@ -601,11 +610,10 @@ def q_cell_counts_s2(sf_dir: str):
 
     def addcell(b: pa.Table) -> pa.Table:
         c = cell_s2like(b["lat"].to_numpy(zero_copy_only=False), b["lon"].to_numpy(zero_copy_only=False), 6)
-        return b.append_column("cell", pa.array(c.view(np.int64), pa.int64()))
+        return pa.table({"cell": pa.array(c.view(np.int64), pa.int64())})
 
-    return ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True).groupby("cell").aggregate(
-        Count(alias_name="n")
-    )
+    cells = ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_groupby(cells, ["cell"], [("cell", "count", "n")])
 
 
 def q_minhash_dedup_docs(sf_dir: str):
@@ -635,7 +643,7 @@ def q_langid_docs(sf_dir: str):
     from .functions.text_analysis import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2).select_columns(
+    return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool_size()).select_columns(
         ["doc_id", "lang_pred"]
     )
 
@@ -646,7 +654,7 @@ def q_doc_fingerprints(sf_dir: str):
     from .functions.text_analysis import Fingerprinter
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool_size())
     return out.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"], "n_fp": pc.list_value_length(b["fingerprint"]).cast(pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -815,7 +823,7 @@ def q_multimodal_stub(sf_dir: str):
     media = media.map_batches(media_meta_batch, batch_format="pyarrow", zero_copy_batch=True)
     decoded = media.map_batches(
         ImageDecoder, fn_constructor_kwargs={"target_size": 8},
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=256, concurrency=2,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256, concurrency=_pool_size(),
     )
     return decoded.select_columns(["doc_id", "media_bytes", "img_h", "img_w"])
 
@@ -852,7 +860,7 @@ def q_polygonal_summary(sf_dir: str):
     joined = ds.map_batches(
         PipJoiner,
         fn_constructor_kwargs={"polygons": ray.put(grid), "mode": "inner"},
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=2,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096, concurrency=_pool_size(),
     )
     return partial_groupby(
         joined, ["polygon_id"],
@@ -876,7 +884,7 @@ SQL_POLY_SUMMARY = f"""
         FROM range(0, 128) t(i)
     )
     SELECT polygon_id,
-           sum(value_cents) AS sum_value_cents,
+           CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
            count(*) AS n_events,
            min(value_cents) AS min_value_cents,
            max(value_cents) AS max_value_cents

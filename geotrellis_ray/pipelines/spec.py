@@ -110,16 +110,19 @@ def _op_write_parquet(ds, path: str, **kw):
     return ds
 
 
-def _op_local_unary(ds, op: str):
+def _op_local_unary(ds, fn: str):
+    # spec key is "fn" (NOT "op" — that's the reserved dispatch key run_spec
+    # pops before calling the handler): {"op": "local.unary", "fn": "sqrt"}
     from ..stages.layer_ops import layer_local_unary
 
-    return layer_local_unary(ds, op)
+    return layer_local_unary(ds, fn)
 
 
-def _op_local_scalar(ds, op: str, scalar: float):
+def _op_local_scalar(ds, fn: str, scalar: float):
+    # spec key is "fn": {"op": "local.scalar", "fn": "multiply", "scalar": 2}
     from ..stages.layer_ops import layer_local_scalar
 
-    return layer_local_scalar(ds, op, scalar)
+    return layer_local_scalar(ds, fn, scalar)
 
 
 def _op_focal_mean(ds, margin: int = 1):

@@ -20,9 +20,24 @@ import pyarrow as pa
 def _batch_partial(batch: pa.Table, keys: list[str], specs: list[tuple[str, str, str]]) -> pa.Table:
     """One batch -> per-key partial rows. specs = [(col, fn, alias)]."""
     if batch.num_rows == 0:
+        def _promoted(col: str, fn: str) -> pa.DataType:
+            # match Arrow group_by's aggregate output types so empty blocks
+            # don't emit a mismatched schema (sum promotes: int->int64,
+            # uint->uint64, float32->float64; min/max keep the input type)
+            t = batch.schema.field(col).type
+            if fn == "count":
+                return pa.int64()
+            if fn == "sum":
+                if pa.types.is_unsigned_integer(t):
+                    return pa.uint64()
+                if pa.types.is_integer(t):
+                    return pa.int64()
+                if pa.types.is_floating(t):
+                    return pa.float64()
+            return t
+
         fields = [(k, batch.schema.field(k).type) for k in keys] + [
-            (alias, pa.int64() if fn == "count" else batch.schema.field(col).type)
-            for col, fn, alias in specs
+            (alias, _promoted(col, fn)) for col, fn, alias in specs
         ]
         return pa.table({n: pa.array([], t) for n, t in fields})
     aggs = [(keys[0], "count") if fn == "count" else (col, fn) for col, fn, _ in specs]

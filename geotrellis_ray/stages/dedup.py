@@ -108,7 +108,8 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
          "id_a": pa.array([], batch.schema.field(id_col).type),
          "id_b": pa.array([], batch.schema.field(id_col).type),
          "sig_a": pa.array([], pa.binary()), "sig_b": pa.array([], pa.binary()),
-         "band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.uint64())}
+         "band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.uint64()),
+         "blk": pa.array([], pa.int64())}
     )
     if n == 0:
         return empty
@@ -128,10 +129,21 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
                 "sig_b": pa.array([sigs[i + 1] for i in idx], pa.binary()),
                 "band": pa.array(band[idx].astype(np.int32), pa.int32()),
                 "band_hash": pa.array(bhash[idx].astype(np.uint64), pa.uint64()),
+                "blk": pa.array(np.zeros(len(idx), dtype=np.int64), pa.int64()),
             }
         )
     ]
+    # blk tags the source block so the driver stitch never re-pairs two
+    # boundary rows from the SAME block (those pairs, if any, were already
+    # emitted as kind=0 above). The first row's id is unique per block in a
+    # sorted stream, so it serves as the block tag.
     edge = [0, n - 1] if n > 1 else [0]
+    try:
+        blk_tag = int(ids[0])
+    except (TypeError, ValueError):  # non-integer id columns
+        blk_tag = int.from_bytes(
+            hashlib.sha256(str(ids[0]).encode()).digest()[:8], "big", signed=True
+        )
     parts.append(
         pa.table(
             {
@@ -142,15 +154,25 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
                 "sig_b": pa.array([sigs[i] for i in edge], pa.binary()),
                 "band": pa.array(band[edge].astype(np.int32), pa.int32()),
                 "band_hash": pa.array(bhash[edge].astype(np.uint64), pa.uint64()),
+                "blk": pa.array(np.full(len(edge), blk_tag, dtype=np.int64), pa.int64()),
             }
         )
     )
     return pa.concat_tables(parts)
 
 
+def _default_pool() -> int:
+    """Actor-pool size scaled to the cluster — a fixed concurrency starves
+    the hashing stage on big nodes (see flagship.py's measured sizing)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
-                            concurrency=2, batch_size: int = 1024):
+                            concurrency=None, batch_size: int = 1024):
     """Docs -> verified-similarity candidate pairs (est_jaccard = signature
     agreement). Bucket co-location via ONE range sort on (band, band_hash);
     pair extraction is vectorized per block (no per-group Python), with the
@@ -158,6 +180,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
     O(rows), so the collect stays trivial at any scale."""
     import ray.data
 
+    if concurrency is None:
+        concurrency = _default_pool()
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram,
@@ -171,21 +195,24 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
                      batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
-    pairs = mixed.filter(expr="kind == 0")
+    pairs = mixed.filter(expr="kind == 0").drop_columns(["blk"])
     boundary = mixed.filter(expr="kind == 1").to_pandas()  # 2 rows per block
     if len(boundary) > 1:
         boundary = boundary.sort_values(["band", "band_hash", "id_a"], kind="stable")
         bb = boundary.reset_index(drop=True)
+        # only stitch ACROSS blocks — two boundary rows of the same block that
+        # share a bucket were already paired in-block (kind=0), so re-pairing
+        # them here would emit duplicates
         same = (
             (bb["band"].to_numpy()[1:] == bb["band"].to_numpy()[:-1])
             & (bb["band_hash"].to_numpy()[1:] == bb["band_hash"].to_numpy()[:-1])
             & (bb["id_a"].to_numpy()[1:] != bb["id_a"].to_numpy()[:-1])
+            & (bb["blk"].to_numpy()[1:] != bb["blk"].to_numpy()[:-1])
         )
         idx = np.nonzero(same)[0]
         if len(idx):
             cross = pa.table(
                 {
-                    "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
                     "id_a": pa.array(bb["id_a"].to_numpy()[idx]),
                     "id_b": pa.array(bb["id_a"].to_numpy()[idx + 1]),
                     "sig_a": pa.array([bb["sig_a"][i] for i in idx], pa.binary()),
@@ -194,6 +221,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
                     "band_hash": pa.array(bb["band_hash"].to_numpy()[idx].astype(np.uint64), pa.uint64()),
                 }
             )
+            cross = cross.add_column(0, "kind", pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()))
             pairs = pairs.union(ray.data.from_arrow(cross))
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -211,7 +239,13 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    verified = pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    # a pair can surface from several bands (identical est_jaccard each time);
+    # emit each (id_a, id_b) once so downstream joins don't multiply. Pair
+    # volume is sparse relative to the corpus, so this groupby is cheap.
+    from .agg import partial_groupby
+
+    return partial_groupby(verified, ["id_a", "id_b"], [("est_jaccard", "max", "est_jaccard")])
 
 
 def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
@@ -250,15 +284,22 @@ def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
                 ra, rc = find(a), find(c)
                 if ra != rc:
                     parent[max(ra, rc)] = min(ra, rc)
-        label_map = {x: find(x) for x in list(parent)}
-        ref = ray.put(label_map)
+        # broadcast the label map as two sorted numpy arrays; lookup inside
+        # map_batches is a vectorized searchsorted, not a per-row dict probe
+        lbl_keys = np.array(sorted(parent), dtype=np.int64)
+        lbl_vals = np.array([find(int(k)) for k in lbl_keys], dtype=np.int64)
+        ref = ray.put((lbl_keys, lbl_vals))
 
         def apply_labels(b: pa.Table, *, _ref=ref) -> pa.Table:
-            m = ray.get(_ref)
-            ids = b[id_col].to_pylist()
-            return pa.table(
-                {id_col: b[id_col], "cluster_id": pa.array([m.get(i, i) for i in ids])}
-            )
+            keys, vals = ray.get(_ref)
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+            cluster = ids.copy()
+            if len(keys):
+                pos = np.searchsorted(keys, ids)
+                pos_c = np.clip(pos, 0, len(keys) - 1)
+                hit = keys[pos_c] == ids
+                cluster[hit] = vals[pos_c[hit]]
+            return pa.table({id_col: b[id_col], "cluster_id": pa.array(cluster, pa.int64())})
 
         return ds.select_columns([id_col]).map_batches(
             apply_labels, batch_format="pyarrow", zero_copy_batch=True
@@ -279,12 +320,18 @@ def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
+    # size join parallelism to the cluster (this path only triggers at >5M
+    # edges — exactly when real parallelism is needed); each hash join spawns
+    # num_partitions aggregator actors, so cap to cpus//2 like
+    # verify_pairs_exact_jaccard does
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    join_parts = max(2, min(64, cpus // 2))
     for _ in range(rounds):
         # message passing via hash join (distributed — labels never collect to
         # the driver, so this holds at 10^12-doc scale): each edge forwards its
         # src's current label to dst.
         msgs = (
-            sym_edges.join(labels.repartition(4), join_type="inner", num_partitions=8,
+            sym_edges.join(labels, join_type="inner", num_partitions=join_parts,
                            on=("src",), right_on=(id_col,))
             .select_columns(["dst", "label"])
             .map_batches(lambda b: b.rename_columns([id_col, "label"]),
@@ -311,9 +358,11 @@ class SimHasher:
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
-                      concurrency=2):
+                      concurrency=None):
     """SimHash near-dup pairs: 4x16-bit band blocking (a pair within Hamming
     distance 3 shares at least one of 4 bands), Hamming verify in-bucket."""
+    if concurrency is None:
+        concurrency = _default_pool()
     sh = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,

@@ -75,7 +75,9 @@ def pbsm_spatial_join(points_ds, polygons_ds, layout, zoom: int, num_partitions:
     from .clip import clip_to_grid_batch
 
     exploded = polygons_ds.map_batches(
-        lambda b: clip_to_grid_batch(b, layout, wkb_col=wkb_col),
+        # drop the original geometry after clipping: clipped_wkb carries all
+        # the refine needs, and the original would be re-shipped per joined row
+        lambda b: clip_to_grid_batch(b, layout, wkb_col=wkb_col).drop_columns([wkb_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).map_batches(
@@ -95,18 +97,26 @@ def pbsm_spatial_join(points_ds, polygons_ds, layout, zoom: int, num_partitions:
     joined = spatial_join(points_ds, exploded, how="inner", num_partitions=num_partitions)
 
     def refine(batch: pa.Table) -> pa.Table:
-        keep = np.zeros(len(batch), dtype=bool)
-        xs = batch["lon"].to_numpy(zero_copy_only=False)
-        ys = batch["lat"].to_numpy(zero_copy_only=False)
-        full = batch["full"].to_numpy(zero_copy_only=False)
-        wkbs = batch["clipped_wkb"].to_pylist()
-        for i in range(len(batch)):
-            if full[i]:
-                keep[i] = True
-            else:
-                g = wkb_mod.decode(wkbs[i])
-                if g["type"] in ("Polygon", "MultiPolygon"):
-                    keep[i] = bool(point_in_polygon_geom(xs[i : i + 1], ys[i : i + 1], g)[0])
+        # post-join row count is the biggest dataflow in a large-large join:
+        # group the batch by clipped polygon, decode each polygon ONCE, and
+        # run the vectorized PIP over all of its candidate points (same shape
+        # as PolygonIndex.probe) — never per-row Python
+        import pandas as pd
+
+        full = batch["full"].to_numpy(zero_copy_only=False).astype(bool)
+        keep = full.copy()
+        nf = np.nonzero(~full)[0]
+        if len(nf):
+            xs = batch["lon"].to_numpy(zero_copy_only=False)
+            ys = batch["lat"].to_numpy(zero_copy_only=False)
+            wkbs = batch["clipped_wkb"].to_pylist()
+            codes, uniques = pd.factorize([wkbs[i] for i in nf])
+            for u, buf in enumerate(uniques):
+                g = wkb_mod.decode(buf)
+                if g["type"] not in ("Polygon", "MultiPolygon"):
+                    continue
+                sel = nf[codes == u]
+                keep[sel] = point_in_polygon_geom(xs[sel], ys[sel], g)
         return batch.filter(pa.array(keep))
 
     return joined.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)

@@ -80,6 +80,40 @@ def test_resume_skips_completed_shards(ray_session, shard_inputs, tmp_path):
     assert ha == hb
 
 
+def test_resume_never_collects_output(ray_session, shard_inputs, tmp_path, monkeypatch):
+    """Scale guard: lineage bookkeeping must come from parquet FOOTERS, never
+    a driver read-back of shard output (at 100 TB a shard's join output is
+    GBs). pq.read_table is poisoned for the whole run; rows_out stays exact."""
+    import pyarrow.parquet as pq_mod
+
+    def boom(*a, **k):
+        raise AssertionError("run_resumable collected shard output on the driver")
+
+    monkeypatch.setattr(pq_mod, "read_table", boom)
+    out = str(tmp_path / "out_nocollect")
+    m = run_resumable(shard_inputs, out, _pipeline, shard_size=2)
+    assert m["processed"] == 3 and m["rows_out"] == 60
+    recs = read_lineage(out)
+    assert sorted(r["rows_out"] for r in recs) == [20, 20, 20]
+    assert all(r["content_hash"] for r in recs)
+
+
+def test_resume_concurrent_window_matches_sequential(ray_session, shard_inputs, tmp_path):
+    """A bounded window of concurrent shards produces identical outputs and
+    lineage hashes to the sequential run."""
+    out_seq = str(tmp_path / "out_seq")
+    out_win = str(tmp_path / "out_win")
+    m1 = run_resumable(shard_inputs, out_seq, _pipeline, shard_size=1, window=1)
+    m2 = run_resumable(shard_inputs, out_win, _pipeline, shard_size=1, window=3)
+    assert m1["rows_out"] == m2["rows_out"] == 60
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_read_all(out_seq), _read_all(out_win))
+    ha = {r["shard"]: r["content_hash"] for r in read_lineage(out_seq)}
+    hb = {r["shard"]: r["content_hash"] for r in read_lineage(out_win)}
+    assert ha == hb
+
+
 def test_flagship_resumable(ray_session, tmp_path):
     """Flagship over a sharded pages corpus with lineage: crash-free run then
     an idempotent re-run that skips everything."""
