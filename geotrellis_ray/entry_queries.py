@@ -920,6 +920,124 @@ SQL_SPACETIME = f"""
 """
 
 
+def q_pbsm_join(sf_dir: str):
+    """Large-large spatial join via PBSM (ClipToGrid explode -> sfc equi-join
+    -> vectorized PIP refine; stages/join.py): events x 112 HALF-CELL-SHIFTED
+    world rects. The +5.625-degree y-shift makes rect pieces NOT fully cover
+    their cells, so the exact-refine path actually executes (full=False).
+    SQL-checkable: shifted edges never coincide with a derivable lat
+    (verified exhaustively over all sf tiers), and vertical edges follow the
+    same half-open rule q_pip_rect_grid already hash-validated."""
+    import ray
+    import ray.data
+
+    from .core.sfc import zorder
+    from .core.wkb import encode_polygon
+    from .stages.agg import partial_groupby
+    from .stages.join import pbsm_spatial_join
+
+    rows = []
+    for j in range(7):
+        for i in range(16):
+            xmin, ymin = -180.0 + i * 22.5, -90.0 + j * 22.5 + 5.625
+            ring = [(xmin, ymin), (xmin + 22.5, ymin), (xmin + 22.5, ymin + 22.5), (xmin, ymin + 22.5)]
+            rows.append({"polygon_id": j * 16 + i, "wkb": encode_polygon([ring])})
+    polys = ray.data.from_arrow(
+        pa.Table.from_pylist(rows, schema=pa.schema([("polygon_id", pa.int64()), ("wkb", pa.binary())]))
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _tile_keys_z4(derive_coords_batch(b, "event_id"))
+        s = zorder(
+            b["key_col"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["key_row"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table(
+            {"event_id": b["event_id"], "lat": b["lat"], "lon": b["lon"],
+             "sfc": pa.array(s.astype(np.uint64), pa.uint64())}
+        )
+
+    pts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = pbsm_spatial_join(pts, polys, LATLNG_Z4, zoom=4,
+                               num_partitions=max(2, min(16, cpus // 2)))
+    return partial_groupby(
+        joined, ["polygon_id"],
+        [("event_id", "count", "n_docs"), ("event_id", "min", "min_event")],
+    )
+
+
+SQL_PBSM = f"""
+    WITH pts AS ({SQL_COORDS}),
+    rects AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 AS xmin,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 + 5.625 AS ymin,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 + 22.5 AS xmax,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 + 5.625 + 22.5 AS ymax
+        FROM range(0, 112) t(i)
+    )
+    SELECT polygon_id, count(*) AS n_docs, min(event_id) AS min_event
+    FROM pts JOIN rects
+      ON pts.lon >= rects.xmin AND pts.lon < rects.xmax
+     AND pts.lat >= rects.ymin AND pts.lat < rects.ymax
+    GROUP BY polygon_id
+"""
+
+
+def _layer_roundtrip(sf_dir: str, kind: str):
+    """Layer store end-to-end on the SQL-parity grid: write the z4 tile
+    counts as an SFC-sorted bucketed layer, read back with a KeyBounds
+    Intersects query (range decomposition + row-group pushdown + exact
+    re-filter — sources/layer.py), return the surviving per-key counts."""
+    import shutil
+
+    from .core.layout import KeyBounds, TileLayerMetadata
+    from .core.sfc import sfc_key
+    from .sources.layer import read_layer, write_layer
+
+    tiles = q_tile_assign_events(sf_dir)
+
+    def addsfc(b: pa.Table) -> pa.Table:
+        s = sfc_key(
+            b["key_col"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["key_row"].to_numpy(zero_copy_only=False).astype(np.int64),
+            4, kind,
+        )
+        return b.append_column("sfc", pa.array(s.astype(np.uint64), pa.uint64()))
+
+    keyed = tiles.map_batches(addsfc, batch_format="pyarrow", zero_copy_batch=True)
+    meta = TileLayerMetadata(
+        cell_type="int64", layout=LATLNG_Z4, extent=LATLNG_Z4.extent,
+        crs="latlng", bounds=KeyBounds(0, 0, 15, 15), zoom=4,
+    )
+    cat = f"/tmp/graft_layer_rt_{os_basename(sf_dir)}_{kind}"
+    shutil.rmtree(cat, ignore_errors=True)
+    write_layer(keyed, cat, "tiles", 4, metadata=meta, sfc_kind=kind)
+    out = read_layer(cat, "tiles", 4, intersects=KeyBounds(4, 2, 11, 6))
+    return out.select_columns(["key_col", "key_row", "n_docs"])
+
+
+def q_layer_roundtrip_zorder(sf_dir: str):
+    return _layer_roundtrip(sf_dir, "zorder")
+
+
+def q_layer_roundtrip_hilbert(sf_dir: str):
+    return _layer_roundtrip(sf_dir, "hilbert")
+
+
+SQL_LAYER_RT = f"""
+    WITH pts AS ({SQL_COORDS}),
+    z4 AS (SELECT {SQL_KEYS_Z4}, count(*) AS n_docs FROM pts GROUP BY key_col, key_row)
+    SELECT key_col, key_row, n_docs FROM z4
+    WHERE key_col BETWEEN 4 AND 11 AND key_row BETWEEN 2 AND 6
+"""
+
+
 # ---------------------------------------------------------------------------
 # layer-operator queries (rows-only: tile payloads are not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1033,6 +1151,9 @@ def build_queries() -> dict:
         "q_histogram_breaks": q_histogram_breaks,
         "q_polygonal_summary": q_polygonal_summary,
         "q_spacetime_counts": q_spacetime_counts,
+        "q_pbsm_join": q_pbsm_join,
+        "q_layer_roundtrip_zorder": q_layer_roundtrip_zorder,
+        "q_layer_roundtrip_hilbert": q_layer_roundtrip_hilbert,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -1061,6 +1182,9 @@ def build_oracle_sql() -> dict:
         "q_spatial_join_layers": SQL_SPATIAL_JOIN,
         "q_polygonal_summary": SQL_POLY_SUMMARY,
         "q_spacetime_counts": SQL_SPACETIME,
+        "q_pbsm_join": SQL_PBSM,
+        "q_layer_roundtrip_zorder": SQL_LAYER_RT,
+        "q_layer_roundtrip_hilbert": SQL_LAYER_RT,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

@@ -110,7 +110,10 @@ def pbsm_spatial_join(points_ds, polygons_ds, layout, zoom: int, num_partitions:
             xs = batch["lon"].to_numpy(zero_copy_only=False)
             ys = batch["lat"].to_numpy(zero_copy_only=False)
             wkbs = batch["clipped_wkb"].to_pylist()
-            codes, uniques = pd.factorize([wkbs[i] for i in nf])
+            # object-dtype Series keeps python bytes intact (a bare list would
+            # coerce to numpy S-dtype, which silently strips trailing NULs and
+            # corrupts WKB)
+            codes, uniques = pd.factorize(pd.Series([wkbs[i] for i in nf], dtype=object))
             for u, buf in enumerate(uniques):
                 g = wkb_mod.decode(buf)
                 if g["type"] not in ("Polygon", "MultiPolygon"):

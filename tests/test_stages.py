@@ -289,3 +289,59 @@ def test_exact_jaccard_verify_pairs(ray_session):
     exp13 = jaccard(shingles(tokenize(texts[0]), 3), shingles(tokenize(texts[2]), 3))
     np.testing.assert_allclose(out["jaccard"], [exp12, exp13])
     assert exp12 > 0.6 and exp13 == 0.0
+
+
+def test_pbsm_spatial_join_brute_oracle(ray_session):
+    """pbsm_spatial_join (ClipToGrid explode + sfc equi-join + grouped
+    vectorized PIP refine) == brute-force point-in-polygon over convex
+    fixture polygons NOT aligned to the grid (refine path exercised)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core import wkb as wkb_mod
+    from geotrellis_ray.core.geom import point_in_polygon_geom
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.core.sfc import zorder
+    from geotrellis_ray.fixtures import gen_polygons_table
+
+    polys_tab = gen_polygons_table()
+    convex = polys_tab.filter(pa.compute.greater_equal(polys_tab["polygon_id"], 128))
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(32, 32, 8, 8))
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    lon = rng.uniform(-180.0, 180.0, n)
+    lat = rng.uniform(-85.0, 85.0, n)
+    # half the points inside the cluster boxes so hits are dense
+    lon[: n // 2] = rng.uniform(-75.2, -73.2, n // 2)
+    lat[: n // 2] = rng.uniform(39.9, 41.9, n // 2)
+    c, r = layout.xy_to_key(lon, lat)
+    pts = ray.data.from_arrow(pa.table({
+        "pt_id": pa.array(np.arange(n), pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "sfc": pa.array(zorder(c.astype(np.int64), r.astype(np.int64)).astype(np.uint64), pa.uint64()),
+    }))
+
+    from geotrellis_ray.stages.join import pbsm_spatial_join
+
+    got = (
+        pbsm_spatial_join(pts, ray.data.from_arrow(convex.select(["polygon_id", "wkb"])), layout, zoom=5,
+                          num_partitions=4)
+        .to_pandas()[["pt_id", "polygon_id"]]
+        .sort_values(["pt_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+
+    exp_rows = []
+    for pid, buf in zip(convex["polygon_id"].to_pylist(), convex["wkb"].to_pylist()):
+        hit = point_in_polygon_geom(lon, lat, wkb_mod.decode(buf))
+        for i in np.nonzero(hit)[0]:
+            exp_rows.append((int(i), int(pid)))
+    import pandas as pd
+
+    exp = pd.DataFrame(exp_rows, columns=["pt_id", "polygon_id"]).sort_values(
+        ["pt_id", "polygon_id"]).reset_index(drop=True)
+    assert len(exp) > 50  # the fixture must actually produce hits
+    pd.testing.assert_frame_equal(got, exp)
