@@ -693,6 +693,23 @@ def q_ann_ivf_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def q_ann_index_ivf(sf_dir: str):
+    """Persisted IVF index path: build once (partitioned by inverted list,
+    quantizer sidecar), then answer queries reading ONLY probed partitions
+    (sources/ann_index.py). Rows-only check; recall/pruning are pytest-
+    verified (test_stages)."""
+    import os
+
+    from .sources.ann_index import ann_query_index, build_ann_index
+
+    path = f"/tmp/graft_ann_index_{os_basename(sf_dir)}"
+    if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ann_index(ds, path, kind="ivf", n_centroids=16)
+    out = ann_query_index(path, _embedding_queries(sf_dir), k=5, nprobe=6)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def q_embedding_near_dups(sf_dir: str):
     """The sf embeddings carry no true near-dups (max pairwise cosine ~0.51),
     so plant deterministic ones: perturbed copies (id+100000, +0.5% seeded
@@ -1143,6 +1160,7 @@ def build_queries() -> dict:
         "q_ann_embeddings": q_ann_embeddings,
         "q_ann_lsh_embeddings": q_ann_lsh_embeddings,
         "q_ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "q_ann_index_ivf": q_ann_index_ivf,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_rasterize_toy": q_rasterize_toy,
         "q_cliptogrid_toy": q_cliptogrid_toy,

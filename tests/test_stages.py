@@ -345,3 +345,67 @@ def test_pbsm_spatial_join_brute_oracle(ray_session):
         ["pt_id", "polygon_id"]).reset_index(drop=True)
     assert len(exp) > 50  # the fixture must actually produce hits
     pd.testing.assert_frame_equal(got, exp)
+
+
+def _synth_embeddings(n=2000, d=16, n_clusters=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(0, 1, (n_clusters, d)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    m = cents[assign] + rng.normal(0, 0.15, (n, d)).astype(np.float32)
+    return m.astype(np.float32)
+
+
+def test_ann_index_partition_pruning_and_recall(ray_session, tmp_path):
+    """Persisted IVF index: the probed read touches a STRICT SUBSET of the
+    partition dirs, and top-1 results match brute force on clustered data."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.sources.ann_index import (
+        ann_query_index, build_ann_index, probed_list_dirs)
+    from geotrellis_ray.stages.ann import ann_brute_force
+
+    m = _synth_embeddings()
+    tab = pa.table({"vec_id": pa.array(np.arange(len(m)), pa.int64()),
+                    "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tab).repartition(4)
+    path = str(tmp_path / "ivf_index")
+    build_ann_index(ds, path, kind="ivf", n_centroids=8)
+
+    queries = m[[10, 500, 1500]]
+    dirs, probed = probed_list_dirs(path, queries, nprobe=2)
+    all_dirs = glob.glob(f"{path}/ann_list=*")
+    assert len(all_dirs) >= 4 and 0 < len(dirs) < len(all_dirs), (len(dirs), len(all_dirs))
+
+    got = ann_query_index(path, queries, k=3, nprobe=2).to_pandas()
+    brute = ann_brute_force(ray.data.from_arrow(tab), queries, k=3).to_pandas()
+    g1 = got[got["rank"] == 1].sort_values("query_id")["vec_id"].tolist()
+    b1 = brute[brute["rank"] == 1].sort_values("query_id")["vec_id"].tolist()
+    assert g1 == b1  # the query vectors themselves live in the probed lists
+
+
+def test_ann_index_lsh_kind(ray_session, tmp_path):
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.sources.ann_index import ann_query_index, build_ann_index, probed_list_dirs
+
+    m = _synth_embeddings(n=1000, d=12, seed=5)
+    tab = pa.table({"vec_id": pa.array(np.arange(len(m)), pa.int64()),
+                    "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})
+    path = str(tmp_path / "lsh_index")
+    build_ann_index(ray.data.from_arrow(tab).repartition(3), path, kind="lsh", nbits=6)
+    queries = m[[7, 900]]
+    dirs, _ = probed_list_dirs(path, queries, nprobe=1)
+    all_dirs = glob.glob(f"{path}/ann_list=*")
+    assert 0 < len(dirs) <= len(all_dirs)
+    got = ann_query_index(path, queries, k=1).to_pandas()
+    assert got[got["rank"] == 1].sort_values("query_id")["vec_id"].tolist() == [7, 900]
