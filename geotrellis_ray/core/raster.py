@@ -157,6 +157,180 @@ def resample_nearest(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
     return a[np.ix_(ri, ci)]
 
 
+def _src_frac_coords(n_out: int, n_src: int) -> np.ndarray:
+    """Fractional source coordinates of target cell centers (pixel-center
+    alignment: target center t maps to source coord (t+0.5)*n_src/n_out-0.5)."""
+    return (np.arange(n_out) + 0.5) * n_src / n_out - 0.5
+
+
+def resample_bilinear(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware bilinear: NaN neighbors drop out of the weighted sum and
+    the remaining weights renormalize; all-4-NaN -> NaN.
+    (ref:raster/.../resample/BilinearResample.scala, L:unverified)."""
+    rows, cols = a.shape
+    fy = _src_frac_coords(out_rows, rows)
+    fx = _src_frac_coords(out_cols, cols)
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, rows - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, cols - 1)
+    y1 = np.minimum(y0 + 1, rows - 1)
+    x1 = np.minimum(x0 + 1, cols - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :]
+    f = a.astype(np.float64)
+    corners = (
+        (f[np.ix_(y0, x0)], (1 - wy) * (1 - wx)),
+        (f[np.ix_(y0, x1)], (1 - wy) * wx),
+        (f[np.ix_(y1, x0)], wy * (1 - wx)),
+        (f[np.ix_(y1, x1)], wy * wx),
+    )
+    num = np.zeros((out_rows, out_cols))
+    den = np.zeros((out_rows, out_cols))
+    for v, w in corners:
+        ok = ~np.isnan(v)
+        num += np.where(ok, v, 0.0) * np.broadcast_to(w, v.shape) * ok
+        den += np.broadcast_to(w, v.shape) * ok
+    with np.errstate(invalid="ignore"):
+        out = num / den
+    return np.where(den > 0, out, np.nan)
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """Catmull-Rom (a=-0.5) kernel weights for offsets (-1, 0, 1, 2) at
+    fractional position t in [0,1): shape (len(t), 4)."""
+    A = -0.5
+    out = np.empty((len(t), 4))
+    for j, off in enumerate((-1, 0, 1, 2)):
+        x = np.abs(t - off)
+        w = np.where(
+            x <= 1, (A + 2) * x**3 - (A + 3) * x**2 + 1,
+            np.where(x < 2, A * x**3 - 5 * A * x**2 + 8 * A * x - 4 * A, 0.0),
+        )
+        out[:, j] = w
+    return out
+
+
+def resample_cubic(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """Cubic-convolution (Catmull-Rom) resample; target cells whose 4x4
+    support contains any NoData fall back to the bilinear value (keeps the
+    kernel separable/vectorized without NoData weight renormalization).
+    (ref:raster/.../resample/CubicConvolutionResample.scala, L:unverified)."""
+    rows, cols = a.shape
+    fy = _src_frac_coords(out_rows, rows)
+    fx = _src_frac_coords(out_cols, cols)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = fy - y0
+    tx = fx - x0
+    wy = _cubic_weights(ty)  # (out_rows, 4)
+    wx = _cubic_weights(tx)  # (out_cols, 4)
+    f = a.astype(np.float64)
+    nanmask = np.isnan(f)
+    f0 = np.where(nanmask, 0.0, f)
+    acc = np.zeros((out_rows, out_cols))
+    bad = np.zeros((out_rows, out_cols), dtype=bool)
+    for j in range(4):
+        yi = np.clip(y0 + (j - 1), 0, rows - 1)
+        rowacc = np.zeros((out_rows, out_cols))
+        rowbad = np.zeros((out_rows, out_cols), dtype=bool)
+        for i in range(4):
+            xi = np.clip(x0 + (i - 1), 0, cols - 1)
+            rowacc += f0[np.ix_(yi, xi)] * wx[:, i][None, :]
+            rowbad |= nanmask[np.ix_(yi, xi)]
+        acc += rowacc * wy[:, j][:, None]
+        bad |= rowbad
+    if bad.any():
+        fallback = resample_bilinear(a, out_cols, out_rows)
+        acc = np.where(bad, fallback, acc)
+    return acc
+
+
+def _aggregate_segments(a: np.ndarray, out_cols: int, out_rows: int):
+    """Source cells binned to target cells (box aggregation for decimating
+    resamples): returns (sorted values, sorted target idx, segment bounds)."""
+    rows, cols = a.shape
+    ti_r = np.arange(rows) * out_rows // rows
+    ti_c = np.arange(cols) * out_cols // cols
+    tidx = (ti_r[:, None] * out_cols + ti_c[None, :]).ravel()
+    vals = a.ravel().astype(np.float64)
+    ok = ~np.isnan(vals)
+    order = np.lexsort((vals[ok], tidx[ok]))
+    v = vals[ok][order]
+    t = tidx[ok][order]
+    bounds = np.searchsorted(t, np.arange(out_rows * out_cols + 1))
+    return v, t, bounds
+
+
+def resample_average(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware box average (generalizes downsample_average_2x to any
+    target grid)."""
+    rows, cols = a.shape
+    ti_r = np.arange(rows) * out_rows // rows
+    ti_c = np.arange(cols) * out_cols // cols
+    tidx = (ti_r[:, None] * out_cols + ti_c[None, :]).ravel()
+    vals = a.ravel().astype(np.float64)
+    ok = ~np.isnan(vals)
+    n = np.bincount(tidx[ok], minlength=out_rows * out_cols)
+    s = np.bincount(tidx[ok], weights=vals[ok], minlength=out_rows * out_cols)
+    with np.errstate(invalid="ignore"):
+        out = s / n
+    return np.where(n > 0, out, np.nan).reshape(out_rows, out_cols)
+
+
+def resample_median(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware box median — fully vectorized (per-segment middle
+    elements of the value-sorted bins)."""
+    v, _t, bounds = _aggregate_segments(a, out_cols, out_rows)
+    counts = bounds[1:] - bounds[:-1]
+    midlo = bounds[:-1] + np.maximum(counts - 1, 0) // 2
+    midhi = bounds[:-1] + np.maximum(counts, 1) // 2
+    safe_lo = np.minimum(midlo, max(len(v) - 1, 0))
+    safe_hi = np.minimum(midhi, max(len(v) - 1, 0))
+    if len(v) == 0:
+        return np.full((out_rows, out_cols), np.nan)
+    med = (v[safe_lo] + v[safe_hi]) / 2.0
+    return np.where(counts > 0, med, np.nan).reshape(out_rows, out_cols)
+
+
+def resample_mode(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware box mode (categorical resample); ties break to the
+    SMALLEST value (deterministic). Vectorized run-length over value-sorted
+    bins."""
+    v, t, bounds = _aggregate_segments(a, out_cols, out_rows)
+    ncells = out_rows * out_cols
+    if len(v) == 0:
+        return np.full((out_rows, out_cols), np.nan)
+    change = np.r_[True, (v[1:] != v[:-1]) | (t[1:] != t[:-1])]
+    run_id = np.cumsum(change) - 1
+    run_len = np.bincount(run_id)
+    run_val = v[change]
+    run_t = t[change]
+    # pick, per target, the longest run; ties -> smallest value (runs are
+    # value-sorted within a target, stable lexsort keeps that order)
+    order = np.lexsort((-run_len, run_t))  # stable: ties keep value order
+    rt = run_t[order]
+    first = np.r_[True, rt[1:] != rt[:-1]]
+    sel = order[first]
+    out = np.full(ncells, np.nan)
+    out[rt[first]] = run_val[sel]
+    return out.reshape(out_rows, out_cols)
+
+
+RESAMPLE_KERNELS = {
+    "nearest": resample_nearest,
+    "bilinear": resample_bilinear,
+    "cubic": resample_cubic,
+    "average": resample_average,
+    "median": resample_median,
+    "mode": resample_mode,
+}
+
+
+def resample(a: np.ndarray, out_cols: int, out_rows: int, method: str = "nearest") -> np.ndarray:
+    if method not in RESAMPLE_KERNELS:
+        raise ValueError(f"unknown resample method {method!r}; have {sorted(RESAMPLE_KERNELS)}")
+    return RESAMPLE_KERNELS[method](a, out_cols, out_rows)
+
+
 def downsample_average_2x(a: np.ndarray) -> np.ndarray:
     """2x decimating average (NoData-aware) — the pyramid kernel."""
     rows, cols = a.shape

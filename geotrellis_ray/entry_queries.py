@@ -1094,6 +1094,33 @@ def q_buffer_focal_toy(sf_dir: str):
     return out.select_columns(["key_col", "key_row", "cols", "rows"])
 
 
+def q_terrain_toy(sf_dir: str):
+    """Terrain surface ops (Horn slope / aspect / hillshade over buffered
+    collars) + bilinear layer resample — per-tile mean of each product
+    (rows-only; exactness pytest-verified against mosaic brute force)."""
+    from .stages.layer_ops import batch_to_cube, focal_hillshade, focal_slope, layer_resample
+
+    base = _toy_layer(sf_dir, 3)
+    slope = focal_slope(base, 30.0, 30.0)
+    hs = focal_hillshade(_toy_layer(sf_dir, 3), 30.0, 30.0)
+    resampled = layer_resample(_toy_layer(sf_dir, 3), 8, 8, "bilinear")
+
+    def summarize(tag):
+        def f(b: pa.Table) -> pa.Table:
+            cube = batch_to_cube(b)
+            means = np.nanmean(cube.reshape(cube.shape[0], -1), axis=1) if cube.size else np.array([])
+            return pa.table({
+                "op": pa.array([tag] * b.num_rows, pa.string()),
+                "key_col": b["key_col"], "key_row": b["key_row"],
+                "mean_val": pa.array(means, pa.float64()),
+            })
+        return f
+
+    out = slope.map_batches(summarize("slope"), batch_format="pyarrow", zero_copy_batch=True)
+    out = out.union(hs.map_batches(summarize("hillshade"), batch_format="pyarrow", zero_copy_batch=True))
+    return out.union(resampled.map_batches(summarize("resample_bilinear"), batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_merge_layers_toy(sf_dir: str):
     from .stages.layer_ops import merge_layers
 
@@ -1175,6 +1202,7 @@ def build_queries() -> dict:
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
+        "q_terrain_toy": q_terrain_toy,
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_reproject_points": q_reproject_points,
     }

@@ -131,6 +131,37 @@ def _op_focal_mean(ds, margin: int = 1):
     return focal_mean(ds, margin=margin)
 
 
+def _op_focal(ds, stat: str = "mean", margin: int = 1):
+    from ..stages.layer_ops import focal_op
+
+    return focal_op(ds, stat, margin=margin)
+
+
+def _op_focal_slope(ds, cell_width: float, cell_height: float, z_factor: float = 1.0):
+    from ..stages.layer_ops import focal_slope
+
+    return focal_slope(ds, cell_width, cell_height, z_factor)
+
+
+def _op_focal_aspect(ds, cell_width: float, cell_height: float):
+    from ..stages.layer_ops import focal_aspect
+
+    return focal_aspect(ds, cell_width, cell_height)
+
+
+def _op_focal_hillshade(ds, cell_width: float, cell_height: float,
+                        azimuth: float = 315.0, altitude: float = 45.0, z_factor: float = 1.0):
+    from ..stages.layer_ops import focal_hillshade
+
+    return focal_hillshade(ds, cell_width, cell_height, azimuth, altitude, z_factor)
+
+
+def _op_resample_tiles(ds, out_cols: int, out_rows: int, method: str = "nearest"):
+    from ..stages.layer_ops import layer_resample
+
+    return layer_resample(ds, out_cols, out_rows, method)
+
+
 def _op_buffer_tiles(ds, margin: int = 1):
     from ..stages.layer_ops import buffer_tiles
 
@@ -228,6 +259,11 @@ for _name, _fn in {
     "local.unary": _op_local_unary,
     "local.scalar": _op_local_scalar,
     "focal.mean": _op_focal_mean,
+    "focal.op": _op_focal,
+    "focal.slope": _op_focal_slope,
+    "focal.aspect": _op_focal_aspect,
+    "focal.hillshade": _op_focal_hillshade,
+    "transform.resample_tiles": _op_resample_tiles,
     "buffer.tiles": _op_buffer_tiles,
     "transform.reproject": _op_reproject_points,
     "transform.spacetime_key": _op_spacetime_key,

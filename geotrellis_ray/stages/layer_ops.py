@@ -320,6 +320,104 @@ def focal_mean(ds, margin: int = 1):
     return focal_op(ds, "mean", margin)
 
 
+def layer_resample(ds, out_cols: int, out_rows: int, method: str = "nearest"):
+    """Per-tile resample to (out_cols, out_rows) with any RESAMPLE_KERNELS
+    method (nearest/bilinear/cubic/average/median/mode —
+    ref:raster/.../resample/*.scala, L:unverified). Pure per-tile map, no
+    shuffle; pair with tile_to_layout for cross-tile regridding."""
+    from ..core.raster import resample
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        out = np.stack([resample(cube[i], out_cols, out_rows, method) for i in range(cube.shape[0])])
+        return _tile_table(batch, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _horn_gradients(cube: np.ndarray, cell_width: float, cell_height: float):
+    """Horn's method gradients over a margin-1 buffered cube (n, R+2, C+2):
+    returns (zx, zy) for the centers. NaN neighbors are substituted with the
+    center value (standard DEM edge practice); NaN centers stay NaN.
+    zy is oriented so +y = north (row index grows southward)."""
+    c = cube[:, 1:-1, 1:-1]
+    def nb(dr, dc):
+        v = cube[:, 1 + dr : cube.shape[1] - 1 + dr, 1 + dc : cube.shape[2] - 1 + dc]
+        return np.where(np.isnan(v), c, v)
+
+    tl, t, tr = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    l_, r_ = nb(0, -1), nb(0, 1)
+    bl, b, br = nb(1, -1), nb(1, 0), nb(1, 1)
+    zx = ((tr + 2 * r_ + br) - (tl + 2 * l_ + bl)) / (8.0 * cell_width)
+    zy = ((tl + 2 * t + tr) - (bl + 2 * b + br)) / (8.0 * cell_height)
+    return zx, zy
+
+
+def focal_slope(ds, cell_width: float, cell_height: float, z_factor: float = 1.0):
+    """Slope in DEGREES via Horn's method across tile boundaries
+    (BufferTiles collar — ref:raster/.../mapalgebra/focal/Slope.scala,
+    L:unverified)."""
+    buffered = buffer_tiles(ds, margin=1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        zx, zy = _horn_gradients(cube, cell_width, cell_height)
+        out = np.degrees(np.arctan(z_factor * np.hypot(zx, zy)))
+        out[np.isnan(cube[:, 1:-1, 1:-1])] = np.nan
+        return _tile_table(batch, out)
+
+    return buffered.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_aspect(ds, cell_width: float, cell_height: float):
+    """Aspect in compass DEGREES (0 = north, clockwise; flat cells -> 0.0,
+    NaN centers stay NaN — ref:raster/.../mapalgebra/focal/Aspect.scala,
+    L:unverified)."""
+    buffered = buffer_tiles(ds, margin=1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        zx, zy = _horn_gradients(cube, cell_width, cell_height)
+        az = np.degrees(np.arctan2(-zx, zy))  # downslope direction from north
+        az = np.mod(az + 360.0, 360.0)
+        flat = (zx == 0) & (zy == 0)
+        out = np.where(flat, 0.0, az)
+        out[np.isnan(cube[:, 1:-1, 1:-1])] = np.nan
+        return _tile_table(batch, out)
+
+    return buffered.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_hillshade(ds, cell_width: float, cell_height: float,
+                    azimuth: float = 315.0, altitude: float = 45.0, z_factor: float = 1.0):
+    """Hillshade 0..255 (standard illumination model over Horn gradients —
+    ref:raster/.../mapalgebra/focal/Hillshade.scala, L:unverified)."""
+    buffered = buffer_tiles(ds, margin=1)
+    zenith = np.radians(90.0 - altitude)
+    az_math = np.radians(360.0 - azimuth + 90.0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        zx, zy = _horn_gradients(cube, cell_width, cell_height)
+        slope = np.arctan(z_factor * np.hypot(zx, zy))
+        aspect = np.arctan2(zy, -zx)  # math convention for the illumination dot
+        shade = (np.cos(zenith) * np.cos(slope)
+                 + np.sin(zenith) * np.sin(slope) * np.cos(az_math - aspect))
+        out = np.round(255.0 * np.clip(shade, 0.0, 1.0))
+        out[np.isnan(cube[:, 1:-1, 1:-1])] = np.nan
+        return _tile_table(batch, out)
+
+    return buffered.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def layer_mask(ds, geom: dict, layout, invert: bool = False):
     """Mask(geometry) over a tile layer: cells outside (or inside, with
     ``invert``) the geometry become NoData. Pure per-tile numpy

@@ -157,3 +157,146 @@ def test_focal_ops_match_bruteforce(ray_session, op, npfn):
     for (c, r), tile in got.items():
         exp = exp_big[r * T:(r + 1) * T, c * T:(c + 1) * T]
         np.testing.assert_allclose(tile, exp, equal_nan=True)
+
+
+def _brute_horn(big, cw, ch):
+    """Per-cell Horn gradients on the stitched mosaic: NaN neighbors replaced
+    by the center value; NaN centers stay NaN. Returns (zx, zy)."""
+    pad = np.pad(big, 1, constant_values=np.nan)
+    zx = np.full_like(big, np.nan)
+    zy = np.full_like(big, np.nan)
+    for i in range(big.shape[0]):
+        for j in range(big.shape[1]):
+            c = big[i, j]
+            if np.isnan(c):
+                continue
+            w = pad[i:i + 3, j:j + 3].copy()
+            w[np.isnan(w)] = c
+            zx[i, j] = ((w[0, 2] + 2 * w[1, 2] + w[2, 2]) - (w[0, 0] + 2 * w[1, 0] + w[2, 0])) / (8 * cw)
+            zy[i, j] = ((w[0, 0] + 2 * w[0, 1] + w[0, 2]) - (w[2, 0] + 2 * w[2, 1] + w[2, 2])) / (8 * ch)
+    return zx, zy
+
+
+def test_focal_slope_aspect_hillshade_match_bruteforce(ray_session):
+    from geotrellis_ray.stages.layer_ops import focal_aspect, focal_hillshade, focal_slope
+
+    cw, ch = 30.0, 30.0
+    big = _mosaic(KEYS)
+    zx, zy = _brute_horn(big, cw, ch)
+
+    got_slope = layer_to_dict(focal_slope(make_layer(KEYS), cw, ch))
+    exp_slope = np.degrees(np.arctan(np.hypot(zx, zy)))
+    for (c, r), tile in got_slope.items():
+        np.testing.assert_allclose(tile, exp_slope[r * T:(r + 1) * T, c * T:(c + 1) * T],
+                                   equal_nan=True, atol=1e-9)
+
+    got_aspect = layer_to_dict(focal_aspect(make_layer(KEYS), cw, ch))
+    az = np.mod(np.degrees(np.arctan2(-zx, zy)) + 360.0, 360.0)
+    exp_aspect = np.where((zx == 0) & (zy == 0), 0.0, az)
+    exp_aspect[np.isnan(big)] = np.nan
+    for (c, r), tile in got_aspect.items():
+        np.testing.assert_allclose(tile, exp_aspect[r * T:(r + 1) * T, c * T:(c + 1) * T],
+                                   equal_nan=True, atol=1e-9)
+
+    got_hs = layer_to_dict(focal_hillshade(make_layer(KEYS), cw, ch))
+    zen = np.radians(45.0)
+    azm = np.radians(360.0 - 315.0 + 90.0)
+    slope_r = np.arctan(np.hypot(zx, zy))
+    aspect_m = np.arctan2(zy, -zx)
+    shade = np.cos(zen) * np.cos(slope_r) + np.sin(zen) * np.sin(slope_r) * np.cos(azm - aspect_m)
+    exp_hs = np.round(255.0 * np.clip(shade, 0.0, 1.0))
+    exp_hs[np.isnan(big)] = np.nan
+    for (c, r), tile in got_hs.items():
+        np.testing.assert_allclose(tile, exp_hs[r * T:(r + 1) * T, c * T:(c + 1) * T],
+                                   equal_nan=True, atol=1e-9)
+
+
+def _brute_resample(a, oc, orr, method):
+    """Loop-based oracle for the aggregating and interpolating kernels."""
+    rows, cols = a.shape
+    out = np.full((orr, oc), np.nan)
+    if method in ("average", "median", "mode"):
+        for i in range(orr):
+            for j in range(oc):
+                rs = [r for r in range(rows) if r * orr // rows == i]
+                cs = [c for c in range(cols) if c * oc // cols == j]
+                vals = np.array([a[r, c] for r in rs for c in cs])
+                vals = vals[~np.isnan(vals)]
+                if len(vals) == 0:
+                    continue
+                if method == "average":
+                    out[i, j] = vals.mean()
+                elif method == "median":
+                    out[i, j] = np.median(vals)
+                else:
+                    u, n = np.unique(vals, return_counts=True)
+                    out[i, j] = u[np.argmax(n)]  # unique is sorted: min value on tie
+        return out
+    if method == "bilinear":
+        for i in range(orr):
+            for j in range(oc):
+                fy = (i + 0.5) * rows / orr - 0.5
+                fx = (j + 0.5) * cols / oc - 0.5
+                y0 = int(np.clip(np.floor(fy), 0, rows - 1)); y1 = min(y0 + 1, rows - 1)
+                x0 = int(np.clip(np.floor(fx), 0, cols - 1)); x1 = min(x0 + 1, cols - 1)
+                wy = np.clip(fy - y0, 0, 1); wx = np.clip(fx - x0, 0, 1)
+                num = den = 0.0
+                for (yy, xx, w) in ((y0, x0, (1 - wy) * (1 - wx)), (y0, x1, (1 - wy) * wx),
+                                    (y1, x0, wy * (1 - wx)), (y1, x1, wy * wx)):
+                    v = a[yy, xx]
+                    if not np.isnan(v):
+                        num += v * w; den += w
+                if den > 0:
+                    out[i, j] = num / den
+        return out
+    raise ValueError(method)
+
+
+@pytest.mark.parametrize("method", ["average", "median", "mode", "bilinear"])
+def test_resample_kernels_match_bruteforce(method):
+    from geotrellis_ray.core.raster import resample
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 10, (16, 12))
+    if method == "mode":
+        a = np.floor(a)  # categorical
+    a[rng.random(a.shape) < 0.2] = np.nan
+    for oc, orr in [(6, 8), (4, 4), (24, 20)] if method == "bilinear" else [(6, 8), (4, 4)]:
+        got = resample(a, oc, orr, method)
+        exp = _brute_resample(a, oc, orr, method)
+        np.testing.assert_allclose(got, exp, equal_nan=True, atol=1e-12)
+
+
+def test_resample_cubic_properties():
+    """Cubic: matches the analytic surface away from NoData (Catmull-Rom
+    reproduces linear surfaces exactly) and falls back to bilinear near
+    NoData."""
+    from geotrellis_ray.core.raster import resample, resample_bilinear
+
+    y, x = np.mgrid[0:16, 0:12]
+    a = (2.0 * x + 3.0 * y).astype(np.float64)
+    got = resample(a, 24, 32, "cubic")
+    # linear surface: cubic interpolation is exact at interior targets
+    fy = (np.arange(32) + 0.5) * 16 / 32 - 0.5
+    fx = (np.arange(24) + 0.5) * 12 / 24 - 0.5
+    exp = 2.0 * np.clip(fx, 0, 11)[None, :] + 3.0 * np.clip(fy, 0, 15)[:, None]
+    interior = np.ix_(np.arange(32)[(fy >= 1) & (fy <= 14)], np.arange(24)[(fx >= 1) & (fx <= 10)])
+    np.testing.assert_allclose(got[interior], exp[interior], atol=1e-9)
+
+    a2 = a.copy(); a2[8, 6] = np.nan
+    got2 = resample(a2, 24, 32, "cubic")
+    bil = resample_bilinear(a2, 24, 32)
+    # cells whose 4x4 support touches the NaN must equal the bilinear fallback
+    bad_y = (fy >= 6) & (fy <= 10); bad_x = (fx >= 4) & (fx <= 8)
+    sel = np.ix_(np.arange(32)[bad_y], np.arange(24)[bad_x])
+    np.testing.assert_allclose(got2[sel], bil[sel], equal_nan=True)
+
+
+def test_layer_resample(ray_session):
+    from geotrellis_ray.stages.layer_ops import layer_resample
+    from geotrellis_ray.core.raster import resample
+
+    got = layer_to_dict(layer_resample(make_layer(KEYS), 4, 4, "average"))
+    for k in KEYS:
+        np.testing.assert_allclose(got[k], resample(tile_values(*k), 4, 4, "average"),
+                                   equal_nan=True)
