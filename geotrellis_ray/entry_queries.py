@@ -1094,6 +1094,49 @@ def q_buffer_focal_toy(sf_dir: str):
     return out.select_columns(["key_col", "key_row", "cols", "rows"])
 
 
+def q_geojson_cliptogrid(sf_dir: str):
+    """GeoJSON as a real pipeline source: fixture polygons exported to
+    GeoJSON files under /tmp, read back distributed (read_geojson), then
+    ClipToGrid per feature — (polygon_id, n_keys). Rows-only; byte-exact
+    geometry round-trips are pytest-verified (test_geojson)."""
+    import json
+    import os
+
+    from ray.data.aggregate import Count
+
+    from .core import wkb as wkb_mod
+    from .core.geojson import geom_to_geojson, read_geojson
+    from .stages.clip import clip_to_grid_batch
+
+    d = f"/tmp/graft_geojson_{os_basename(sf_dir)}"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        tab = gen_polygons_table_cached()
+        geoms = [wkb_mod.decode(b) for b in tab["wkb"].to_pylist()]
+        pids = tab["polygon_id"].to_pylist()
+        for k in range(4):
+            feats = [
+                {"type": "Feature", "geometry": geom_to_geojson(geoms[i]),
+                 "properties": {"polygon_id": pids[i]}}
+                for i in range(len(geoms)) if i % 4 == k
+            ]
+            with open(f"{d}/part-{k}.geojson", "w") as f:
+                json.dump({"type": "FeatureCollection", "features": feats}, f)
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 32, 32))
+    ds = read_geojson(d)
+
+    def with_pid(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        pids = pa.array([_json.loads(p)["polygon_id"] for p in b["properties"].to_pylist()], pa.int64())
+        return pa.table({"polygon_id": pids, "wkb": b["wkb"]})
+
+    exploded = ds.map_batches(with_pid, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return exploded.groupby("polygon_id").aggregate(Count(alias_name="n_keys"))
+
+
 def q_terrain_toy(sf_dir: str):
     """Terrain surface ops (Horn slope / aspect / hillshade over buffered
     collars) + bilinear layer resample — per-tile mean of each product
@@ -1203,6 +1246,7 @@ def build_queries() -> dict:
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
         "q_terrain_toy": q_terrain_toy,
+        "q_geojson_cliptogrid": q_geojson_cliptogrid,
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_reproject_points": q_reproject_points,
     }

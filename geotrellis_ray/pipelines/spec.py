@@ -220,6 +220,12 @@ def _op_clip_to_grid(ds, extent, tile_layout, **kw):
     )
 
 
+def _op_read_geojson(ds, path: str):
+    from ..core.geojson import read_geojson
+
+    return read_geojson(path)
+
+
 def _op_read_rasters(ds, path: str):
     from ..sources.raster_ingest import read_raster_files
 
@@ -273,6 +279,7 @@ for _name, _fn in {
     "transform.clip_to_grid": _op_clip_to_grid,
     "pyramid.up_levels": _op_pyramid_up_levels,
     "read.rasters": _op_read_rasters,
+    "read.geojson": _op_read_geojson,
     "transform.tile_to_layout": _op_tile_to_layout,
 }.items():
     register_op(_name, _fn)
