@@ -1,0 +1,377 @@
+"""Minimal single-band GeoTiff codec — stdlib struct + zlib only.
+
+The #1 real-world entry point to the reference
+(ref:raster/src/main/scala/geotrellis/raster/io/geotiff/, ~8k LoC,
+L:unverified — /root/reference empty at survey time; SURVEY.md §7 scoped it
+out of v1, VERDICT r01 ranked it the biggest capability gap). This is a
+from-spec (TIFF 6.0 + GeoTIFF 1.1) implementation, NOT a port.
+
+Supported (read):
+- classic TIFF, little- or big-endian (II / MM); BigTIFF is refused
+- single band (SamplesPerPixel=1), bits 8/16/32/64, SampleFormat
+  uint / int / float
+- strip and tile organization
+- Compression: 1 (none) and 8 (Deflate/zlib), Predictor 1 (none) and
+  2 (horizontal differencing)
+- georeferencing from ModelPixelScale + ModelTiepoint (axis-aligned only;
+  ModelTransformation is refused), GeoKeyDirectory EPSG code recorded
+- GDAL_NODATA ascii tag -> cells mapped to NaN
+
+Supported (write): tiled or stripped single-band Deflate/uncompressed with
+predictor, pixel-scale/tiepoint geo tags, GDAL_NODATA.
+
+Decoded cells are float64 with NaN as NoData (the engine's tile model,
+core/raster.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .layout import Extent
+
+# TIFF tag ids
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
+_SAMPLE_FORMAT = 339
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_MODEL_TRANSFORMATION = 34264
+_GEO_KEY_DIRECTORY = 34735
+_GDAL_NODATA = 42113
+
+# TIFF field types: id -> (struct code, byte size)
+_FIELD_TYPES = {
+    1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+    6: ("b", 1), 7: ("c", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+    11: ("f", 4), 12: ("d", 8),
+}
+
+# GeoKey ids we record
+_GK_GT_MODEL_TYPE = 1024
+_GK_GEOGRAPHIC_TYPE = 2048
+_GK_PROJECTED_CS_TYPE = 3072
+
+
+def _dtype_for(bits: int, fmt: int, endian: str) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+    if kind is None:
+        raise ValueError(f"unsupported SampleFormat {fmt}")
+    if kind == "f" and bits not in (32, 64):
+        raise ValueError(f"unsupported float width {bits}")
+    if kind in ("u", "i") and bits not in (8, 16, 32, 64):
+        raise ValueError(f"unsupported integer width {bits}")
+    return np.dtype(f"{endian}{kind}{bits // 8}")
+
+
+def _read_ifd_entries(buf: bytes, off: int, endian: str) -> dict[int, list]:
+    (n,) = struct.unpack_from(endian + "H", buf, off)
+    off += 2
+    tags: dict[int, list] = {}
+    for _ in range(n):
+        tag, ftype, count = struct.unpack_from(endian + "HHI", buf, off)
+        if ftype not in _FIELD_TYPES:
+            off += 12
+            continue
+        code, size = _FIELD_TYPES[ftype]
+        nbytes = size * count
+        if nbytes <= 4:
+            data_off = off + 8
+        else:
+            (data_off,) = struct.unpack_from(endian + "I", buf, off + 8)
+        if ftype in (2, 7):  # ascii / undefined: raw bytes
+            vals = [buf[data_off : data_off + count]]
+        elif ftype in (5, 10):  # rationals
+            raw = struct.unpack_from(endian + code[0] * 2 * count, buf, data_off)
+            vals = [raw[i] / raw[i + 1] if raw[i + 1] else 0.0 for i in range(0, 2 * count, 2)]
+        else:
+            vals = list(struct.unpack_from(endian + code * count, buf, data_off))
+        tags[tag] = vals
+        off += 12
+    return tags
+
+
+def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
+    # horizontal differencing is defined on the stored integer width
+    return np.cumsum(arr, axis=1, dtype=arr.dtype)
+
+
+def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
+    """GeoTiff bytes -> (Extent, float64 array with NaN NoData, meta).
+    meta: {"epsg": int | None, "nodata": float | None, "cols", "rows",
+    "dtype": str}."""
+    if buf[:2] == b"II":
+        endian = "<"
+    elif buf[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack_from(endian + "H", buf, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF is not supported")
+    if magic != 42:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    (ifd_off,) = struct.unpack_from(endian + "I", buf, 4)
+    tags = _read_ifd_entries(buf, ifd_off, endian)
+
+    if tags.get(_SAMPLES_PER_PIXEL, [1])[0] != 1:
+        raise ValueError("only single-band GeoTiffs are supported")
+    if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
+        raise ValueError("unsupported PlanarConfiguration")
+    if _MODEL_TRANSFORMATION in tags:
+        raise ValueError("ModelTransformation (rotated rasters) is not supported")
+    comp = tags.get(_COMPRESSION, [1])[0]
+    if comp not in (1, 8):
+        raise ValueError(f"unsupported Compression {comp} (only none/Deflate)")
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported Predictor {predictor}")
+
+    cols = int(tags[_IMAGE_WIDTH][0])
+    rows = int(tags[_IMAGE_LENGTH][0])
+    bits = int(tags.get(_BITS_PER_SAMPLE, [8])[0])
+    fmt = int(tags.get(_SAMPLE_FORMAT, [1])[0])
+    dt = _dtype_for(bits, fmt, endian)
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("floating-point predictor is not supported")
+
+    def segments(offsets, counts, seg_cols, seg_rows, tiled):
+        out = np.empty((rows, cols), dtype=dt.newbyteorder("="))
+        per_row = -(-cols // seg_cols)  # tiles per row of tiles (1 for strips)
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            raw = buf[int(o) : int(o) + int(c)]
+            if comp == 8:
+                raw = zlib.decompress(raw)
+            if tiled:
+                tr, tc = divmod(idx, per_row)
+                r0, c0 = tr * seg_rows, tc * seg_cols
+                seg = np.frombuffer(raw, dtype=dt, count=seg_rows * seg_cols).reshape(seg_rows, seg_cols)
+                if predictor == 2:
+                    seg = _undo_predictor2(seg)
+                out[r0 : min(r0 + seg_rows, rows), c0 : min(c0 + seg_cols, cols)] = seg[
+                    : min(seg_rows, rows - r0), : min(seg_cols, cols - c0)
+                ]
+            else:
+                r0 = idx * seg_rows
+                nr = min(seg_rows, rows - r0)
+                seg = np.frombuffer(raw, dtype=dt, count=nr * cols).reshape(nr, cols)
+                if predictor == 2:
+                    seg = _undo_predictor2(seg)
+                out[r0 : r0 + nr] = seg
+        return out
+
+    if _TILE_OFFSETS in tags:
+        tw = int(tags[_TILE_WIDTH][0])
+        th = int(tags[_TILE_LENGTH][0])
+        arr = segments(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS], tw, th, tiled=True)
+    else:
+        rps = int(tags.get(_ROWS_PER_STRIP, [rows])[0])
+        arr = segments(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS], cols, rps, tiled=False)
+
+    # georeferencing: raster-space (0,0) tiepoint + pixel scale
+    if _MODEL_PIXEL_SCALE not in tags or _MODEL_TIEPOINT not in tags:
+        raise ValueError("missing ModelPixelScale/ModelTiepoint geo tags")
+    sx, sy = float(tags[_MODEL_PIXEL_SCALE][0]), float(tags[_MODEL_PIXEL_SCALE][1])
+    tp = tags[_MODEL_TIEPOINT]
+    i, j, _k, x, y = float(tp[0]), float(tp[1]), tp[2], float(tp[3]), float(tp[4])
+    xmin = x - i * sx
+    ymax = y + j * sy
+    extent = Extent(xmin, ymax - rows * sy, xmin + cols * sx, ymax)
+
+    epsg = None
+    if _GEO_KEY_DIRECTORY in tags:
+        gk = tags[_GEO_KEY_DIRECTORY]
+        nkeys = int(gk[3])
+        for k in range(nkeys):
+            kid, loc, _cnt, val = gk[4 + 4 * k : 8 + 4 * k]
+            if loc == 0 and kid in (_GK_GEOGRAPHIC_TYPE, _GK_PROJECTED_CS_TYPE):
+                epsg = int(val)
+
+    nodata = None
+    out = arr.astype(np.float64)
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(tags[_GDAL_NODATA][0].rstrip(b"\x00").decode("ascii").strip())
+        except (ValueError, UnicodeDecodeError):
+            nodata = None
+    if nodata is not None:
+        if np.isnan(nodata):
+            pass  # float NaN nodata already maps
+        else:
+            out[arr == dt.type(nodata)] = np.nan
+    meta = {"epsg": epsg, "nodata": nodata, "cols": cols, "rows": rows, "dtype": str(np.dtype(dt).newbyteorder("="))}
+    return extent, out, meta
+
+
+# --- writer -----------------------------------------------------------------
+
+def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
+    out = arr.copy()
+    out[:, 1:] = arr[:, 1:] - arr[:, :-1]
+    return out
+
+
+def encode_geotiff(
+    extent: Extent,
+    arr: np.ndarray,
+    epsg: int = 4326,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    tile_size: int | None = 256,
+    dtype: str | np.dtype | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """(Extent, 2-D array) -> little-endian classic GeoTiff bytes. NaN cells
+    become ``nodata`` (required for integer dtypes). ``tile_size=None``
+    writes strips (8 rows each)."""
+    rows, cols = arr.shape
+    dt = np.dtype(dtype) if dtype is not None else np.dtype(arr.dtype)
+    dt = dt.newbyteorder("<")
+    data = np.asarray(arr, dtype=np.float64)
+    nanmask = np.isnan(data)
+    if nanmask.any():
+        if nodata is None and dt.kind != "f":
+            raise ValueError("integer GeoTiff with NaN cells needs an explicit nodata")
+        data = np.where(nanmask, np.nan if (nodata is None) else nodata, data)
+    store = data.astype(dt)
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("floating-point predictor is not supported")
+
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+    comp_code = {"none": 1, "deflate": 8}[compression]
+
+    segs: list[bytes] = []
+    if tile_size:
+        tw = th = int(tile_size)
+        for r0 in range(0, rows, th):
+            for c0 in range(0, cols, tw):
+                block = np.full((th, tw), store[r0, c0] * 0, dtype=dt)
+                sub = store[r0 : r0 + th, c0 : c0 + tw]
+                if nodata is not None:
+                    block[:] = dt.type(nodata)
+                elif dt.kind == "f":
+                    block[:] = dt.type(np.nan)
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                if predictor == 2:
+                    block = _apply_predictor2(block)
+                raw = block.tobytes()
+                segs.append(zlib.compress(raw) if comp_code == 8 else raw)
+        seg_tags = [(_TILE_WIDTH, 3, [tw]), (_TILE_LENGTH, 3, [th])]
+        off_tag, cnt_tag = _TILE_OFFSETS, _TILE_BYTE_COUNTS
+    else:
+        rps = 8
+        for r0 in range(0, rows, rps):
+            block = store[r0 : r0 + rps]
+            if predictor == 2:
+                block = _apply_predictor2(block)
+            raw = block.tobytes()
+            segs.append(zlib.compress(raw) if comp_code == 8 else raw)
+        seg_tags = [(_ROWS_PER_STRIP, 3, [rps])]
+        off_tag, cnt_tag = _STRIP_OFFSETS, _STRIP_BYTE_COUNTS
+
+    sx = extent.width / cols
+    sy = extent.height / rows
+    geo_dir = [1, 1, 0, 2,
+               _GK_GT_MODEL_TYPE, 0, 1, 2 if epsg == 4326 else 1,
+               (_GK_GEOGRAPHIC_TYPE if epsg == 4326 else _GK_PROJECTED_CS_TYPE), 0, 1, epsg]
+
+    entries: list[tuple[int, int, list]] = [
+        (_IMAGE_WIDTH, 4, [cols]),
+        (_IMAGE_LENGTH, 4, [rows]),
+        (_BITS_PER_SAMPLE, 3, [bits]),
+        (_COMPRESSION, 3, [comp_code]),
+        (_PHOTOMETRIC, 3, [1]),
+        (_SAMPLES_PER_PIXEL, 3, [1]),
+        *seg_tags,
+        (_PLANAR_CONFIG, 3, [1]),
+        (_PREDICTOR, 3, [predictor]),
+        (_SAMPLE_FORMAT, 3, [fmt]),
+        (_MODEL_PIXEL_SCALE, 12, [sx, sy, 0.0]),
+        (_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0]),
+        (_GEO_KEY_DIRECTORY, 3, geo_dir),
+    ]
+    if nodata is not None:
+        nd_txt = (f"{int(nodata)}" if float(nodata).is_integer() and dt.kind != "f"
+                  else f"{nodata:.10g}").encode("ascii") + b"\x00"
+        entries.append((_GDAL_NODATA, 2, [nd_txt]))
+
+    # layout: header(8) + IFD + out-of-line tag data + segment data
+    n_entries = len(entries) + 2  # + offsets/counts tags
+    ifd_size = 2 + 12 * n_entries + 4
+    data_off = 8 + ifd_size
+
+    overflow: list[bytes] = []
+
+    def pack_value(ftype: int, vals) -> tuple[bytes, int]:
+        nonlocal data_off
+        if ftype == 2:
+            raw = vals[0]
+            count = len(raw)
+        else:
+            code, _sz = _FIELD_TYPES[ftype]
+            raw = struct.pack("<" + code * len(vals), *vals)
+            count = len(vals)
+        if len(raw) <= 4:
+            return raw.ljust(4, b"\x00"), count
+        ptr = data_off
+        overflow.append(raw)
+        data_off += len(raw)
+        if data_off % 2:  # keep word alignment
+            overflow.append(b"\x00")
+            data_off += 1
+        return struct.pack("<I", ptr), count
+
+    packed: list[bytes] = []
+    all_entries = entries + [(off_tag, 4, None), (cnt_tag, 4, None)]
+    seg_counts = [len(s) for s in segs]
+    # reserve overflow space for offsets/counts before computing segment base
+    for tag, ftype, vals in sorted(all_entries):
+        if vals is None:
+            vals = [0] * len(segs)  # placeholder, re-packed below
+        data, count = pack_value(ftype, vals)
+        packed.append(struct.pack("<HHI", tag, ftype, count) + data)
+
+    seg_base = data_off
+    offsets = []
+    o = seg_base
+    for c in seg_counts:
+        offsets.append(o)
+        o += c + (c % 2)
+
+    # re-pack with real offsets/counts (same sizes, so layout is unchanged)
+    overflow.clear()
+    data_off = 8 + ifd_size
+    packed = []
+    for tag, ftype, vals in sorted(all_entries):
+        if vals is None:
+            vals = offsets if tag == off_tag else seg_counts
+        data, count = pack_value(ftype, vals)
+        packed.append(struct.pack("<HHI", tag, ftype, count) + data)
+
+    out = [b"II", struct.pack("<H", 42), struct.pack("<I", 8)]
+    out.append(struct.pack("<H", n_entries))
+    out.extend(packed)
+    out.append(struct.pack("<I", 0))  # no next IFD
+    out.extend(overflow)
+    for s in segs:
+        out.append(s)
+        if len(s) % 2:
+            out.append(b"\x00")
+    return b"".join(out)

@@ -817,6 +817,40 @@ def q_raster_ingest(sf_dir: str):
     return tiles.map_batches(count_defined, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_geotiff_ingest(sf_dir: str):
+    """Real GeoTiff ingest end-to-end: deterministic Deflate-tiled GeoTiffs
+    (core/geotiff.py writer) -> read_geotiffs -> tileToLayout -> per-tile
+    defined-cell count. Rows-only; byte-level exactness and the write_geotiffs
+    sink round-trip are pytest-verified (test_geotiff)."""
+    import os
+
+    from .core.geotiff import encode_geotiff
+    from .core.layout import Extent as Ext2
+    from .core.raster import decode_tile
+    from .sources.raster_ingest import read_geotiffs, tile_to_layout
+
+    d = f"/tmp/graft_gtiffs_{os_basename(sf_dir)}"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(17)
+        world = rng.uniform(1, 9, (64, 64))
+        for i, (x0, y0) in enumerate([(0, 0), (3, 0), (0, 3), (3, 3)]):
+            sub = world[y0 * 8:(y0 + 5) * 8, x0 * 8:(x0 + 5) * 8]
+            ext = Ext2(float(x0), 8.0 - float(y0 + 5), float(x0 + 5), 8.0 - float(y0))
+            with open(f"{d}/q{i}.tif", "wb") as f:
+                f.write(encode_geotiff(ext, sub, compression="deflate", tile_size=16))
+    layout = LayoutDefinition(Extent(0.0, 0.0, 8.0, 8.0), TileLayout(8, 8, 8, 8))
+    tiles = tile_to_layout(read_geotiffs(d), layout)
+
+    def count_defined(b: pa.Table) -> pa.Table:
+        ns = [int(np.isfinite(decode_tile(r["cells"], r["cols"], r["rows"], r["cell_type"])).sum())
+              for r in b.to_pylist()]
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "n_defined": pa.array(ns, pa.int64())})
+
+    return tiles.map_batches(count_defined, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_multimodal_stub(sf_dir: str):
     """Multimodal pipeline over REAL payloads: deterministic BMP images
     synthesized per doc (sha-seeded pixels, real codec), decoded by the
@@ -1236,6 +1270,7 @@ def build_queries() -> dict:
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
         "q_raster_ingest": q_raster_ingest,
+        "q_geotiff_ingest": q_geotiff_ingest,
         "q_histogram_breaks": q_histogram_breaks,
         "q_polygonal_summary": q_polygonal_summary,
         "q_spacetime_counts": q_spacetime_counts,

@@ -220,6 +220,19 @@ def _op_clip_to_grid(ds, extent, tile_layout, **kw):
     )
 
 
+def _op_read_geotiffs(ds, path: str):
+    from ..sources.raster_ingest import read_geotiffs
+
+    return read_geotiffs(path)
+
+
+def _op_write_geotiffs(ds, out_dir: str, extent, tile_layout, epsg: int = 4326, **kw):
+    from ..sources.raster_ingest import write_geotiffs
+
+    write_geotiffs(ds, out_dir, _layout_from_args(extent, tile_layout), epsg=epsg, **kw)
+    return ds
+
+
 def _op_read_geojson(ds, path: str):
     from ..core.geojson import read_geojson
 
@@ -279,6 +292,8 @@ for _name, _fn in {
     "transform.clip_to_grid": _op_clip_to_grid,
     "pyramid.up_levels": _op_pyramid_up_levels,
     "read.rasters": _op_read_rasters,
+    "read.geotiffs": _op_read_geotiffs,
+    "write.geotiffs": _op_write_geotiffs,
     "read.geojson": _op_read_geojson,
     "transform.tile_to_layout": _op_tile_to_layout,
 }.items():

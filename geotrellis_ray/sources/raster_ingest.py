@@ -1,12 +1,14 @@
-"""Raster ingest: binary grid files -> (ProjectedExtent, Tile) rows ->
-tileToLayout — the canonical GeoTrellis ingest flow (SURVEY.md §3.1) from
-RASTER input.
+"""Raster ingest: binary grid / GeoTiff files -> (ProjectedExtent, Tile)
+rows -> tileToLayout — the canonical GeoTrellis ingest flow (SURVEY.md §3.1)
+from RASTER input.
 
-The on-disk format is our own minimal "GRD1" grid (no GeoTiff codec in
-scope — SURVEY.md §7 non-goals): magic | 4x float64 extent | int32 cols,rows
-| float64 cells (row-major, NaN = NoData). It stands in for GeoTiff segments:
-``read_raster_files`` uses ``ray.data.read_binary_files`` exactly as a real
-GeoTiff reader would, and everything downstream is format-agnostic.
+Two on-disk formats:
+- "GRD1" (our minimal grid: magic | 4x float64 extent | int32 cols,rows |
+  float64 cells, NaN = NoData) via ``read_raster_files``;
+- real GeoTiff (strip/tile, none/Deflate, predictor 1/2 — core/geotiff.py)
+  via ``read_geotiffs``.
+Both stream through ``ray.data.read_binary_files`` (one parse task per
+file) and everything downstream is format-agnostic.
 
 ``tile_to_layout`` re-expresses CutTiles + TilerMethods.tileToLayout
 (ref:spark/src/main/scala/geotrellis/spark/tiling/CutTiles.scala,
@@ -98,6 +100,71 @@ def _cut_one(ext: Extent, arr: np.ndarray, layout: LayoutDefinition):
             if np.isnan(tile).all():
                 continue
             yield kc, kr, tile
+
+
+def read_geotiffs(path: str):
+    """Directory of .tif/.tiff files -> Dataset (src, xmin..ymax, cells,
+    cols, rows, cell_type, epsg) — same row shape as ``read_raster_files``
+    (plus epsg), so ``tile_to_layout`` composes directly."""
+    import ray.data
+
+    from ..core.geotiff import decode_geotiff
+
+    ds = ray.data.read_binary_files(path, file_extensions=["tif", "tiff"], include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {"src": [], "xmin": [], "ymin": [], "xmax": [], "ymax": [],
+               "cells": [], "cols": [], "rows": [], "cell_type": [], "epsg": []}
+        for p, buf in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            ext, arr, meta = decode_geotiff(buf)
+            e, c, r, _ct = encode_tile(arr)
+            out["src"].append(p)
+            out["xmin"].append(ext.xmin); out["ymin"].append(ext.ymin)
+            out["xmax"].append(ext.xmax); out["ymax"].append(ext.ymax)
+            out["cells"].append(e); out["cols"].append(c); out["rows"].append(r)
+            out["cell_type"].append("float64")
+            out["epsg"].append(meta["epsg"] if meta["epsg"] is not None else -1)
+        return pa.table(
+            {"src": pa.array(out["src"], pa.string()),
+             "xmin": pa.array(out["xmin"], pa.float64()), "ymin": pa.array(out["ymin"], pa.float64()),
+             "xmax": pa.array(out["xmax"], pa.float64()), "ymax": pa.array(out["ymax"], pa.float64()),
+             "cells": pa.array(out["cells"], pa.binary()), "cols": pa.array(out["cols"], pa.int32()),
+             "rows": pa.array(out["rows"], pa.int32()),
+             "cell_type": pa.array(out["cell_type"], pa.string()),
+             "epsg": pa.array(out["epsg"], pa.int32())}
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_geotiffs(ds, out_dir: str, layout: LayoutDefinition, epsg: int = 4326,
+                   compression: str = "deflate"):
+    """Tile-layer Dataset -> one GeoTiff per tile under ``out_dir``
+    (``z{key_col}_{key_row}.tif``) — a resumable partitioned sink (re-running
+    overwrites per-tile files idempotently; no single giant file). Returns
+    the count of written tiles."""
+    import os
+
+    from ..core.geotiff import encode_geotiff
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        n = 0
+        for row in batch.to_pylist():
+            arr = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            ext = layout.key_to_extent(int(row["key_col"]), int(row["key_row"]))
+            buf = encode_geotiff(ext, arr, epsg=epsg, compression=compression,
+                                 tile_size=min(256, int(row["cols"])))
+            path = os.path.join(out_dir, f"z{row['key_col']}_{row['key_row']}.tif")
+            with open(path + ".tmp", "wb") as f:
+                f.write(buf)
+            os.replace(path + ".tmp", path)
+            n += 1
+        return pa.table({"written": pa.array([n], pa.int64())})
+
+    out = ds.map_batches(write_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return int(sum(r["written"] for r in out.take_all()))
 
 
 def tile_to_layout(rasters_ds, layout: LayoutDefinition):

@@ -1,0 +1,186 @@
+"""GeoTiff codec tests: encode/decode round-trips across dtypes,
+compression, strip/tile layout and predictor; a hand-assembled independent
+TIFF fixture (reader not validated against its own writer only); and the
+distributed read_geotiffs -> tile_to_layout flow."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geotrellis_ray.core.geotiff import decode_geotiff, encode_geotiff
+from geotrellis_ray.core.layout import Extent
+
+
+def _grid(rows=20, cols=17, seed=0, nodata_frac=0.1):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-50, 150, (rows, cols))
+    a[rng.random((rows, cols)) < nodata_frac] = np.nan
+    return a
+
+
+EXT = Extent(10.0, 40.0, 11.7, 42.0)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+@pytest.mark.parametrize("tile_size", [None, 8])
+def test_roundtrip_float64(compression, tile_size):
+    a = _grid()
+    buf = encode_geotiff(EXT, a, compression=compression, tile_size=tile_size)
+    ext, back, meta = decode_geotiff(buf)
+    assert ext == EXT and meta["epsg"] == 4326
+    np.testing.assert_allclose(back, a, equal_nan=True)
+
+
+@pytest.mark.parametrize("dtype,predictor", [("uint8", 1), ("int16", 2), ("uint16", 2),
+                                             ("int32", 1), ("float32", 1)])
+def test_roundtrip_dtypes(dtype, predictor):
+    a = np.floor(_grid(seed=2, nodata_frac=0.15))
+    if np.dtype(dtype).kind == "u":
+        nanmask = np.isnan(a)
+        a = np.abs(a) % 200
+        a[nanmask] = np.nan
+    nodata = -9999 if np.dtype(dtype).kind != "f" else None
+    if dtype == "uint8":
+        nodata = 255
+    buf = encode_geotiff(EXT, a, dtype=dtype, nodata=nodata, predictor=predictor, tile_size=8)
+    ext, back, meta = decode_geotiff(buf)
+    assert ext == EXT
+    exp = a.astype(np.float64)
+    if np.dtype(dtype).kind == "f":
+        exp = a.astype(dtype).astype(np.float64)  # float32 precision loss is expected
+    np.testing.assert_allclose(back, exp, equal_nan=True)
+    if nodata is not None:
+        assert meta["nodata"] == nodata
+
+
+def test_roundtrip_projected_epsg():
+    a = _grid(seed=3, nodata_frac=0)
+    buf = encode_geotiff(Extent(500000.0, 4000000.0, 501700.0, 4002000.0), a, epsg=32633)
+    _ext, back, meta = decode_geotiff(buf)
+    assert meta["epsg"] == 32633
+    np.testing.assert_allclose(back, a)
+
+
+def test_reader_on_hand_assembled_tiff():
+    """An uncompressed stripped uint8 TIFF assembled BYTE BY BYTE here (not
+    via the writer): 4x3 image, one strip, pixel scale 0.5/0.25, tiepoint
+    anchored at raster (0,0) -> world (100, 50)."""
+    rows, cols = 3, 4
+    pix = bytes(range(12))  # 0..11 row-major
+    entries = []
+
+    def entry(tag, ftype, count, value_bytes):
+        entries.append((tag, struct.pack("<HHI", tag, ftype, count) + value_bytes))
+
+    # inline values (<=4 bytes) padded to 4
+    def short(v):
+        return struct.pack("<H", v) + b"\x00\x00"
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    n_entries = 11
+    header = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    # out-of-line data region starts after IFD
+    scale_off = header + ifd_size
+    tie_off = scale_off + 3 * 8
+    pix_off = tie_off + 6 * 8
+    entry(256, 3, 1, short(cols))
+    entry(257, 3, 1, short(rows))
+    entry(258, 3, 1, short(8))
+    entry(259, 3, 1, short(1))
+    entry(262, 3, 1, short(1))
+    entry(273, 4, 1, long_(pix_off))
+    entry(277, 3, 1, short(1))
+    entry(278, 3, 1, short(rows))
+    entry(279, 4, 1, long_(len(pix)))
+    entry(33550, 12, 3, long_(scale_off))
+    entry(33922, 12, 6, long_(tie_off))
+    entries.sort(key=lambda e: e[0])
+    buf = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+    buf += struct.pack("<H", n_entries) + b"".join(e[1] for e in entries) + struct.pack("<I", 0)
+    buf += struct.pack("<3d", 0.5, 0.25, 0.0)
+    buf += struct.pack("<6d", 0.0, 0.0, 0.0, 100.0, 50.0, 0.0)
+    buf += pix
+    ext, arr, meta = decode_geotiff(buf)
+    assert ext == Extent(100.0, 50.0 - 3 * 0.25, 100.0 + 4 * 0.5, 50.0)
+    np.testing.assert_array_equal(arr, np.arange(12, dtype=np.float64).reshape(3, 4))
+    assert meta["epsg"] is None and meta["nodata"] is None
+
+
+def test_reader_rejects_unsupported():
+    a = _grid(rows=4, cols=4, nodata_frac=0)
+    buf = encode_geotiff(EXT, a)
+    with pytest.raises(ValueError):
+        decode_geotiff(b"XX" + buf[2:])
+    bigtiff = b"II" + struct.pack("<H", 43) + buf[4:]
+    with pytest.raises(ValueError, match="BigTIFF"):
+        decode_geotiff(bigtiff)
+
+
+def test_read_geotiffs_tile_to_layout(ray_session, tmp_path):
+    """Four overlapping GeoTiff quadrants -> read_geotiffs -> tile_to_layout
+    == the mosaic oracle (same pattern as the GRD ingest test)."""
+    import ray.data  # noqa: F401
+
+    from geotrellis_ray.core.layout import LayoutDefinition, TileLayout
+    from geotrellis_ray.core.raster import decode_tile
+    from geotrellis_ray.sources.raster_ingest import read_geotiffs, tile_to_layout
+
+    rng = np.random.default_rng(13)
+    world = rng.uniform(1, 9, (64, 64))
+    for i, (x0, y0) in enumerate([(0, 0), (3, 0), (0, 3), (3, 3)]):
+        sub = world[y0 * 8:(y0 + 5) * 8, x0 * 8:(x0 + 5) * 8]
+        ext = Extent(float(x0), 8.0 - float(y0 + 5), float(x0 + 5), 8.0 - float(y0))
+        (tmp_path / f"q{i}.tif").write_bytes(
+            encode_geotiff(ext, sub, compression="deflate", tile_size=16))
+    layout = LayoutDefinition(Extent(0.0, 0.0, 8.0, 8.0), TileLayout(8, 8, 8, 8))
+    tiles = tile_to_layout(read_geotiffs(str(tmp_path)), layout)
+    got = {}
+    for row in tiles.take_all():
+        got[(row["key_col"], row["key_row"])] = decode_tile(
+            row["cells"], row["cols"], row["rows"], row["cell_type"])
+    assert len(got) == 64
+    for (c, r), tile in got.items():
+        exp = world[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8]
+        np.testing.assert_allclose(tile, exp)
+
+
+def test_write_geotiffs_sink_roundtrip(ray_session, tmp_path):
+    """Layer -> per-tile GeoTiff sink -> read_geotiffs recovers every tile."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.layout import LayoutDefinition, TileLayout
+    from geotrellis_ray.core.raster import decode_tile, encode_tile
+    from geotrellis_ray.core.sfc import zorder
+    from geotrellis_ray.sources.raster_ingest import read_geotiffs, write_geotiffs
+
+    layout = LayoutDefinition(Extent(0.0, 0.0, 4.0, 4.0), TileLayout(4, 4, 8, 8))
+    rng = np.random.default_rng(5)
+    rows = []
+    vals = {}
+    for c in range(4):
+        for r in range(4):
+            a = rng.uniform(0, 9, (8, 8))
+            a[rng.random((8, 8)) < 0.1] = np.nan
+            vals[(c, r)] = a
+            cells, cc, rr, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                         "cells": cells, "cols": cc, "rows": rr, "cell_type": ct})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = str(tmp_path / "tifs")
+    n = write_geotiffs(ds, out, layout)
+    assert n == 16
+    back = read_geotiffs(out).to_pandas()
+    assert len(back) == 16
+    for _i, row in back.iterrows():
+        ext = Extent(row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+        kc, kr = layout.extent_to_bounds(ext)[:2]
+        a = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+        np.testing.assert_allclose(a, vals[(kc, kr)], equal_nan=True)
