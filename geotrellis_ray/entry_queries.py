@@ -89,18 +89,26 @@ def _pool_size(frac: int = 4, lo: int = 2) -> int:
 
 def _read(sf_dir: str, table: str, columns=None):
     """Column-pruned parquet read. Ray's default parallelism oversplits tiny
-    tables (64 blocks for 80 KB -> pure scheduling overhead), so below 256 MiB
-    we size blocks at ~8 MiB ourselves; at real scale the default (many
-    files, target_max_block_size) is correct and untouched."""
+    tables (64 blocks for 80 KB -> pure scheduling overhead), while a pure
+    byte-sized rule STARVES compute-heavy chains (a 2 MB events table became
+    ONE block -> the whole derive+cell pipeline ran on one core). Below
+    256 MiB we therefore size blocks by ROW count (footer metadata read, no
+    data pages): one block per ~4k rows, capped at the cluster width. At real
+    scale the default (many files, target_max_block_size) is correct and
+    untouched."""
     import os
 
+    import pyarrow.parquet as pq
+    import ray
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
     kw = {}
     sz = os.path.getsize(path)
     if sz < 256 * 1024 * 1024:
-        kw["override_num_blocks"] = max(1, sz // (8 * 1024 * 1024))
+        rows = pq.ParquetFile(path).metadata.num_rows
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        kw["override_num_blocks"] = max(1, min(cpus, rows // 4096))
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 
@@ -129,7 +137,7 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         [("l_quantity", "sum", "sum_qty"), ("price_cents", "sum", "sum_price_cents"),
          ("l_quantity", "count", "count_order")],
-    )
+    final="single")
 
 
 SQL_Q1 = """
@@ -157,7 +165,7 @@ def q_filter_range(sf_dir: str):
     return partial_groupby(
         filt, ["l_returnflag"],
         [("l_quantity", "count", "n"), ("l_quantity", "sum", "sum_qty")],
-    )
+    final="single")
 
 
 SQL_FILTER_RANGE = """
@@ -188,7 +196,7 @@ def q_join_customer_orders(sf_dir: str):
     return partial_groupby(
         joined, ["c_mktsegment"],
         [("price_cents", "count", "n_orders"), ("price_cents", "sum", "sum_price_cents")],
-    )
+    final="single")
 
 
 SQL_JOIN_CO = """
@@ -207,7 +215,7 @@ def q_join_nation_rollup(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cn = cust.join(nation, join_type="inner", num_partitions=4, on=("c_nationkey",), right_on=("n_nationkey",))
     j = orders.join(cn, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    return partial_groupby(j, ["n_name"], [("n_name", "count", "n_orders")])
+    return partial_groupby(j, ["n_name"], [("n_name", "count", "n_orders")], final="single")
 
 
 SQL_JOIN_NATION = """
@@ -248,7 +256,7 @@ def q_events_hourly(sf_dir: str):
     return partial_groupby(
         prepped, ["event_type", "time_bin"],
         [("value_cents", "count", "n"), ("value_cents", "sum", "sum_value_cents")],
-    )
+    final="single")
 
 
 SQL_EVENTS_HOURLY = """
@@ -337,7 +345,7 @@ def q_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     return partial_groupby(
         ds, ["lang"], [("n_chars", "count", "n_docs"), ("n_chars", "sum", "sum_chars")]
-    )
+    , final="single")
 
 
 SQL_LANG_STATS = """
@@ -358,7 +366,7 @@ def q_tile_assign_events(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     # map-side combine then tiny groupby (the scale pattern)
-    return partial_groupby(keyed, ["key_col", "key_row"], [("key_col", "count", "n_docs")])
+    return partial_groupby(keyed, ["key_col", "key_row"], [("key_col", "count", "n_docs")], final="single")
 
 
 SQL_TILE_ASSIGN = f"""
@@ -390,7 +398,7 @@ def q_pip_rect_grid(sf_dir: str):
     return partial_groupby(
         joined, ["polygon_id"],
         [("event_id", "count", "n_docs"), ("event_id", "min", "min_event")],
-    )
+    final="single")
 
 
 SQL_PIP_RECT = f"""
@@ -484,8 +492,10 @@ def q_spatial_join_layers(sf_dir: str):
         lambda b: _tile_keys_z4(derive_coords_batch(b, "c_custkey")),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    cust_tiles = partial_groupby(cust, ["key_col", "key_row"], [("key_col", "count", "n_customers")])
-    return spatial_join(ev, cust_tiles, "inner", num_partitions=8, on=("key_col", "key_row"))
+    cust_tiles = partial_groupby(cust, ["key_col", "key_row"], [("key_col", "count", "n_customers")], final="single")
+    # both sides are pre-aggregated to <= 256 tile rows: 2 join partitions
+    # avoid paying 8 aggregator-actor spawns for a tiny keyed join
+    return spatial_join(ev, cust_tiles, "inner", num_partitions=2, on=("key_col", "key_row"))
 
 
 SQL_SPATIAL_JOIN = f"""
@@ -597,7 +607,7 @@ def q_cell_counts_hex(sf_dir: str):
     # map-side combine: ~2k distinct cells from 1M rows — shuffle partials,
     # never the full row stream
     cells = ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True)
-    return partial_groupby(cells, ["cell"], [("cell", "count", "n")])
+    return partial_groupby(cells, ["cell"], [("cell", "count", "n")], final="single")
 
 
 def q_cell_counts_s2(sf_dir: str):
@@ -608,12 +618,27 @@ def q_cell_counts_s2(sf_dir: str):
         lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
     )
 
+    LEVEL = 6
+    SHIFT = np.uint64(61 - 2 * LEVEL)
+
     def addcell(b: pa.Table) -> pa.Table:
-        c = cell_s2like(b["lat"].to_numpy(zero_copy_only=False), b["lon"].to_numpy(zero_copy_only=False), 6)
-        return pa.table({"cell": pa.array(c.view(np.int64), pa.int64())})
+        c = cell_s2like(b["lat"].to_numpy(zero_copy_only=False), b["lon"].to_numpy(zero_copy_only=False), LEVEL)
+        # group on the COMPACT id: s2-like ids are top-aligned (face+morton in
+        # the high bits, zeros below the level tag), and Arrow's group_by hash
+        # collapses on keys whose entropy is only in the high bits (measured
+        # 3.7 s vs 0.004 s for 100k rows / 17k groups). The shift is
+        # information-preserving at a fixed level.
+        return pa.table({"cell_c": pa.array((c >> SHIFT).view(np.int64), pa.int64())})
 
     cells = ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True)
-    return partial_groupby(cells, ["cell"], [("cell", "count", "n")])
+    counts = partial_groupby(cells, ["cell_c"], [("cell_c", "count", "n")], final="single")
+
+    def expand(b: pa.Table) -> pa.Table:
+        compact = b["cell_c"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cell = (compact << SHIFT) | np.uint64(LEVEL)
+        return pa.table({"cell": pa.array(cell.view(np.int64), pa.int64()), "n": b["n"]})
+
+    return counts.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_minhash_dedup_docs(sf_dir: str):
@@ -917,7 +942,7 @@ def q_polygonal_summary(sf_dir: str):
         joined, ["polygon_id"],
         [("value_cents", "sum", "sum_value_cents"), ("value_cents", "count", "n_events"),
          ("value_cents", "min", "min_value_cents"), ("value_cents", "max", "max_value_cents")],
-    )
+    final="single")
 
 
 SQL_POLY_SUMMARY = f"""
@@ -960,7 +985,7 @@ def q_spacetime_counts(sf_dir: str):
         lambda b: assign_spacetime_key_batch(b, ts_col="ts", time_bin_us=DAY_US),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    out = partial_groupby(ds, ["key_col", "key_row", "time_bin"], [("key_col", "count", "n")])
+    out = partial_groupby(ds, ["key_col", "key_row", "time_bin"], [("key_col", "count", "n")], final="single")
     return out
 
 
@@ -1019,7 +1044,7 @@ def q_pbsm_join(sf_dir: str):
     return partial_groupby(
         joined, ["polygon_id"],
         [("event_id", "count", "n_docs"), ("event_id", "min", "min_event")],
-    )
+    final="single")
 
 
 SQL_PBSM = f"""

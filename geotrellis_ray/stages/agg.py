@@ -51,12 +51,21 @@ def _batch_partial(batch: pa.Table, keys: list[str], specs: list[tuple[str, str,
     return res.rename_columns(out_names)
 
 
-def partial_groupby(ds, keys, specs):
+def partial_groupby(ds, keys, specs, final: str = "shuffle"):
     """ds.groupby(keys) with map-side combine.
 
     specs: list of (col, fn, alias) with fn in {sum,min,max,count}.
     Count partials re-aggregate as sum; min/max/sum are self-mergeable.
     Returns a Dataset with columns keys + aliases.
+
+    ``final`` picks the last merge:
+    - "shuffle": Ray's sort-based groupby over the partial rows — unbounded
+      group cardinality, but pays the all-to-all machinery (~5 s fixed floor
+      on small inputs, measured).
+    - "single": repartition(1) + one whole-block Arrow group_by — 2x+ faster
+      end-to-end when the group count is BOUNDED (measured 7.5 s -> 3.4 s on
+      the flagship). Contract: all final groups must fit one block (fine for
+      tile/cell/polygon keys; WRONG for unbounded keys like dedup pair ids).
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -68,7 +77,7 @@ def partial_groupby(ds, keys, specs):
             lambda b: b.append_column("__g", pa.array([0] * b.num_rows, pa.int8())),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        out = partial_groupby(ds, ["__g"], specs)
+        out = partial_groupby(ds, ["__g"], specs, final=final)
         return out.drop_columns(["__g"])
     partial = ds.map_batches(
         lambda b: _batch_partial(b, keys, specs),
@@ -85,6 +94,12 @@ def partial_groupby(ds, keys, specs):
         zero_copy_batch=True,
         batch_size=1 << 18,
     )
+    if final == "single":
+        # batch_size=None = the whole (single) block in one batch -> exact
+        return partial.repartition(1).map_batches(
+            lambda b: _batch_partial(b, keys, merge_specs),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
     merge = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
     finals = [merge[fn](alias, alias_name=alias) for _col, fn, alias in specs]
     return partial.groupby(keys).aggregate(*finals)

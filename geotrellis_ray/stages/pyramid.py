@@ -63,14 +63,16 @@ def pyramid_up(tiles_ds):
     )
 
 
-def pyramid_up_counts(tiles_ds, count_cols=("n_docs",)):
+def pyramid_up_counts(tiles_ds, count_cols=("n_docs",), final: str = "single"):
     """Pyramid for AGGREGATE layers (no cells — per-tile counts): parent key
-    + sum. The cheap partial+final path used by the tile-assignment pyramid."""
-    from ray.data.aggregate import Sum
+    + sum. The cheap partial+final path used by the tile-assignment pyramid;
+    parent-key cardinality is 1/4 of the child layer's, so the single-block
+    final merge (stages/agg.py) is the default."""
+    from .agg import partial_groupby
 
     withp = tiles_ds.map_batches(parent_keys_batch, batch_format="pyarrow", zero_copy_batch=True)
-    aggs = [Sum(c, alias_name=c) for c in count_cols]
-    out = withp.groupby(["parent_col", "parent_row"]).aggregate(*aggs)
+    out = partial_groupby(withp, ["parent_col", "parent_row"],
+                          [(c, "sum", c) for c in count_cols], final=final)
     return out.map_batches(
         lambda b: b.rename_columns(
             ["key_col" if n == "parent_col" else "key_row" if n == "parent_row" else n for n in b.column_names]

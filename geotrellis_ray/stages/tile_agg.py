@@ -42,17 +42,25 @@ def partial_tile_counts(batch: pa.Table, sum_cols: tuple[str, ...] = ("n_hits",)
     return g.rename_columns([names.get(n, n) for n in g.column_names])
 
 
-def tile_assignments(ds: "ray.data.Dataset", sum_cols: tuple[str, ...] = ("n_hits",)) -> "ray.data.Dataset":
+def tile_assignments(ds: "ray.data.Dataset", sum_cols: tuple[str, ...] = ("n_hits",),
+                     final: str = "single") -> "ray.data.Dataset":
     """Dataset of per-tile aggregates: (key_col, key_row, sfc, n_docs,
-    sum cols). Partial-aggregate per block, then a small groupby-sum."""
+    sum cols). Partial-aggregate per block, then the final merge.
+
+    ``final="single"`` (default): repartition(1) + one whole-block Arrow
+    group_by. Tile-count cardinality is bounded by the touched-tile set
+    (zoom 8 world = 65k keys; a few ints per row), and skipping Ray's
+    sort-based Aggregate halves the flagship wall time (measured 7.5 s ->
+    3.4 s at sf0.1/32 cpus). Pass ``final="shuffle"`` for deep-zoom layers
+    whose key sets exceed one block."""
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(
         lambda b: partial_tile_counts(b, sum_cols), batch_format="pyarrow", zero_copy_batch=True
     )
     # tree combine: a large batch_size coalesces many small partial blocks
-    # into one task, re-collapsing them before the shuffle — the sort-based
-    # aggregate's cost scales with input block count, not row count
+    # into one task, re-collapsing them before the final merge — the
+    # all-to-all's cost scales with input block count, not row count
     keys = ["key_col", "key_row", "sfc"]
     present = [c for c in sum_cols]
 
@@ -63,6 +71,10 @@ def tile_assignments(ds: "ray.data.Dataset", sum_cols: tuple[str, ...] = ("n_hit
         ren.update({f"{c}_sum": c for c in present})
         return g.rename_columns([ren.get(n, n) for n in g.column_names])
 
+    if final == "single":
+        return partials.repartition(1).map_batches(
+            recombine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     partials = partials.map_batches(
         recombine, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 18
     )
