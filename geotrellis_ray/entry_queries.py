@@ -1243,6 +1243,31 @@ def q_vector_tiles_toy(sf_dir: str):
     return out.select_columns(["key_col", "key_row", "n_features"])
 
 
+def q_vector_tiles_mvt(sf_dir: str):
+    """Real Mapbox Vector Tile output (protobuf, core/mvt.py): per-tile
+    feature count + decoded-byte self-check columns (rows-only; wire-level
+    exactness incl. the spec's own byte examples is pytest-verified)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .core.mvt import decode_mvt
+    from .stages.vector_tile import vector_tiles
+
+    polys = gen_polygons_table_cached()
+    convex = polys.filter(pc.greater_equal(polys["polygon_id"], 128))
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 32, 32))
+    out = vector_tiles(ray.data.from_arrow(convex.select(["polygon_id", "wkb"])), layout,
+                       fmt="mvt", layer_name="polys")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        ndec = [len(decode_mvt(m)["polys"]["features"]) for m in b["mvt"].to_pylist()]
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "n_features": b["n_features"],
+                         "n_decoded": pa.array(ndec, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_reproject_points(sf_dir: str):
     from .stages.reproject import reproject_points_batch
 
@@ -1308,6 +1333,7 @@ def build_queries() -> dict:
         "q_terrain_toy": q_terrain_toy,
         "q_geojson_cliptogrid": q_geojson_cliptogrid,
         "q_vector_tiles_toy": q_vector_tiles_toy,
+        "q_vector_tiles_mvt": q_vector_tiles_mvt,
         "q_reproject_points": q_reproject_points,
     }
 

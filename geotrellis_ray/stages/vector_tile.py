@@ -73,9 +73,14 @@ def decode_tile_features(buf: bytes):
 
 
 def vector_tiles(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
-                 id_col: str = "polygon_id", grid: int = 4096):
+                 id_col: str = "polygon_id", grid: int = 4096,
+                 fmt: str = "gvt", layer_name: str = "layer"):
     """Feature Dataset (id, wkb) -> vector-tile layer Dataset
-    (key_col, key_row, sfc, mvt: binary, n_features)."""
+    (key_col, key_row, sfc, mvt: binary, n_features).
+
+    ``fmt="gvt"`` keeps the engine's own deterministic codec; ``fmt="mvt"``
+    emits real Mapbox Vector Tile protobuf (core/mvt.py) that downstream
+    renderers consume — features carry the id plus an {"id": <id>} property."""
     exploded = ds.map_batches(
         lambda b: clip_to_grid_batch(b, layout, wkb_col=wkb_col),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -85,9 +90,20 @@ def vector_tiles(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
         c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
         ext = layout.key_to_extent(c, r)
         feats = [(int(row[id_col]), wkb.decode(row["clipped_wkb"])) for _, row in g.iterrows()]
+        if fmt == "mvt":
+            from ..core.mvt import encode_mvt, geom_to_mvt_parts
+
+            mfeats = []
+            for fid, geom in sorted(feats, key=lambda t: t[0]):
+                gtype, parts, shells = geom_to_mvt_parts(geom, ext, grid)
+                mfeats.append({"id": fid, "type": gtype, "parts": parts,
+                               "shells": shells, "props": {"id": fid}})
+            buf = encode_mvt({layer_name: mfeats}, extent=grid)
+        else:
+            buf = encode_tile_features(feats, ext, grid)
         return pd.DataFrame(
             {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
-             "mvt": [encode_tile_features(feats, ext, grid)], "n_features": [len(feats)]}
+             "mvt": [buf], "n_features": [len(feats)]}
         )
 
     return exploded.groupby(["key_col", "key_row"]).map_groups(encode_group, batch_format="pandas")

@@ -1,0 +1,131 @@
+"""MVT protobuf codec tests: wire-level round-trips, spec invariants
+(varint/zigzag/command integers checked against hand-computed bytes), ring
+orientation, and the distributed vector_tiles fmt="mvt" path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geotrellis_ray.core.mvt import (
+    GEOM_LINESTRING,
+    GEOM_POINT,
+    GEOM_POLYGON,
+    _ring_area,
+    _varint,
+    _zigzag,
+    decode_geometry,
+    decode_mvt,
+    encode_geometry,
+    encode_mvt,
+    geom_to_mvt_parts,
+)
+
+
+def test_varint_zigzag_known_values():
+    # protobuf spec examples
+    assert _varint(0) == b"\x00"
+    assert _varint(1) == b"\x01"
+    assert _varint(300) == b"\xac\x02"
+    assert _zigzag(0) == 0 and _zigzag(-1) == 1 and _zigzag(1) == 2 and _zigzag(-2) == 3
+
+
+def test_geometry_command_stream_spec_example():
+    """The MVT 2.1 spec's own point example: MoveTo(25, 17) ->
+    [9, 50, 34]."""
+    ints = encode_geometry(GEOM_POINT, [np.array([[25, 17]])])
+    assert ints == [9, 50, 34]
+
+
+def test_geometry_roundtrips():
+    line = np.array([[2, 2], [2, 10], [10, 10]])
+    ints = encode_geometry(GEOM_LINESTRING, [line])
+    # spec example: [9, 4, 4, 18, 0, 16, 16, 0]
+    assert ints == [9, 4, 4, 18, 0, 16, 16, 0]
+    back = decode_geometry(GEOM_LINESTRING, ints)
+    np.testing.assert_array_equal(back[0], line)
+
+    ring = np.array([[3, 6], [8, 12], [20, 34]])
+    ints = encode_geometry(GEOM_POLYGON, [ring])
+    back = decode_geometry(GEOM_POLYGON, ints)
+    assert len(back) == 1 and len(back[0]) == 3
+    assert _ring_area(back[0].astype(np.float64)) > 0  # exterior positive
+
+
+def test_polygon_hole_orientation():
+    shell = np.array([[0, 0], [100, 0], [100, 100], [0, 100]])
+    hole = np.array([[20, 20], [40, 20], [40, 40], [20, 40]])
+    ints = encode_geometry(GEOM_POLYGON, [shell, hole], shells=[True, False])
+    rings = decode_geometry(GEOM_POLYGON, ints)
+    assert _ring_area(rings[0].astype(np.float64)) > 0
+    assert _ring_area(rings[1].astype(np.float64)) < 0
+
+
+def test_tile_roundtrip_with_properties():
+    feats = [
+        {"id": 7, "type": GEOM_POINT, "parts": [np.array([[10, 20], [30, 40]])],
+         "props": {"name": "a", "rank": 3, "score": 1.5, "neg": -4, "ok": True}},
+        {"id": 9, "type": GEOM_LINESTRING, "parts": [np.array([[0, 0], [5, 5]])],
+         "props": {"name": "b"}},
+    ]
+    buf = encode_mvt({"roads": feats, "pois": feats[:1]})
+    out = decode_mvt(buf)
+    assert set(out) == {"roads", "pois"}
+    lay = out["roads"]
+    assert lay["version"] == 2 and lay["extent"] == 4096
+    f0, f1 = lay["features"]
+    assert f0["id"] == 7 and f0["type"] == GEOM_POINT
+    assert f0["props"] == {"name": "a", "rank": 3, "score": 1.5, "neg": -4, "ok": True}
+    np.testing.assert_array_equal(f0["parts"][0], [[10, 20], [30, 40]])
+    assert f1["props"] == {"name": "b"}
+    # key/value tables dedupe across features
+    assert len(out["pois"]["features"]) == 1
+
+
+def test_geom_dict_bridge_multipolygon():
+    from geotrellis_ray.core.layout import Extent
+
+    ext = Extent(0.0, 0.0, 100.0, 100.0)
+    geom = {"type": "MultiPolygon", "parts": [
+        {"type": "Polygon", "rings": [np.array([(10.0, 10.0), (40.0, 10.0), (40.0, 40.0), (10.0, 40.0)])]},
+        {"type": "Polygon", "rings": [
+            np.array([(50.0, 50.0), (90.0, 50.0), (90.0, 90.0), (50.0, 90.0)]),
+            np.array([(60.0, 60.0), (70.0, 60.0), (70.0, 70.0), (60.0, 70.0)]),
+        ]},
+    ]}
+    gtype, parts, shells = geom_to_mvt_parts(geom, ext, 4096)
+    assert gtype == GEOM_POLYGON and shells == [True, True, False]
+    ints = encode_geometry(gtype, parts, shells)
+    rings = decode_mvt(encode_mvt({"l": [{"id": 1, "type": gtype, "parts": parts, "shells": shells}]}))
+    back = rings["l"]["features"][0]["parts"]
+    assert len(back) == 3
+    areas = [_ring_area(r.astype(np.float64)) for r in back]
+    assert areas[0] > 0 and areas[1] > 0 and areas[2] < 0
+
+
+def test_vector_tiles_mvt_distributed(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.fixtures import gen_polygons_table
+    from geotrellis_ray.stages.vector_tile import vector_tiles
+
+    polys = gen_polygons_table()
+    convex = polys.filter(pc.greater_equal(polys["polygon_id"], 128))
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 16, 32, 32))
+    out = vector_tiles(ray.data.from_arrow(convex.select(["polygon_id", "wkb"])), layout,
+                       fmt="mvt", layer_name="polys").to_pandas()
+    assert len(out) > 5
+    total = 0
+    for _i, row in out.iterrows():
+        layers = decode_mvt(row["mvt"])
+        feats = layers["polys"]["features"]
+        assert len(feats) == row["n_features"]
+        for f in feats:
+            assert f["type"] == GEOM_POLYGON
+            assert f["props"]["id"] == f["id"]
+            assert all(_ring_area(r.astype(np.float64)) != 0 for r in f["parts"])
+        total += len(feats)
+    assert total >= len(out)
