@@ -1243,6 +1243,23 @@ def q_vector_tiles_toy(sf_dir: str):
     return out.select_columns(["key_col", "key_row", "n_features"])
 
 
+def q_reproject_utm(sf_dir: str):
+    """Vector reproject through the Krüger-series UTM path (core/utm.py):
+    events near zone 32's band -> utm:32n easting/northing. Rows-only;
+    exactness is pytest-verified against a numerically-integrated
+    meridian-arc oracle (test_utm)."""
+    from .stages.reproject import reproject_points_batch
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    ).filter(expr="lon >= 6.0 and lon < 12.0 and lat > -80.0 and lat < 84.0")
+    out = ds.map_batches(
+        lambda b: reproject_points_batch(b, "latlng", "utm:32n"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.select_columns(["event_id", "x", "y"])
+
+
 def q_vector_tiles_mvt(sf_dir: str):
     """Real Mapbox Vector Tile output (protobuf, core/mvt.py): per-tile
     feature count + decoded-byte self-check columns (rows-only; wire-level
@@ -1335,6 +1352,7 @@ def build_queries() -> dict:
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_vector_tiles_mvt": q_vector_tiles_mvt,
         "q_reproject_points": q_reproject_points,
+        "q_reproject_utm": q_reproject_utm,
     }
 
 

@@ -25,20 +25,47 @@ from ..core.raster import decode_tile, encode_tile, merge as tile_merge
 from ..core.sfc import zorder
 
 
+def _to_latlng(crs: str, xs, ys):
+    """(x, y) in `crs` -> (lat, lon). Supported: latlng, webmercator,
+    utm:<zone><n|s> (core/utm.py Krüger series)."""
+    if crs == "latlng":
+        return ys, xs
+    if crs == "webmercator":
+        return webmercator_to_latlng(xs, ys)
+    if crs.startswith("utm:"):
+        from ..core.utm import parse_utm_crs, utm_to_latlng
+
+        zone, south = parse_utm_crs(crs)
+        return utm_to_latlng(xs, ys, zone, south)
+    raise ValueError(f"unsupported crs {crs!r}")
+
+
+def _from_latlng(crs: str, lat, lon):
+    """(lat, lon) -> (x, y) in `crs`."""
+    if crs == "latlng":
+        return lon, lat
+    if crs == "webmercator":
+        return latlng_to_webmercator(lat, lon)
+    if crs.startswith("utm:"):
+        from ..core.utm import latlng_to_utm, parse_utm_crs
+
+        zone, south = parse_utm_crs(crs)
+        return latlng_to_utm(lat, lon, zone, south)
+    raise ValueError(f"unsupported crs {crs!r}")
+
+
 def reproject_points_batch(batch: pa.Table, src: str, dst: str,
                            x_col: str = "lon", y_col: str = "lat",
                            out_x: str = "x", out_y: str = "y") -> pa.Table:
-    """Vectorized point reproject latlng<->webmercator."""
+    """Vectorized point reproject between any two supported CRSs (latlng,
+    webmercator, utm:<zone><n|s>), pivoting through latlng."""
     xs = batch[x_col].to_numpy(zero_copy_only=False)
     ys = batch[y_col].to_numpy(zero_copy_only=False)
-    if (src, dst) == ("latlng", "webmercator"):
-        ox, oy = latlng_to_webmercator(ys, xs)
-    elif (src, dst) == ("webmercator", "latlng"):
-        oy, ox = webmercator_to_latlng(xs, ys)
-    elif src == dst:
+    if src == dst:
         ox, oy = xs, ys
     else:
-        raise ValueError(f"unsupported reproject {src}->{dst}")
+        lat, lon = _to_latlng(src, xs, ys)
+        ox, oy = _from_latlng(dst, lat, lon)
     return batch.append_column(out_x, pa.array(np.asarray(ox, np.float64), pa.float64())) \
                 .append_column(out_y, pa.array(np.asarray(oy, np.float64), pa.float64()))
 

@@ -1,0 +1,91 @@
+"""UTM / Transverse Mercator tests against FIRST-PRINCIPLES oracles (not
+self round-trip only): the central-meridian northing must equal k0 x the
+numerically-integrated meridian arc, and the central-meridian scale factor
+must be k0."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geotrellis_ray.core.utm import (
+    K0,
+    latlng_to_utm,
+    lonlat_to_utm_zone,
+    meridian_arc_numeric,
+    parse_utm_crs,
+    tm_forward,
+    utm_to_latlng,
+    utm_zone_lon0,
+)
+
+
+def test_central_meridian_matches_meridian_arc_integral():
+    """Independent oracle: on the central meridian, easting == 500000 and
+    northing == k0 * (meridian arc from equator), integrated numerically."""
+    for lat in (0.0, 12.5, 33.0, 47.9941, 60.0, 75.0):
+        e, n = latlng_to_utm(np.array([lat]), np.array([9.0]), zone=32)
+        assert abs(e[0] - 500_000.0) < 1e-6
+        arc = meridian_arc_numeric(lat)
+        assert abs(n[0] - K0 * arc) < 2e-3, (lat, n[0], K0 * arc)
+
+
+def test_central_meridian_scale_factor():
+    lat = np.array([40.0, 40.0009])  # ~100 m apart on the central meridian
+    e, n = latlng_to_utm(lat, np.array([9.0, 9.0]), zone=32)
+    ground = meridian_arc_numeric(40.0009) - meridian_arc_numeric(40.0)
+    assert abs((n[1] - n[0]) / ground - K0) < 1e-9
+
+
+def test_roundtrip_in_zone():
+    rng = np.random.default_rng(4)
+    lat = rng.uniform(-79.0, 83.0, 500)
+    lon = 9.0 + rng.uniform(-2.9, 2.9, 500)  # zone 32
+    e, n = latlng_to_utm(lat, lon, zone=32, south=False)
+    lat2, lon2 = utm_to_latlng(e, n, zone=32, south=False)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+
+
+def test_southern_hemisphere_false_northing():
+    e, n = latlng_to_utm(np.array([-33.9]), np.array([18.5]), zone=34, south=True)
+    assert 0 < n[0] < 10_000_000.0
+    lat2, lon2 = utm_to_latlng(e, n, zone=34, south=True)
+    assert abs(lat2[0] + 33.9) < 1e-9 and abs(lon2[0] - 18.5) < 1e-9
+
+
+def test_equator_easting_symmetry():
+    """Equatorial symmetry: +dlon and -dlon around the central meridian give
+    mirrored eastings and equal northings."""
+    e1, n1 = latlng_to_utm(np.array([10.0]), np.array([10.0]), zone=32)  # lon0=9
+    e2, n2 = latlng_to_utm(np.array([10.0]), np.array([8.0]), zone=32)
+    assert abs((e1[0] - 500_000.0) + (e2[0] - 500_000.0)) < 1e-6
+    assert abs(n1[0] - n2[0]) < 1e-6
+
+
+def test_zone_helpers():
+    assert utm_zone_lon0(31) == 3.0
+    assert list(lonlat_to_utm_zone(np.array([-180.0, 0.0, 8.9, 179.9]))) == [1, 31, 32, 60]
+    assert parse_utm_crs("utm:33n") == (33, False)
+    assert parse_utm_crs("utm:19s") == (19, True)
+    with pytest.raises(ValueError):
+        parse_utm_crs("utm:33")
+
+
+def test_reproject_points_batch_utm(ray_session):
+    import pyarrow as pa
+
+    from geotrellis_ray.stages.reproject import reproject_points_batch
+
+    lat = np.array([48.0, 47.5, 49.1])
+    lon = np.array([11.0, 10.2, 12.9])
+    b = pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+    out = reproject_points_batch(b, "latlng", "utm:32n")
+    e, n = latlng_to_utm(lat, lon, 32)
+    np.testing.assert_allclose(out["x"].to_numpy(), e)
+    np.testing.assert_allclose(out["y"].to_numpy(), n)
+    # and back through the generic pivot
+    back = reproject_points_batch(
+        pa.table({"lon": out["x"], "lat": out["y"]}), "utm:32n", "latlng")
+    np.testing.assert_allclose(back["y"].to_numpy(), lat, atol=1e-9)
+    np.testing.assert_allclose(back["x"].to_numpy(), lon, atol=1e-9)
