@@ -224,9 +224,117 @@ def run_scaling(n_pages: int, cpus_lo: int, cpus_hi: int) -> dict:
     }
 
 
+def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
+    """Shuffle rehearsal at 10x bench corpus (VERDICT r01 #8): MinHash-LSH
+    near-dedup and the PBSM large-large spatial join at ``n_docs`` documents,
+    recording shuffle-row volumes and peak object-store usage — evidence the
+    wide stages survive scale-up without OOM/spill collapse."""
+    import threading
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from geotrellis_ray.fixtures import gen_polygons_table, write_pages_parquet
+
+    _init_ray(num_cpus)
+    peak = {"used": 0.0}
+    total_store = ray.cluster_resources().get("object_store_memory", 0.0)
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.wait(0.25):
+            avail = ray.available_resources().get("object_store_memory", total_store)
+            peak["used"] = max(peak["used"], total_store - avail)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        pages_path = f"/tmp/graft_pages_{n_docs}"
+        write_pages_parquet(pages_path, n_docs, shard_rows=100_000)
+
+        from geotrellis_ray.core.geocode import url_hash64_batch
+        from geotrellis_ray.stages.dedup import minhash_candidate_pairs
+
+        def with_id(b: pa.Table) -> pa.Table:
+            h = url_hash64_batch(b["url"].to_pylist())
+            return pa.table({"doc_id": pa.array(h.view(np.int64), pa.int64()), "text": b["text"]})
+
+        def plant_dups(b: pa.Table) -> pa.Table:
+            # ~1% planted near-duplicates (token appended) so the candidate-
+            # pair path actually carries rows; ids offset to avoid collisions
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = np.nonzero(ids % 100 == 0)[0]
+            texts = [b["text"][int(i)].as_py() + " near dup marker" for i in sel]
+            return pa.table({"doc_id": pa.array(ids[sel] ^ np.int64(1 << 62), pa.int64()),
+                             "text": pa.array(texts, b.schema.field("text").type)})
+
+        docs = ray.data.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+            with_id, batch_format="pyarrow", zero_copy_batch=True
+        )
+        docs = docs.union(docs.map_batches(plant_dups, batch_format="pyarrow", zero_copy_batch=True))
+        t0 = time.monotonic()
+        pairs = minhash_candidate_pairs(docs, batch_size=2048)
+        n_pairs = pairs.count()
+        minhash_wall = time.monotonic() - t0
+        band_rows = int(n_docs * 1.01) * 16  # rows through the LSH range sort
+
+        # PBSM: n_docs derived points x fixture polygons on a zoom-6 grid
+        from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+        from geotrellis_ray.core.sfc import zorder
+        from geotrellis_ray.stages.join import pbsm_spatial_join
+
+        layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(64, 64, 32, 32))
+
+        def mkpts(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            lat = -85.0 + ((ids * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0 * 170.0
+            lon = -180.0 + ((ids * 40503) % 65536).astype(np.float64) / 65536.0 * 360.0
+            c = np.clip(((lon + 180.0) / 5.625), 0, 63).astype(np.int64)
+            r = np.clip(((90.0 - lat) / 2.8125), 0, 63).astype(np.int64)
+            return pa.table({
+                "pt_id": b["doc_id"], "lat": pa.array(lat), "lon": pa.array(lon),
+                "sfc": pa.array(zorder(c, r).astype(np.uint64), pa.uint64()),
+            })
+
+        # fresh text-free lineage: pts must not re-read/re-hash the text column
+        ids_only = ray.data.read_parquet(pages_path, columns=["url"]).map_batches(
+            lambda b: pa.table({"doc_id": pa.array(
+                url_hash64_batch(b["url"].to_pylist()).view(np.int64), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        pts = ids_only.map_batches(mkpts, batch_format="pyarrow", zero_copy_batch=True)
+        polys = ray.data.from_arrow(gen_polygons_table().select(["polygon_id", "wkb"]))
+        t0 = time.monotonic()
+        joined = pbsm_spatial_join(pts, polys, layout, zoom=6,
+                                   num_partitions=max(2, min(16, num_cpus // 2)))
+        n_joined = joined.count()
+        pbsm_wall = time.monotonic() - t0
+        return {
+            "metric": f"shuffle rehearsal at {n_docs} docs",
+            "unit": "sec",
+            "num_cpus": num_cpus,
+            "minhash": {"sec": round(minhash_wall, 2), "band_rows_sorted": band_rows,
+                        "candidate_pairs": n_pairs,
+                        "docs_per_sec": round(n_docs / minhash_wall, 1)},
+            "pbsm": {"sec": round(pbsm_wall, 2), "points": n_docs, "joined_rows": n_joined,
+                     "docs_per_sec": round(n_docs / pbsm_wall, 1)},
+            "object_store_total_bytes": int(total_store),
+            "object_store_peak_bytes": int(peak["used"]),
+            "object_store_peak_frac": round(peak["used"] / total_store, 4) if total_store else None,
+        }
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        ray.shutdown()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--rehearsal", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=2_000_000)
     ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--n-pages", type=int, default=int(os.environ.get("GRAFT_SCALING_PAGES", "1600000")))
@@ -243,6 +351,9 @@ def main(argv=None) -> int:
         return 0
     if args.scaling:
         print(json.dumps(run_scaling(args.n_pages, args.cpus_lo, args.cpus_hi)))
+        return 0
+    if args.rehearsal:
+        print(json.dumps(run_rehearsal(args.n_docs, args.cpus)))
         return 0
     print(json.dumps(run_default(SF_DIR, args.cpus)))
     return 0
