@@ -996,6 +996,68 @@ SQL_SPACETIME = f"""
 """
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Overlapping-window aggregate (span 2h, slide 1h — each event lands in
+    2 windows): count + sum per (event_type, window_start). The windowed-
+    aggregate custom operator (stages/window.py), SQL-checked against a
+    DuckDB explode-join."""
+    from .stages.window import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts": b["ts"], "event_type": b["event_type"],
+            "value_cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return sliding_window_agg(
+        prepped, ["event_type"],
+        [("value_cents", "count", "n"), ("value_cents", "sum", "sum_value_cents")],
+        ts_col="ts", span_us=7_200_000_000, slide_us=3_600_000_000,
+    )
+
+
+SQL_SLIDING = """
+    SELECT event_type,
+           (epoch_us(ts) // 3600000000 - j) * 3600000000 AS window_start,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events CROSS JOIN range(0, 2) t(j)
+    GROUP BY event_type, window_start
+"""
+
+
+def q_events_asof_prev(sf_dir: str):
+    """As-of self join (LAG): for every event, the previous same-type
+    event's value_cents in (ts, event_id) order; -1 for partition firsts.
+    Distributed via one range sort + vectorized block lag + O(blocks)
+    boundary stitch (stages/window.py); SQL-checked against DuckDB's
+    window LAG."""
+    from .stages.window import as_of_prev
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "ts": b["ts"], "event_type": b["event_type"],
+            "value_cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return as_of_prev(prepped, "event_type", "ts", "event_id", "value_cents", sentinel=-1)
+
+
+SQL_ASOF = """
+    SELECT event_id, event_type,
+           COALESCE(lag(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY event_type ORDER BY ts, event_id), -1)
+               AS prev_value_cents
+    FROM events
+"""
+
+
 def q_pbsm_join(sf_dir: str):
     """Large-large spatial join via PBSM (ClipToGrid explode -> sfc equi-join
     -> vectorized PIP refine; stages/join.py): events x 112 HALF-CELL-SHIFTED
@@ -1344,6 +1406,8 @@ def build_queries() -> dict:
         "q_pbsm_join": q_pbsm_join,
         "q_layer_roundtrip_zorder": q_layer_roundtrip_zorder,
         "q_layer_roundtrip_hilbert": q_layer_roundtrip_hilbert,
+        "q_events_sliding_window": q_events_sliding_window,
+        "q_events_asof_prev": q_events_asof_prev,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -1379,6 +1443,8 @@ def build_oracle_sql() -> dict:
         "q_pbsm_join": SQL_PBSM,
         "q_layer_roundtrip_zorder": SQL_LAYER_RT,
         "q_layer_roundtrip_hilbert": SQL_LAYER_RT,
+        "q_events_sliding_window": SQL_SLIDING,
+        "q_events_asof_prev": SQL_ASOF,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

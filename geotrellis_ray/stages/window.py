@@ -1,0 +1,153 @@
+"""Temporal window operators over an event stream — the "windowed aggregate
+/ as-of join" custom-operator family (driver mandate; no GeoTrellis
+counterpart — the reference's temporal layers only bin by key, SURVEY.md
+§2.6).
+
+- ``sliding_window_agg``: overlapping (span, slide) windows. Each row
+  explodes to its ``span/slide`` covering windows inside ``map_batches``
+  (vectorized np.repeat — a flat-map, no shuffle), then the partial+final
+  aggregate pattern (stages/agg.py) collapses per (keys..., window_start).
+  Scale shape: the shuffle carries per-batch partials only; explosion factor
+  is the known constant span/slide.
+
+- ``as_of_prev``: per-partition previous-row lookup (LAG / as-of self join):
+  for every row, the value of the latest earlier row in the same partition.
+  ONE global range sort on (part, ts, id) co-locates order; the lag is
+  vectorized per block; the O(#blocks) block-boundary rows are stitched on
+  the driver (same side-channel pattern as the LSH bucket sort,
+  stages/dedup.py). Never materializes the stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def explode_windows_batch(batch: pa.Table, ts_col: str, span_us: int, slide_us: int,
+                          window_col: str = "window_start") -> pa.Table:
+    """Row -> one copy per covering window; adds ``window_col`` (window start
+    in slide-bin units x slide_us, i.e. an absolute epoch-us window start)."""
+    if span_us % slide_us != 0:
+        raise ValueError("span must be a multiple of slide")
+    k = span_us // slide_us
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = len(ts)
+    idx = np.repeat(np.arange(n, dtype=np.int64), k)
+    j = np.tile(np.arange(k, dtype=np.int64), n)
+    wstart = (ts[idx] // slide_us - j) * slide_us
+    out = batch.take(pa.array(idx, pa.int64()))
+    return out.append_column(window_col, pa.array(wstart, pa.int64()))
+
+
+def sliding_window_agg(ds, keys, specs, ts_col: str = "ts",
+                       span_us: int = 7_200_000_000, slide_us: int = 3_600_000_000,
+                       final: str = "single"):
+    """Overlapping-window aggregate: groups = (keys..., window_start).
+    specs as in partial_groupby: [(col, fn, alias)]."""
+    from .agg import partial_groupby
+
+    exploded = ds.map_batches(
+        lambda b: explode_windows_batch(b, ts_col, span_us, slide_us),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial_groupby(exploded, list(keys) + ["window_start"], specs, final=final)
+
+
+def _block_lag(batch: pa.Table, part_col: str, ts_col: str, id_col: str,
+               value_col: str, sentinel) -> pa.Table:
+    """Sorted-stream block: kind=0 rows carry the in-block lag (sentinel for
+    the block's first row / partition starts); kind=1 rows are the block's
+    first and last record (the driver stitch side channel)."""
+    n = batch.num_rows
+    schema_t = batch.schema.field(value_col).type
+    empty = pa.table({
+        "kind": pa.array([], pa.int8()),
+        id_col: pa.array([], batch.schema.field(id_col).type),
+        part_col: pa.array([], batch.schema.field(part_col).type),
+        "__ts": pa.array([], pa.int64()),
+        "prev_" + value_col: pa.array([], schema_t),
+        "__val": pa.array([], schema_t),
+        "__blk": pa.array([], pa.int64()),
+    })
+    if n == 0:
+        return empty
+    part = batch[part_col].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    vals = batch[value_col].to_numpy(zero_copy_only=False)
+    prev = np.empty_like(vals)
+    prev[0] = sentinel
+    same = part[1:] == part[:-1]
+    prev[1:] = np.where(same, vals[:-1], sentinel)
+    main = pa.table({
+        "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        id_col: batch[id_col],
+        part_col: batch[part_col],
+        "__ts": pa.array(ts, pa.int64()),
+        "prev_" + value_col: pa.array(prev, schema_t),
+        "__val": batch[value_col],
+        "__blk": pa.array(np.full(n, int(ids[0]), dtype=np.int64), pa.int64()),
+    })
+    edge = [0, n - 1] if n > 1 else [0]
+    edges = pa.table({
+        "kind": pa.array(np.ones(len(edge), dtype=np.int8), pa.int8()),
+        id_col: batch[id_col].take(pa.array(edge, pa.int64())),
+        part_col: batch[part_col].take(pa.array(edge, pa.int64())),
+        "__ts": pa.array(ts[edge], pa.int64()),
+        "prev_" + value_col: pa.array([sentinel] * len(edge), schema_t),
+        "__val": batch[value_col].take(pa.array(edge, pa.int64())),
+        "__blk": pa.array(np.full(len(edge), int(ids[0]), dtype=np.int64), pa.int64()),
+    })
+    return pa.concat_tables([main, edges])
+
+
+def as_of_prev(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
+               sentinel=-1):
+    """-> Dataset (id_col, part_col, prev_<value_col>): the previous row's
+    value within the partition in (ts, id) order; ``sentinel`` for partition
+    firsts. Distributed: one range sort + vectorized block lag + O(#blocks)
+    driver stitch."""
+    import pandas as pd
+    import ray.data
+
+    prev_col = "prev_" + value_col
+    mixed = (
+        ds.sort([part_col, ts_col, id_col])
+        .map_batches(lambda b: _block_lag(b, part_col, ts_col, id_col, value_col, sentinel),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    main = mixed.filter(expr="kind == 0")
+    edges = mixed.filter(expr="kind == 1").to_pandas()  # 2 rows per block
+    patches: dict = {}
+    if len(edges) > 1:
+        edges = edges.sort_values([part_col, "__ts", id_col], kind="stable").reset_index(drop=True)
+        for i in range(1, len(edges)):
+            a, b = edges.iloc[i - 1], edges.iloc[i]
+            # a block's FIRST row is preceded (globally) by the previous
+            # block's LAST row when both share the partition value
+            if b["__blk"] != a["__blk"] and b[part_col] == a[part_col]:
+                patches[b[id_col]] = a["__val"]
+
+    if patches:
+        pk = np.array(sorted(patches), dtype=np.int64)
+        pv = np.array([patches[k] for k in pk])
+
+        def apply_patch(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            prev = b[prev_col].to_numpy(zero_copy_only=False).copy()
+            pos = np.searchsorted(pk, ids)
+            pos_c = np.clip(pos, 0, len(pk) - 1)
+            hit = pk[pos_c] == ids
+            # only rows still carrying the sentinel are block-firsts
+            hit &= prev == sentinel
+            prev[hit] = pv[pos_c[hit]]
+            return pa.table({id_col: b[id_col], part_col: b[part_col],
+                             prev_col: pa.array(prev, b.schema.field(prev_col).type)})
+
+        return main.map_batches(apply_patch, batch_format="pyarrow", zero_copy_batch=True)
+    return main.map_batches(
+        lambda b: b.select([id_col, part_col, prev_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -1,0 +1,85 @@
+"""Window-operator tests: sliding-window explode and the distributed as-of
+lag against pandas oracles, with the input force-split across many blocks so
+the boundary stitch actually runs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+ray = pytest.importorskip("ray")
+import ray.data  # noqa: E402
+
+from geotrellis_ray.stages.window import as_of_prev, explode_windows_batch, sliding_window_agg  # noqa: E402
+
+HOUR = 3_600_000_000
+
+
+def _events(n=2000, seed=8):
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 50 * HOUR, n)
+    return pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "part": pa.array(rng.choice(["a", "b", "c"], n)),
+        "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+    })
+
+
+def test_explode_windows_counts():
+    t = _events(500)
+    out = explode_windows_batch(t, "ts", span_us=2 * HOUR, slide_us=HOUR)
+    assert out.num_rows == 1000  # span/slide = 2 copies each
+    ts = out["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ws = out["window_start"].to_numpy(zero_copy_only=False)
+    assert ((ts >= ws) & (ts < ws + 2 * HOUR)).all()
+
+
+def test_sliding_window_agg_matches_pandas(ray_session):
+    t = _events(3000)
+    ds = ray.data.from_arrow(t).repartition(11)
+    got = sliding_window_agg(ds, ["part"], [("v", "count", "n"), ("v", "sum", "s")],
+                             ts_col="ts", span_us=2 * HOUR, slide_us=HOUR).to_pandas()
+    df = t.to_pandas()
+    df["tsu"] = df["ts"].astype("int64")
+    rows = []
+    for j in (0, 1):
+        d = df.copy()
+        d["window_start"] = (d["tsu"] // HOUR - j) * HOUR
+        rows.append(d)
+    exp = (pd.concat(rows).groupby(["part", "window_start"])
+           .agg(n=("v", "size"), s=("v", "sum")).reset_index())
+    got = got.sort_values(["part", "window_start"]).reset_index(drop=True)
+    exp = exp.sort_values(["part", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["part", "window_start", "n", "s"]], exp)
+
+
+def test_as_of_prev_matches_pandas_lag(ray_session):
+    t = _events(2500, seed=9)
+    ds = ray.data.from_arrow(t).repartition(17)  # many small blocks -> stitches
+    got = as_of_prev(ds, "part", "ts", "event_id", "v", sentinel=-999).to_pandas()
+    df = t.to_pandas()
+    df["tsu"] = df["ts"].astype("int64")
+    df = df.sort_values(["part", "tsu", "event_id"], kind="stable")
+    df["prev_v"] = df.groupby("part")["v"].shift(1).fillna(-999).astype("int64")
+    exp = df[["event_id", "part", "prev_v"]].sort_values("event_id").reset_index(drop=True)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["event_id", "part", "prev_v"]], exp)
+
+
+def test_as_of_prev_single_row_blocks(ray_session):
+    """Degenerate 1-row blocks: every lag crosses a block boundary."""
+    n = 40
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.arange(n) * HOUR, pa.int64()).cast(pa.timestamp("us")),
+        "part": pa.array(["p"] * n),
+        "v": pa.array(np.arange(n) * 10, pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(n)
+    got = as_of_prev(ds, "part", "ts", "event_id", "v", sentinel=-1).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = np.r_[-1, np.arange(n - 1) * 10]
+    np.testing.assert_array_equal(got["prev_v"].to_numpy(), exp)
