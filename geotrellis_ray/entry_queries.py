@@ -1058,6 +1058,43 @@ SQL_ASOF = """
 """
 
 
+def q_range_join(sf_dir: str):
+    """Bucketed interval join (1-D PBSM, stages/join.py:range_join): event
+    values x 64 overlapping deterministic intervals [i*12.5, i*12.5+20),
+    counted per interval. SQL-checked against a DuckDB theta join."""
+    import ray
+    import ray.data
+
+    from .stages.agg import partial_groupby
+    from .stages.join import range_join
+
+    ivs = pa.table({
+        "interval_id": pa.array(np.arange(64, dtype=np.int64), pa.int64()),
+        "lo": pa.array(np.arange(64) * 12.5, pa.float64()),
+        "hi": pa.array(np.arange(64) * 12.5 + 20.0, pa.float64()),
+    })
+    pts = _read(sf_dir, "events", ["event_id", "value"])
+    joined = range_join(pts, ray.data.from_arrow(ivs), "value", "lo", "hi",
+                        bucket_width=12.5, num_partitions=max(2, min(16, _pool_size(frac=2))))
+    return partial_groupby(
+        joined, ["interval_id"],
+        [("event_id", "count", "n"), ("event_id", "min", "min_event")],
+        final="single")
+
+
+SQL_RANGE_JOIN = """
+    WITH ivs AS (
+        SELECT CAST(i AS BIGINT) AS interval_id,
+               CAST(i AS DOUBLE) * 12.5 AS lo,
+               CAST(i AS DOUBLE) * 12.5 + 20.0 AS hi
+        FROM range(0, 64) t(i)
+    )
+    SELECT interval_id, count(*) AS n, min(event_id) AS min_event
+    FROM events JOIN ivs ON events.value >= ivs.lo AND events.value < ivs.hi
+    GROUP BY interval_id
+"""
+
+
 def q_pbsm_join(sf_dir: str):
     """Large-large spatial join via PBSM (ClipToGrid explode -> sfc equi-join
     -> vectorized PIP refine; stages/join.py): events x 112 HALF-CELL-SHIFTED
@@ -1408,6 +1445,7 @@ def build_queries() -> dict:
         "q_layer_roundtrip_hilbert": q_layer_roundtrip_hilbert,
         "q_events_sliding_window": q_events_sliding_window,
         "q_events_asof_prev": q_events_asof_prev,
+        "q_range_join": q_range_join,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -1445,6 +1483,7 @@ def build_oracle_sql() -> dict:
         "q_layer_roundtrip_hilbert": SQL_LAYER_RT,
         "q_events_sliding_window": SQL_SLIDING,
         "q_events_asof_prev": SQL_ASOF,
+        "q_range_join": SQL_RANGE_JOIN,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

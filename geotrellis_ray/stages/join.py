@@ -64,6 +64,53 @@ def key_intersection(left, right, key_cols=("key_col", "key_row")):
                         how="inner", on=tuple(key_cols))
 
 
+def range_join(points_ds, intervals_ds, value_col: str, lo_col: str, hi_col: str,
+               bucket_width: float, num_partitions: int = 16,
+               point_suffix: str = "", interval_suffix: str = "_r"):
+    """Large-large interval join (the 1-D PBSM shape): match point rows to
+    interval rows with ``lo <= value < hi``. Each point hashes to exactly ONE
+    bucket (floor(value/width)); each interval EXPLODES to its covering
+    buckets (flat map, no shuffle); an equi-join on the bucket co-locates
+    candidates; a vectorized refine applies the exact predicate. No pair can
+    duplicate: it only materializes in the point's own bucket.
+
+    ``bucket_width`` trades explosion factor against join selectivity — pick
+    it near the typical interval length (driver mandate "range join";
+    no reference counterpart)."""
+
+    def pbucket(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return b.append_column("__bucket", pa.array(
+            np.floor(v / bucket_width).astype(np.int64), pa.int64()))
+
+    def ibucket(b: pa.Table) -> pa.Table:
+        lo = b[lo_col].to_numpy(zero_copy_only=False)
+        hi = b[hi_col].to_numpy(zero_copy_only=False)
+        first = np.floor(lo / bucket_width).astype(np.int64)
+        # hi is exclusive: the last candidate bucket is the one containing
+        # the largest value strictly below hi
+        last = np.floor(np.nextafter(hi, -np.inf) / bucket_width).astype(np.int64)
+        counts = np.maximum(last - first + 1, 0)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], np.int64)
+        out = b.take(pa.array(idx, pa.int64()))
+        return out.append_column("__bucket", pa.array(first[idx] + offs, pa.int64()))
+
+    pts = points_ds.map_batches(pbucket, batch_format="pyarrow", zero_copy_batch=True)
+    ivs = intervals_ds.map_batches(ibucket, batch_format="pyarrow", zero_copy_batch=True)
+    joined = pts.join(ivs, join_type="inner", num_partitions=num_partitions,
+                      on=("__bucket",), left_suffix=point_suffix, right_suffix=interval_suffix)
+
+    def refine(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        lo = b[lo_col].to_numpy(zero_copy_only=False)
+        hi = b[hi_col].to_numpy(zero_copy_only=False)
+        keep = (v >= lo) & (v < hi)
+        return b.filter(pa.array(keep)).drop_columns(["__bucket"])
+
+    return joined.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pbsm_spatial_join(points_ds, polygons_ds, layout, zoom: int, num_partitions: int = 32,
                       wkb_col: str = "wkb"):
     """Large-large spatial join (partition-based spatial-merge): explode the

@@ -83,3 +83,34 @@ def test_as_of_prev_single_row_blocks(ray_session):
     got = got.sort_values("event_id").reset_index(drop=True)
     exp = np.r_[-1, np.arange(n - 1) * 10]
     np.testing.assert_array_equal(got["prev_v"].to_numpy(), exp)
+
+
+def test_range_join_matches_pandas(ray_session):
+    """Bucketed interval join == brute-force theta join, incl. intervals
+    spanning many buckets and points on interval edges."""
+    rng = np.random.default_rng(12)
+    nv = 3000
+    vals = rng.uniform(-50, 150, nv)
+    vals[:10] = np.arange(10) * 12.5  # exact bucket/interval edges
+    pts = pa.table({"pt_id": pa.array(np.arange(nv), pa.int64()),
+                    "v": pa.array(vals, pa.float64())})
+    ivs = pa.table({
+        "iv_id": pa.array(np.arange(30), pa.int64()),
+        "lo": pa.array(rng.uniform(-60, 120, 30), pa.float64()),
+        "hi": pa.array(np.zeros(30), pa.float64()),
+    })
+    hi = ivs["lo"].to_numpy() + rng.uniform(0.5, 80, 30)  # up to 8 buckets wide
+    ivs = ivs.set_column(2, "hi", pa.array(hi, pa.float64()))
+
+    from geotrellis_ray.stages.join import range_join
+
+    got = range_join(ray.data.from_arrow(pts).repartition(7),
+                     ray.data.from_arrow(ivs).repartition(3),
+                     "v", "lo", "hi", bucket_width=10.0, num_partitions=4).to_pandas()
+    got = got[["pt_id", "iv_id"]].sort_values(["pt_id", "iv_id"]).reset_index(drop=True)
+    lo = ivs["lo"].to_numpy(); hi2 = ivs["hi"].to_numpy()
+    exp_rows = [(int(p), int(i)) for p in range(nv) for i in range(30)
+                if lo[i] <= vals[p] < hi2[i]]
+    exp = pd.DataFrame(exp_rows, columns=["pt_id", "iv_id"])
+    assert len(exp) > 1000
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
