@@ -1058,6 +1058,62 @@ SQL_ASOF = """
 """
 
 
+def q_semi_anti_join(sf_dir: str):
+    """Broadcast semi + anti join on tile keys (stages/join.py:
+    semi_join_keys — no shuffle): events keyed at z4, kept if their zorder
+    sfc is in a fixed 32-key set (semi) and counted per key; the anti side
+    contributes a disjoint row marker. SQL-checked via IN / NOT IN."""
+    from .core.sfc import zorder
+    from .stages.agg import partial_groupby
+    from .stages.join import semi_join_keys
+
+    key_set = [int(zorder(c, r)) for c in range(4, 12) for r in range(4, 8)]
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _tile_keys_z4(derive_coords_batch(b, "event_id"))
+        s = zorder(
+            b["key_col"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["key_row"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"event_id": b["event_id"],
+                         "sfc": pa.array(s.astype(np.uint64), pa.uint64())})
+
+    pts = _read(sf_dir, "events", ["event_id"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    semi = semi_join_keys(pts, key_set, key_col="sfc", anti=False).map_batches(
+        lambda b: pa.table({"side": pa.array(["semi"] * b.num_rows, pa.string()),
+                            "event_id": b["event_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    anti = semi_join_keys(pts, key_set, key_col="sfc", anti=True).map_batches(
+        lambda b: pa.table({"side": pa.array(["anti"] * b.num_rows, pa.string()),
+                            "event_id": b["event_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial_groupby(
+        semi.union(anti), ["side"],
+        [("event_id", "count", "n"), ("event_id", "min", "min_event")],
+        final="single")
+
+
+SQL_SEMI_ANTI = f"""
+    WITH pts AS ({SQL_COORDS}),
+    keyed AS (
+        SELECT event_id, {SQL_KEYS_Z4}
+        FROM pts
+    ),
+    tagged AS (
+        -- the engine's explicit 32-zorder-key set == this key box
+        SELECT event_id,
+               CASE WHEN key_col BETWEEN 4 AND 11 AND key_row BETWEEN 4 AND 7
+                    THEN 'semi' ELSE 'anti' END AS side
+        FROM keyed
+    )
+    SELECT side, count(*) AS n, min(event_id) AS min_event FROM tagged GROUP BY side
+"""
+
+
 def q_range_join(sf_dir: str):
     """Bucketed interval join (1-D PBSM, stages/join.py:range_join): event
     values x 64 overlapping deterministic intervals [i*12.5, i*12.5+20),
@@ -1446,6 +1502,7 @@ def build_queries() -> dict:
         "q_events_sliding_window": q_events_sliding_window,
         "q_events_asof_prev": q_events_asof_prev,
         "q_range_join": q_range_join,
+        "q_semi_anti_join": q_semi_anti_join,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -1484,6 +1541,7 @@ def build_oracle_sql() -> dict:
         "q_events_sliding_window": SQL_SLIDING,
         "q_events_asof_prev": SQL_ASOF,
         "q_range_join": SQL_RANGE_JOIN,
+        "q_semi_anti_join": SQL_SEMI_ANTI,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
