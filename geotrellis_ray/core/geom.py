@@ -121,6 +121,55 @@ def clip_polygon_rect(ring: np.ndarray, xmin: float, ymin: float, xmax: float, y
     return pts
 
 
+def clip_polygon_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of any simple ring against a CONVEX clip
+    polygon (generalizes clip_polygon_rect; exact when the clip side is
+    convex). Returns the clipped ring (unclosed) or None if empty.
+    (ref:vector/.../GeometryMethods intersection family, L:unverified —
+    CONVEX-clip subset only; general overlay stays a non-goal, SURVEY §2.0.)"""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if len(clip) and np.array_equal(clip[0], clip[-1]):
+        clip = clip[:-1]
+    # ensure CCW so "inside" = left of each directed edge
+    x, y = clip[:, 0], clip[:, 1]
+    if float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0:
+        clip = clip[::-1]
+    for i in range(len(clip)):
+        a = clip[i]
+        b = clip[(i + 1) % len(clip)]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        if len(pts) == 0:
+            return None
+        out = []
+        prev = pts[-1]
+        prev_side = ex * (prev[1] - a[1]) - ey * (prev[0] - a[0])
+        for cur in pts:
+            cur_side = ex * (cur[1] - a[1]) - ey * (cur[0] - a[0])
+            if cur_side >= 0:
+                if prev_side < 0:
+                    t = prev_side / (prev_side - cur_side)
+                    out.append(prev + t * (cur - prev))
+                out.append(cur)
+            elif prev_side >= 0:
+                t = prev_side / (prev_side - cur_side)
+                out.append(prev + t * (cur - prev))
+            prev, prev_side = cur, cur_side
+        pts = np.array(out) if out else np.empty((0, 2))
+    if len(pts) < 3:
+        return None
+    return pts
+
+
+def buffer_point(x: float, y: float, radius: float, n_segments: int = 32) -> np.ndarray:
+    """Circle approximation (regular n-gon ring, CCW, unclosed) — the point-
+    buffer subset of the reference's buffer family."""
+    ang = np.arange(n_segments) * (2.0 * np.pi / n_segments)
+    return np.column_stack([x + radius * np.cos(ang), y + radius * np.sin(ang)])
+
+
 def clip_segment_rect(x1, y1, x2, y2, xmin, ymin, xmax, ymax):
     """Liang–Barsky: clip segment to rect; returns (cx1,cy1,cx2,cy2) or None."""
     dx, dy = x2 - x1, y2 - y1

@@ -1114,6 +1114,52 @@ SQL_SEMI_ANTI = f"""
 """
 
 
+def q_overlay_rects(sf_dir: str):
+    """Vector overlay (convex-clip intersection, stages/overlay.py): the 128
+    world grid rects x the 112 half-cell-shifted rects; output (polygon_id,
+    right_id, area). SQL-checked — box-intersection areas are exact closed
+    forms on dyadic coordinates."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .core.wkb import encode_polygon
+    from .stages.overlay import overlay_intersection
+
+    polys = gen_polygons_table_cached()
+    grid = polys.filter(pc.less(polys["polygon_id"], 128)).select(["polygon_id", "wkb"])
+    rows = []
+    for j in range(7):
+        for i in range(16):
+            xmin, ymin = -180.0 + i * 22.5, -90.0 + j * 22.5 + 5.625
+            ring = [(xmin, ymin), (xmin + 22.5, ymin), (xmin + 22.5, ymin + 22.5), (xmin, ymin + 22.5)]
+            rows.append({"polygon_id": j * 16 + i, "wkb": encode_polygon([ring])})
+    right = pa.Table.from_pylist(rows, schema=pa.schema([("polygon_id", pa.int64()), ("wkb", pa.binary())]))
+    out = overlay_intersection(ray.data.from_arrow(grid), right)
+    return out.select_columns(["polygon_id", "right_id", "area"])
+
+
+SQL_OVERLAY = """
+    WITH lefts AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               -180.0 + CAST(i % 16 AS DOUBLE) * 22.5 AS lx0,
+               -90.0  + CAST(i // 16 AS DOUBLE) * 22.5 AS ly0
+        FROM range(0, 128) t(i)
+    ),
+    rights AS (
+        SELECT CAST(j AS BIGINT) AS right_id,
+               -180.0 + CAST(j % 16 AS DOUBLE) * 22.5 AS rx0,
+               -90.0  + CAST(j // 16 AS DOUBLE) * 22.5 + 5.625 AS ry0
+        FROM range(0, 112) t(j)
+    )
+    SELECT polygon_id, right_id,
+           (LEAST(lx0 + 22.5, rx0 + 22.5) - GREATEST(lx0, rx0))
+         * (LEAST(ly0 + 22.5, ry0 + 22.5) - GREATEST(ly0, ry0)) AS area
+    FROM lefts JOIN rights
+      ON LEAST(lx0 + 22.5, rx0 + 22.5) > GREATEST(lx0, rx0)
+     AND LEAST(ly0 + 22.5, ry0 + 22.5) > GREATEST(ly0, ry0)
+"""
+
+
 def q_range_join(sf_dir: str):
     """Bucketed interval join (1-D PBSM, stages/join.py:range_join): event
     values x 64 overlapping deterministic intervals [i*12.5, i*12.5+20),
@@ -1503,6 +1549,7 @@ def build_queries() -> dict:
         "q_events_asof_prev": q_events_asof_prev,
         "q_range_join": q_range_join,
         "q_semi_anti_join": q_semi_anti_join,
+        "q_overlay_rects": q_overlay_rects,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -1542,6 +1589,7 @@ def build_oracle_sql() -> dict:
         "q_events_asof_prev": SQL_ASOF,
         "q_range_join": SQL_RANGE_JOIN,
         "q_semi_anti_join": SQL_SEMI_ANTI,
+        "q_overlay_rects": SQL_OVERLAY,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
