@@ -72,18 +72,15 @@ def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
         sims = qn @ m.T  # (nq, n) one matmul per batch
         ids = batch[id_col]
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_i, out_s = [], [], []
-        for qi in range(len(qn)):
-            sel = part[qi]
-            out_q.extend([qi] * len(sel))
-            out_i.extend(sel.tolist())
-            out_s.extend(sims[qi, sel].tolist())
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        out_q = np.repeat(np.arange(len(qn), dtype=np.int64), kk)
+        out_i = part.ravel()
+        out_s = np.take_along_axis(sims, part, axis=1).ravel().astype(np.float64)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 id_col: ids.take(pa.array(out_i, pa.int64())),
-                "cosine": pa.array(np.asarray(out_s, dtype=np.float64), pa.float64()),
+                "cosine": pa.array(out_s, pa.float64()),
             }
         )
 

@@ -394,13 +394,16 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "hamming": ham[keep]})
 
-    return (
+    pairs = (
         sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])  # a pair can surface from several bands
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
+    # a pair can surface from several bands with the same hamming: grouped
+    # MIN aggregate (vectorized) instead of a per-group Python head(1)
+    from .agg import partial_groupby
+
+    return partial_groupby(pairs, ["id_a", "id_b"], [("hamming", "min", "hamming")])
 
 
 def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 3) -> np.ndarray:

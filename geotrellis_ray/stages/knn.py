@@ -58,19 +58,17 @@ def knn_multi(ds, queries: pd.DataFrame, k: int, id_col: str = "url", metric: st
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         ids = batch[id_col]
-        out_q, out_i, out_d = [], [], []
         if metric == "haversine":
             # (nq, nb) distance matrix, vectorized
             dm = haversine_m(lat[None, :], lon[None, :], qlat[:, None], qlon[:, None])
         else:
             dm = (lat[None, :] - qlat[:, None]) ** 2 + (lon[None, :] - qlon[:, None]) ** 2
         kk = min(k, dm.shape[1])
-        part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
-        for qi in range(len(qid)):
-            sel = part[qi]
-            out_q.extend([qid[qi]] * len(sel))
-            out_i.extend(sel.tolist())
-            out_d.extend(dm[qi, sel].tolist())
+        part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        # vectorized flatten: np.repeat/take instead of per-query Python
+        out_q = np.repeat(np.asarray(qid, dtype=np.int64), kk)
+        out_i = part.ravel()
+        out_d = np.take_along_axis(dm, part, axis=1).ravel()
         t = pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
