@@ -61,8 +61,22 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_text: b
     )
 
 
+def _default_pool() -> int:
+    """Actor-pool size scaled to the cluster — a fixed concurrency starves
+    the hashing stage on big nodes (see flagship.py's measured sizing)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
 class MinHasher:
-    """Actor-pool stage: minhash signature + LSH band rows per doc."""
+    """Actor-pool stage: LSH band rows per doc. Emits ONLY (id, band,
+    band_hash) — ~20 bytes/row. Round 1 also carried the full 512-byte
+    signature on every band row (8 KB/doc through the range sort); the 2M-doc
+    shuffle rehearsal measured that filling the object store to 99.9% and
+    collapsing throughput 5x. Signature agreement is now recovered per
+    candidate PAIR via text joins (sparse) instead."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -78,16 +92,11 @@ class MinHasher:
         sigs = minhash_signatures_batch(texts, self.num_perm, self.ngram)
         bands = lsh_bands(sigs, self.bands)  # (n, bands)
         n = len(texts)
-        out_id = np.repeat(ids, self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        out_hash = bands.ravel()
-        sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(self.bands)]
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.uint64()),
-                "sig": pa.array(sig_bytes, pa.binary()),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(bands.ravel(), pa.uint64()),
             }
         )
 
@@ -107,7 +116,6 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
         {"kind": pa.array([], pa.int8()),
          "id_a": pa.array([], batch.schema.field(id_col).type),
          "id_b": pa.array([], batch.schema.field(id_col).type),
-         "sig_a": pa.array([], pa.binary()), "sig_b": pa.array([], pa.binary()),
          "band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.uint64()),
          "blk": pa.array([], pa.int64())}
     )
@@ -116,7 +124,6 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     band = batch["band"].to_numpy(zero_copy_only=False)
     bhash = batch["band_hash"].to_numpy(zero_copy_only=False)
-    sigs = batch["sig"].to_pylist()
     same = (band[1:] == band[:-1]) & (bhash[1:] == bhash[:-1]) & (ids[1:] != ids[:-1])
     idx = np.nonzero(same)[0]
     parts = [
@@ -125,8 +132,6 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
                 "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
                 "id_a": pa.array(ids[idx]),
                 "id_b": pa.array(ids[idx + 1]),
-                "sig_a": pa.array([sigs[i] for i in idx], pa.binary()),
-                "sig_b": pa.array([sigs[i + 1] for i in idx], pa.binary()),
                 "band": pa.array(band[idx].astype(np.int32), pa.int32()),
                 "band_hash": pa.array(bhash[idx].astype(np.uint64), pa.uint64()),
                 "blk": pa.array(np.zeros(len(idx), dtype=np.int64), pa.int64()),
@@ -150,8 +155,6 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
                 "kind": pa.array(np.ones(len(edge), dtype=np.int8), pa.int8()),
                 "id_a": pa.array(ids[edge]),
                 "id_b": pa.array(ids[edge]),
-                "sig_a": pa.array([sigs[i] for i in edge], pa.binary()),
-                "sig_b": pa.array([sigs[i] for i in edge], pa.binary()),
                 "band": pa.array(band[edge].astype(np.int32), pa.int32()),
                 "band_hash": pa.array(bhash[edge].astype(np.uint64), pa.uint64()),
                 "blk": pa.array(np.full(len(edge), blk_tag, dtype=np.int64), pa.int64()),
@@ -161,24 +164,33 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _default_pool() -> int:
-    """Actor-pool size scaled to the cluster — a fixed concurrency starves
-    the hashing stage on big nodes (see flagship.py's measured sizing)."""
+def _join_partitions() -> int:
+    """Ray hash joins spawn num_partitions aggregator ACTORS; size to the
+    cluster (chained joins beyond it deadlock silently)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus // 4)
+    return max(2, min(16, cpus // 2))
 
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
                             concurrency=None, batch_size: int = 1024):
-    """Docs -> verified-similarity candidate pairs (est_jaccard = signature
-    agreement). Bucket co-location via ONE range sort on (band, band_hash);
-    pair extraction is vectorized per block (no per-group Python), with the
-    2-rows-per-block boundary set stitched on the driver — O(blocks), not
-    O(rows), so the collect stays trivial at any scale."""
+    """Docs -> candidate pairs with est_jaccard (= minhash signature
+    agreement). Scale shape (re-validated by the 2M-doc rehearsal):
+
+    1. ONE range sort co-locates buckets — over SLIM band rows only
+       (id, band, band_hash; no signatures);
+    2. vectorized adjacent-pair extraction per block, O(#blocks) boundary
+       stitch on the driver;
+    3. pairs dedupe to one row per (id_a, id_b) BEFORE any join;
+    4. est_jaccard via two pair->text hash joins + per-pair signature
+       recompute — the corpus text ships once per join, the (sparse) pair
+       stream carries everything else.
+    Never materializes signatures corpus-wide."""
     import ray.data
+
+    from .agg import partial_groupby
 
     if concurrency is None:
         concurrency = _default_pool()
@@ -213,39 +225,52 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
         if len(idx):
             cross = pa.table(
                 {
+                    "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
                     "id_a": pa.array(bb["id_a"].to_numpy()[idx]),
                     "id_b": pa.array(bb["id_a"].to_numpy()[idx + 1]),
-                    "sig_a": pa.array([bb["sig_a"][i] for i in idx], pa.binary()),
-                    "sig_b": pa.array([bb["sig_a"][i + 1] for i in idx], pa.binary()),
                     "band": pa.array(bb["band"].to_numpy()[idx].astype(np.int32), pa.int32()),
                     "band_hash": pa.array(bb["band_hash"].to_numpy()[idx].astype(np.uint64), pa.uint64()),
                 }
             )
-            cross = cross.add_column(0, "kind", pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()))
             pairs = pairs.union(ray.data.from_arrow(cross))
 
-    def verify(batch: pa.Table) -> pa.Table:
+    # one row per pair BEFORE the text joins (a pair can surface from
+    # several bands)
+    unique_pairs = partial_groupby(
+        pairs.map_batches(lambda b: b.select(["id_a", "id_b"]),
+                          batch_format="pyarrow", zero_copy_batch=True),
+        ["id_a", "id_b"], [("id_a", "count", "n_bands")],
+    ).drop_columns(["n_bands"])
+
+    # est_jaccard: ship each pair its two texts, recompute both signatures
+    # per pair (pair-sparse work), compare
+    nparts = _join_partitions()
+    docs_a = ds.map_batches(
+        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs_b = ds.map_batches(
+        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = unique_pairs.join(docs_a, join_type="inner", num_partitions=nparts, on=("id_a",))
+    j = j.join(docs_b, join_type="inner", num_partitions=nparts, on=("id_b",))
+
+    def est(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
-        sa = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig_a"].to_pylist()])
-        sb = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig_b"].to_pylist()])
-        est = (sa == sb).mean(axis=1)
+        sa = minhash_signatures_batch(batch["text_a"].to_pylist(), num_perm, ngram)
+        sb = minhash_signatures_batch(batch["text_b"].to_pylist(), num_perm, ngram)
         return pa.table(
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
-                "est_jaccard": pa.array(est, pa.float64()),
+                "est_jaccard": pa.array((sa == sb).mean(axis=1), pa.float64()),
             }
         )
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    # a pair can surface from several bands (identical est_jaccard each time);
-    # emit each (id_a, id_b) once so downstream joins don't multiply. Pair
-    # volume is sparse relative to the corpus, so this groupby is cheap.
-    from .agg import partial_groupby
-
-    return partial_groupby(verified, ["id_a", "id_b"], [("est_jaccard", "max", "est_jaccard")])
+    return j.map_batches(est, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
