@@ -653,8 +653,10 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from .stages.dedup import minhash_candidate_pairs, verify_pairs_exact_jaccard
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_candidate_pairs(docs).filter(expr="est_jaccard >= 0.5")
-    out = verify_pairs_exact_jaccard(pairs.select_columns(["id_a", "id_b", "est_jaccard"]), docs)
+    # exact verify follows, so skip the est joins (with_est=False) and
+    # threshold on the EXACT jaccard instead
+    pairs = minhash_candidate_pairs(docs, with_est=False)
+    out = verify_pairs_exact_jaccard(pairs, docs).filter(expr="jaccard >= 0.5")
     return out.select_columns(["id_a", "id_b", "jaccard"])
 
 

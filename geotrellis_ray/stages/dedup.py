@@ -175,7 +175,8 @@ def _join_partitions() -> int:
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
-                            concurrency=None, batch_size: int = 1024):
+                            concurrency=None, batch_size: int = 1024,
+                            with_est: bool = True):
     """Docs -> candidate pairs with est_jaccard (= minhash signature
     agreement). Scale shape (re-validated by the 2M-doc rehearsal):
 
@@ -241,6 +242,10 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
                           batch_format="pyarrow", zero_copy_batch=True),
         ["id_a", "id_b"], [("id_a", "count", "n_bands")],
     ).drop_columns(["n_bands"])
+    if not with_est:
+        # callers that re-verify exactly anyway (ngram-jaccard path) skip the
+        # two est joins entirely
+        return unique_pairs
 
     # est_jaccard: ship each pair its two texts, recompute both signatures
     # per pair (pair-sparse work), compare
@@ -454,6 +459,10 @@ def verify_pairs_exact_jaccard(pairs_ds, docs_ds, ngram: int = 3,
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(16, cpus // 2))
+    # pairs that flow out of a filtered join can carry EMPTY-schema blocks,
+    # which Dataset.join rejects ("no match for key field"); a repartition
+    # rebuilds uniform blocks (same workaround as spatial_join)
+    pairs_ds = pairs_ds.repartition(num_partitions)
     docs_a = docs_ds.map_batches(
         lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
         batch_format="pyarrow", zero_copy_batch=True,
