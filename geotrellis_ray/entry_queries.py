@@ -1399,6 +1399,29 @@ def q_geojson_cliptogrid(sf_dir: str):
     return exploded.groupby("polygon_id").aggregate(Count(alias_name="n_keys"))
 
 
+def q_cost_distance_toy(sf_dir: str):
+    """IterativeCostDistance (stages/costdistance.py): BSP rounds of collar
+    exchange + vectorized in-tile relaxation over the toy friction layer;
+    per-tile count of reached cells + sum of finite costs (rows-only;
+    exactness pytest-verified against a brute Dijkstra oracle)."""
+    from .stages.costdistance import cost_distance, cost_tile
+
+    out = cost_distance(_toy_layer(sf_dir, 4), [(0, 0, 2, 3), (3, 3, 10, 10)], max_rounds=16)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        n_reached, cost_sum = [], []
+        for row in b.to_pylist():
+            c = cost_tile(row)
+            finite = np.isfinite(c)
+            n_reached.append(int(finite.sum()))
+            cost_sum.append(float(np.round(c[finite].sum(), 6)))
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "n_reached": pa.array(n_reached, pa.int64()),
+                         "cost_sum": pa.array(cost_sum, pa.float64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_terrain_toy(sf_dir: str):
     """Terrain surface ops (Horn slope / aspect / hillshade over buffered
     collars) + bilinear layer resample — per-tile mean of each product
@@ -1556,6 +1579,7 @@ def build_queries() -> dict:
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
         "q_terrain_toy": q_terrain_toy,
+        "q_cost_distance_toy": q_cost_distance_toy,
         "q_geojson_cliptogrid": q_geojson_cliptogrid,
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_vector_tiles_mvt": q_vector_tiles_mvt,

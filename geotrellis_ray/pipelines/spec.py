@@ -220,6 +220,12 @@ def _op_clip_to_grid(ds, extent, tile_layout, **kw):
     )
 
 
+def _op_cost_distance(ds, source_cells, max_rounds: int = 64):
+    from ..stages.costdistance import cost_distance
+
+    return cost_distance(ds, [tuple(s) for s in source_cells], max_rounds=max_rounds)
+
+
 def _op_read_geotiffs(ds, path: str):
     from ..sources.raster_ingest import read_geotiffs
 
@@ -283,6 +289,7 @@ for _name, _fn in {
     "focal.aspect": _op_focal_aspect,
     "focal.hillshade": _op_focal_hillshade,
     "transform.resample_tiles": _op_resample_tiles,
+    "focal.cost_distance": _op_cost_distance,
     "buffer.tiles": _op_buffer_tiles,
     "transform.reproject": _op_reproject_points,
     "transform.spacetime_key": _op_spacetime_key,
