@@ -1422,6 +1422,37 @@ def q_cost_distance_toy(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_viewshed_toy(sf_dir: str):
+    """Distributed XDraw viewshed (stages/viewshed.py): horizon propagation
+    over the toy layer as a DEM; per-tile visible-cell count (rows-only;
+    exactness pytest-verified against an independent ring-order reference)."""
+    from .stages.viewshed import viewshed, visibility_tile
+
+    base = _toy_layer(sf_dir, 5)
+
+    # the toy layer has NoData holes; viewshed v1 wants a NaN-free DEM
+    def fill(b: pa.Table) -> pa.Table:
+        from .core.raster import decode_tile as dt, encode_tile as et
+
+        cells = []
+        for row in b.to_pylist():
+            a = dt(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            a = np.nan_to_num(a, nan=5.0)
+            cells.append(et(a)[0])
+        return b.set_column(b.schema.get_field_index("cells"), "cells",
+                            pa.array(cells, pa.binary()))
+
+    dem = base.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    out, (vr, vc, vh) = viewshed(dem, (17, 22), observer_height=3.0, max_rounds=12)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        ns = [int(visibility_tile(r, vr, vc, vh, 16, 16).sum()) for r in b.to_pylist()]
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "n_visible": pa.array(ns, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_terrain_toy(sf_dir: str):
     """Terrain surface ops (Horn slope / aspect / hillshade over buffered
     collars) + bilinear layer resample — per-tile mean of each product
@@ -1580,6 +1611,7 @@ def build_queries() -> dict:
         "q_merge_layers_toy": q_merge_layers_toy,
         "q_terrain_toy": q_terrain_toy,
         "q_cost_distance_toy": q_cost_distance_toy,
+        "q_viewshed_toy": q_viewshed_toy,
         "q_geojson_cliptogrid": q_geojson_cliptogrid,
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_vector_tiles_mvt": q_vector_tiles_mvt,

@@ -226,6 +226,14 @@ def _op_cost_distance(ds, source_cells, max_rounds: int = 64):
     return cost_distance(ds, [tuple(s) for s in source_cells], max_rounds=max_rounds)
 
 
+def _op_viewshed(ds, viewpoint, observer_height: float = 0.0, max_rounds: int = 64):
+    from ..stages.viewshed import viewshed
+
+    out, _vp = viewshed(ds, tuple(viewpoint), observer_height=observer_height,
+                        max_rounds=max_rounds)
+    return out
+
+
 def _op_read_geotiffs(ds, path: str):
     from ..sources.raster_ingest import read_geotiffs
 
@@ -290,6 +298,7 @@ for _name, _fn in {
     "focal.hillshade": _op_focal_hillshade,
     "transform.resample_tiles": _op_resample_tiles,
     "focal.cost_distance": _op_cost_distance,
+    "focal.viewshed": _op_viewshed,
     "buffer.tiles": _op_buffer_tiles,
     "transform.reproject": _op_reproject_points,
     "transform.spacetime_key": _op_spacetime_key,

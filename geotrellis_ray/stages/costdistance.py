@@ -95,7 +95,26 @@ def _init_cost(friction_ds, source_cells):
     return friction_ds.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _exchange_and_relax(ds, margin: int = 1):
+def bsp_round(ds, relax_fn, margin: int = 1, plane_col: str = "cost",
+              collar_fill: float = np.inf):
+    """Generic BSP exchange round over a layer carrying a friction/DEM plane
+    (``cells``) plus a propagating plane (``plane_col``): explode both to the
+    8 neighbors, assemble collar-buffered pairs, apply ``relax_fn(plane_buf,
+    cells_buf, key_col, key_row, margin) -> new full-size plane`` per tile,
+    emit new cores + changed flags. ``collar_fill`` seeds collar cells with
+    no neighbor (inf = no information for min-propagation; -inf for
+    max-propagation like viewshed horizons). Shared by cost_distance and
+    viewshed."""
+    return _exchange_and_relax(ds, margin=margin, plane_col=plane_col,
+                               relax_fn=relax_fn, collar_fill=collar_fill)
+
+
+def _default_relax(cbuf, fbuf, _kc, _kr, _m):
+    return local_relax(cbuf, fbuf)
+
+
+def _exchange_and_relax(ds, margin: int = 1, plane_col: str = "cost",
+                        relax_fn=_default_relax, collar_fill: float = np.inf):
     """One BSP round -> (new ds, Dataset of per-tile changed flags)."""
     m = margin
 
@@ -104,7 +123,7 @@ def _exchange_and_relax(ds, margin: int = 1):
                "cost_p": [], "fric_p": [], "p_rows": [], "p_cols": []}
         for row in batch.to_pylist():
             f = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
-            c = np.frombuffer(row["cost"], dtype="<f8").reshape(f.shape)
+            c = np.frombuffer(row[plane_col], dtype="<f8").reshape(f.shape)
             for dr in (-1, 0, 1):
                 for dc in (-1, 0, 1):
                     rs = slice(0, f.shape[0]) if dr == 0 else (
@@ -137,10 +156,10 @@ def _exchange_and_relax(ds, margin: int = 1):
         if len(own) == 0:
             return pd.DataFrame({c: [] for c in
                                  ("key_col", "key_row", "sfc", "cells", "cols", "rows",
-                                  "cell_type", "cost", "changed")})
+                                  "cell_type", plane_col, "changed")})
         rows = int(own["p_rows"].iloc[0])
         cols = int(own["p_cols"].iloc[0])
-        cbuf = np.full((rows + 2 * m, cols + 2 * m), np.inf)
+        cbuf = np.full((rows + 2 * m, cols + 2 * m), collar_fill)
         fbuf = np.full((rows + 2 * m, cols + 2 * m), np.nan)
         for row in g.itertuples():
             cp = np.frombuffer(row.cost_p, dtype="<f8").reshape(row.p_rows, row.p_cols)
@@ -149,7 +168,9 @@ def _exchange_and_relax(ds, margin: int = 1):
             c0 = m if row.dc == 0 else (0 if row.dc == 1 else m + cols)
             cbuf[r0:r0 + row.p_rows, c0:c0 + row.p_cols] = cp
             fbuf[r0:r0 + row.p_rows, c0:c0 + row.p_cols] = fp
-        relaxed = local_relax(cbuf, fbuf)
+        kc = int(own["t_col"].iloc[0])
+        kr = int(own["t_row"].iloc[0])
+        relaxed = relax_fn(cbuf, fbuf, kc, kr, m)
         old_core = cbuf[m:m + rows, m:m + cols]
         new_core = relaxed[m:m + rows, m:m + cols]
         # treat inf/NaN consistently for the change test
@@ -158,12 +179,10 @@ def _exchange_and_relax(ds, margin: int = 1):
         changed = bool(np.any(np.abs(oc - nc) > 1e-12))
         fcore = fbuf[m:m + rows, m:m + cols]
         cells, cc, rr, ct = encode_tile(fcore)
-        kc = int(own["t_col"].iloc[0])
-        kr = int(own["t_row"].iloc[0])
         return pd.DataFrame({
             "key_col": [kc], "key_row": [kr], "sfc": [int(zorder(kc, kr))],
             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct],
-            "cost": [new_core.astype("<f8").tobytes()],
+            plane_col: [new_core.astype("<f8").tobytes()],
             "changed": [changed],
         })
 
