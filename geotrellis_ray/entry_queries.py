@@ -207,6 +207,37 @@ SQL_JOIN_CO = """
 """
 
 
+def q_join_customer_orders_broadcast(sf_dir: str):
+    """Same join as q_join_customer_orders but via the BROADCAST strategy
+    (stages/join.py:broadcast_join — ray.put the 15k-row customer side,
+    vectorized searchsorted per batch, no shuffle/join actors). Same SQL
+    oracle; the bench contrasts the two strategies."""
+    import pyarrow.parquet as pq
+
+    from .stages.agg import partial_groupby
+    from .stages.join import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "price_cents": pa.array(_cents(b["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()),
+            }
+        )
+
+    joined = broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        cust, "o_custkey", "c_custkey", how="inner",
+    )
+    return partial_groupby(
+        joined, ["c_mktsegment"],
+        [("price_cents", "count", "n_orders"), ("price_cents", "sum", "sum_price_cents")],
+        final="single")
+
+
 def q_join_nation_rollup(sf_dir: str):
     from .stages.agg import partial_groupby
 
@@ -1562,6 +1593,7 @@ def build_queries() -> dict:
         "q1_pricing_summary": q1_pricing_summary,
         "q_filter_range": q_filter_range,
         "q_join_customer_orders": q_join_customer_orders,
+        "q_join_customer_orders_broadcast": q_join_customer_orders_broadcast,
         "q_join_nation_rollup": q_join_nation_rollup,
         "q_topk_orders": q_topk_orders,
         "q_events_hourly": q_events_hourly,
@@ -1625,6 +1657,7 @@ def build_oracle_sql() -> dict:
         "q1_pricing_summary": SQL_Q1,
         "q_filter_range": SQL_FILTER_RANGE,
         "q_join_customer_orders": SQL_JOIN_CO,
+        "q_join_customer_orders_broadcast": SQL_JOIN_CO,
         "q_join_nation_rollup": SQL_JOIN_NATION,
         "q_topk_orders": SQL_TOPK,
         "q_events_hourly": SQL_EVENTS_HOURLY,

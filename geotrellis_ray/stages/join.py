@@ -64,6 +64,62 @@ def key_intersection(left, right, key_cols=("key_col", "key_row")):
                         how="inner", on=tuple(key_cols))
 
 
+def broadcast_join(left_ds, right_table: pa.Table, left_key: str, right_key: str,
+                   how: str = "inner", right_columns: list[str] | None = None):
+    """Broadcast inner/left-outer equi-join against a SMALL right table: the
+    right side is sorted once by key and shipped via ``ray.put``; each batch
+    resolves matches with a vectorized double searchsorted (duplicate right
+    keys expand). No shuffle, no join actors — the scale pattern for
+    dimension-table joins (brief: "broadcast small sides with ray.put +
+    lookup inside map_batches instead of a shuffle join"). Right keys must
+    be integers."""
+    import ray
+
+    rk = right_table[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rk, kind="stable")
+    rk_sorted = rk[order]
+    cols = right_columns if right_columns is not None else [
+        c for c in right_table.column_names if c != right_key
+    ]
+    right_sorted = right_table.select(cols).take(pa.array(order, pa.int64()))
+    ref = ray.put((rk_sorted, right_sorted))
+
+    def join_batch(b: pa.Table, *, _ref=ref) -> pa.Table:
+        keys_sorted, right = ray.get(_ref)
+        lk = b[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(keys_sorted, lk, side="left")
+        hi = np.searchsorted(keys_sorted, lk, side="right")
+        counts = hi - lo
+        if how == "inner":
+            take_left = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+            offs = (np.concatenate([np.arange(c) for c in counts])
+                    if counts.sum() else np.array([], np.int64))
+            take_right = np.repeat(lo, counts) + offs
+            out = b.take(pa.array(take_left, pa.int64()))
+            rgt = right.take(pa.array(take_right, pa.int64()))
+        elif how == "left_outer":
+            eff = np.maximum(counts, 1)
+            take_left = np.repeat(np.arange(len(b), dtype=np.int64), eff)
+            offs = (np.concatenate([np.arange(c) for c in eff])
+                    if eff.sum() else np.array([], np.int64))
+            base = np.repeat(np.where(counts > 0, lo, -1), eff)
+            take_right = np.where(base >= 0, base + offs, -1)
+            out = b.take(pa.array(take_left, pa.int64()))
+            valid = take_right >= 0
+            gathered = right.take(pa.array(np.where(valid, take_right, 0), pa.int64()))
+            # unmatched rows -> nulls via an Arrow take with null indices
+            idx = pa.array(np.where(valid, np.arange(len(valid)), -1), pa.int64())
+            idx = pa.compute.if_else(pa.compute.greater_equal(idx, 0), idx, pa.scalar(None, pa.int64()))
+            rgt = gathered.take(idx)
+        else:
+            raise ValueError(f"unsupported how={how!r}")
+        for c in rgt.column_names:
+            out = out.append_column(c, rgt[c])
+        return out
+
+    return left_ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def range_join(points_ds, intervals_ds, value_col: str, lo_col: str, hi_col: str,
                bucket_width: float, num_partitions: int = 16,
                point_suffix: str = "", interval_suffix: str = "_r"):
