@@ -875,6 +875,52 @@ def q_raster_ingest(sf_dir: str):
     return tiles.map_batches(count_defined, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio multimodal pipeline over REAL payloads: deterministic PCM WAVs
+    synthesized per doc (sha-seeded sine mixes, real codec), decoded by the
+    actor-pool AudioFrameSampler through the real WAV path (core/media.py);
+    output per-doc frame-RMS summary. Rows-only; codec byte-exactness is
+    pytest-verified (test_media)."""
+    import hashlib as _hashlib
+
+    from .core.media import encode_wav
+    from .stages.multimodal import AudioFrameSampler
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t in b["text"].to_pylist():
+            h = _hashlib.sha256(t.encode()).digest()
+            f1 = 100 + h[0] * 4
+            f2 = 100 + h[1] * 4
+            amp = 0.2 + h[2] / 512.0
+            ts = np.arange(2048) / 16_000.0
+            pcm = amp * np.sin(2 * np.pi * f1 * ts) + (0.5 - amp / 2) * np.sin(2 * np.pi * f2 * ts)
+            payloads.append(encode_wav(pcm))  # encode_wav scales [-1,1] floats
+        return pa.table({"doc_id": b["doc_id"], "media": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    decoded = media.map_batches(
+        AudioFrameSampler, fn_constructor_kwargs={"frames": 8},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256, concurrency=_pool_size(),
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rms = b["audio_rms"]
+        flat = rms.combine_chunks() if isinstance(rms, pa.ChunkedArray) else rms
+        mean_rms = [float(np.mean(x)) if len(x) else 0.0 for x in flat.to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_frames": pc.list_value_length(rms).cast(pa.int64()),
+            "mean_rms": pa.array(np.round(mean_rms, 6), pa.float64()),
+        })
+
+    return decoded.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_geotiff_ingest(sf_dir: str):
     """Real GeoTiff ingest end-to-end: deterministic Deflate-tiled GeoTiffs
     (core/geotiff.py writer) -> read_geotiffs -> tileToLayout -> per-tile
@@ -1625,6 +1671,7 @@ def build_queries() -> dict:
         "q_rasterize_toy": q_rasterize_toy,
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
+        "q_audio_features": q_audio_features,
         "q_raster_ingest": q_raster_ingest,
         "q_geotiff_ingest": q_geotiff_ingest,
         "q_histogram_breaks": q_histogram_breaks,
