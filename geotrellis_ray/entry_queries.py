@@ -483,6 +483,36 @@ SQL_KNN = f"""
 """
 
 
+def q_knn_cell_pruned(sf_dir: str):
+    """Scale-path kNN: hex-cell disk prefilter (k-ring expansion around each
+    query's cell) then exact kNN over the pruned stream — must return
+    EXACTLY the global kNN answer when the disk holds >= k true neighbours
+    (hex_res=2 cells are ~11 deg, rings=2 -> the 5-NN are comfortably
+    inside; rings=4 also covers the sparse sf0.001 tier). Shares
+    q_knn_events' SQL oracle."""
+    from .core.cellid import cell_hexlike
+    from .stages.knn import knn_cell_pruned
+
+    HEX_RES = 2
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = derive_coords_batch(b, "event_id")
+        c = cell_hexlike(b["lat"].to_numpy(zero_copy_only=False),
+                         b["lon"].to_numpy(zero_copy_only=False), HEX_RES)
+        return b.append_column("cell_hexlike", pa.array(c, pa.uint64()))
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    queries_df = pd.DataFrame(
+        {"query_id": [q[0] for q in KNN_QUERIES], "lat": [q[1] for q in KNN_QUERIES],
+         "lon": [q[2] for q in KNN_QUERIES]}
+    )
+    out = knn_cell_pruned(ds, queries_df, k=5, hex_res=HEX_RES, rings=4,
+                          id_col="event_id", metric="sqeuclid")
+    return out.select_columns(["query_id", "rank", "event_id"])
+
+
 def q_pyramid_counts(sf_dir: str):
     from .stages.pyramid import pyramid_up_counts
     from ray.data.aggregate import Sum
@@ -1651,6 +1681,7 @@ def build_queries() -> dict:
         "q_tile_assign_events": q_tile_assign_events,
         "q_pip_rect_grid": q_pip_rect_grid,
         "q_knn_events": q_knn_events,
+        "q_knn_cell_pruned": q_knn_cell_pruned,
         "q_pyramid_counts": q_pyramid_counts,
         "q_spatial_join_layers": q_spatial_join_layers,
         "q_flagship_pages": q_flagship_pages,
@@ -1716,6 +1747,7 @@ def build_oracle_sql() -> dict:
         "q_tile_assign_events": SQL_TILE_ASSIGN,
         "q_pip_rect_grid": SQL_PIP_RECT,
         "q_knn_events": SQL_KNN,
+        "q_knn_cell_pruned": SQL_KNN,
         "q_pyramid_counts": SQL_PYRAMID,
         "q_spatial_join_layers": SQL_SPATIAL_JOIN,
         "q_polygonal_summary": SQL_POLY_SUMMARY,

@@ -90,7 +90,8 @@ def knn_multi(ds, queries: pd.DataFrame, k: int, id_col: str = "url", metric: st
     )
 
 
-def knn_cell_pruned(ds, queries: pd.DataFrame, k: int, hex_res: int, rings: int = 2, id_col: str = "url"):
+def knn_cell_pruned(ds, queries: pd.DataFrame, k: int, hex_res: int, rings: int = 2,
+                    id_col: str = "url", metric: str = "haversine"):
     """Scale path: restrict the exact kNN to points whose hex cell lies in a
     ``rings``-disk around each query's cell, then run knn_multi on the
     filtered stream. Correct iff the disk holds >= k true neighbours (callers
@@ -113,4 +114,4 @@ def knn_cell_pruned(ds, queries: pd.DataFrame, k: int, hex_res: int, rings: int 
         return batch.filter(pa.array(np.isin(cells, cand_arr)))
 
     pruned = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
-    return knn_multi(pruned, queries, k, id_col=id_col)
+    return knn_multi(pruned, queries, k, id_col=id_col, metric=metric)
