@@ -268,6 +268,69 @@ SQL_TOPK = """
 """
 
 
+def q_grouped_topk(sf_dir: str):
+    """Per-group top-k (ROW_NUMBER window shape) with the partial top-k
+    combiner (stages/agg.py:grouped_top_k): top-3 lineitems per returnflag
+    by price; deterministic tie-break on a unique line uid. SQL-checked
+    against DuckDB's row_number window."""
+    from .stages.agg import grouped_top_k
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = (b["l_orderkey"].to_numpy(zero_copy_only=False) * 8
+               + b["l_linenumber"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "uid": pa.array(uid.astype(np.int64), pa.int64()),
+            "price_cents": pa.array(_cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_top_k(prepped, ["l_returnflag"], "price_cents", 3, descending=True, tie_col="uid")
+    return out.select_columns(["l_returnflag", "rank", "uid", "price_cents"])
+
+
+SQL_GROUPED_TOPK = """
+    WITH ranked AS (
+        SELECT l_returnflag,
+               l_orderkey * 8 + l_linenumber AS uid,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+                            l_orderkey * 8 + l_linenumber ASC
+               ) AS rank
+        FROM lineitem
+    )
+    SELECT l_returnflag, rank, uid, price_cents FROM ranked WHERE rank <= 3
+"""
+
+
+def q_exact_quantiles(sf_dir: str):
+    """EXACT distributed quantiles via one single-column sort + metadata-only
+    index location (stages/agg.py:exact_quantiles). SQL-checked against
+    DuckDB's quantile_disc (same smallest-element-with-cdf>=q convention)."""
+    from .stages.agg import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = exact_quantiles(ds, "l_extendedprice", qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([got[x] for x in qs], pa.float64()),
+    })
+
+
+SQL_EXACT_QUANTILES = """
+    SELECT CAST(0.01 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.01) AS value FROM lineitem
+    UNION ALL SELECT CAST(0.25 AS DOUBLE), quantile_disc(l_extendedprice, 0.25) FROM lineitem
+    UNION ALL SELECT CAST(0.5 AS DOUBLE),  quantile_disc(l_extendedprice, 0.5)  FROM lineitem
+    UNION ALL SELECT CAST(0.9 AS DOUBLE),  quantile_disc(l_extendedprice, 0.9)  FROM lineitem
+    UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) FROM lineitem
+"""
+
+
 def q_events_hourly(sf_dir: str):
     from .stages.agg import partial_groupby
 
@@ -1672,6 +1735,8 @@ def build_queries() -> dict:
         "q_join_customer_orders_broadcast": q_join_customer_orders_broadcast,
         "q_join_nation_rollup": q_join_nation_rollup,
         "q_topk_orders": q_topk_orders,
+        "q_grouped_topk": q_grouped_topk,
+        "q_exact_quantiles": q_exact_quantiles,
         "q_events_hourly": q_events_hourly,
         "q_dedup_docs_exact": q_dedup_docs_exact,
         "q_doc_token_counts": q_doc_token_counts,
@@ -1738,6 +1803,8 @@ def build_oracle_sql() -> dict:
         "q_join_customer_orders_broadcast": SQL_JOIN_CO,
         "q_join_nation_rollup": SQL_JOIN_NATION,
         "q_topk_orders": SQL_TOPK,
+        "q_grouped_topk": SQL_GROUPED_TOPK,
+        "q_exact_quantiles": SQL_EXACT_QUANTILES,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,

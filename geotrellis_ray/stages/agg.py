@@ -103,3 +103,65 @@ def partial_groupby(ds, keys, specs, final: str = "shuffle"):
     merge = {"sum": Sum, "count": Sum, "min": Min, "max": Max}
     finals = [merge[fn](alias, alias_name=alias) for _col, fn, alias in specs]
     return partial.groupby(keys).aggregate(*finals)
+
+
+def grouped_top_k(ds, keys, order_col: str, k: int, descending: bool = True,
+                  tie_col: str | None = None):
+    """Per-group top-k (the ROW_NUMBER() <= k window shape) with a PARTIAL
+    top-k combiner: each batch keeps at most k rows per key (vectorized
+    pandas sort+head), so the shuffle moves <= k x groups x blocks rows,
+    never the input; the final per-group head runs on the collapsed stream.
+    Adds a ``rank`` column (1-based). Ties break on ``tie_col`` ascending."""
+    import pandas as pd
+
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    ascending = [not descending] + ([True] if tie_col else [])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return (df.sort_values(sort_cols, ascending=ascending, kind="stable")
+                  .groupby(list(keys), sort=False).head(k))
+
+    partial = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = pd.RangeIndex(1, len(g) + 1)
+        return g
+
+    return partial.groupby(list(keys)).map_groups(final_topk, batch_format="pandas")
+
+
+def exact_quantiles(ds, col: str, quantiles: list[float]):
+    """EXACT distributed quantiles (discrete: the smallest element whose
+    cumulative fraction >= q, i.e. sorted index max(0, ceil(q*n)-1) —
+    DuckDB's quantile_disc convention, verified empirically): ONE range sort
+    of the single projected column, then the driver reads ONLY block
+    row-counts (metadata) and fetches the handful of blocks holding the
+    target indices. Never collects the column."""
+    import numpy as np
+    import ray
+
+    sorted_ds = ds.select_columns([col]).sort(col).materialize()
+    # per-block row counts are metadata on the driver — O(#blocks)
+    counts = [m.num_rows for m in sorted_ds._plan.execute().metadata]
+    total = sum(counts)
+    if total == 0:
+        return {q: None for q in quantiles}
+    starts = np.cumsum([0] + counts)
+    want = {q: max(0, int(np.ceil(q * total)) - 1) for q in quantiles}
+    # group target indices by owning block, fetch each needed block once
+    by_block: dict[int, list[float]] = {}
+    for q, idx in want.items():
+        b = int(np.searchsorted(starts, idx, side="right") - 1)
+        by_block.setdefault(b, []).append(q)
+    blocks = sorted_ds._plan.execute().block_refs
+    out: dict[float, float] = {}
+    for b, qs in by_block.items():
+        tbl = ray.get(blocks[b])
+        arr = tbl[col].to_numpy(zero_copy_only=False)
+        for q in qs:
+            out[q] = float(arr[want[q] - starts[b]])
+    return out

@@ -142,3 +142,27 @@ def test_broadcast_join_matches_pandas(ray_session):
         if how == "left_outer":
             got2 = got2.astype({"rv": "float64"})
         pd.testing.assert_frame_equal(got2, exp2)
+
+
+def test_grouped_top_k_and_exact_quantiles(ray_session):
+    rng = np.random.default_rng(31)
+    t = pa.table({"g": pa.array(rng.choice(["x", "y"], 4000)),
+                  "v": pa.array(rng.integers(0, 10_000, 4000), pa.int64()),
+                  "id": pa.array(np.arange(4000), pa.int64())})
+    from geotrellis_ray.stages.agg import exact_quantiles, grouped_top_k
+
+    got = grouped_top_k(ray.data.from_arrow(t).repartition(7), ["g"], "v", 4,
+                        tie_col="id").to_pandas()
+    df = t.to_pandas()
+    exp = (df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+             .groupby("g").head(4))
+    assert len(got) == 8
+    got_s = got.sort_values(["g", "rank"]).reset_index(drop=True)
+    exp_s = exp.sort_values(["g", "v"], ascending=[True, False]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[["g", "v", "id"]], exp_s[["g", "v", "id"]])
+
+    qs = exact_quantiles(ray.data.from_arrow(t).repartition(9), "v", [0.0, 0.37, 0.5, 1.0])
+    sv = np.sort(t["v"].to_numpy())
+    for q, val in qs.items():
+        exp_idx = max(0, int(np.ceil(q * len(sv))) - 1)
+        assert val == sv[exp_idx], (q, val, sv[exp_idx])
