@@ -1650,6 +1650,31 @@ def q_terrain_toy(sf_dir: str):
     return out.union(resampled.map_batches(summarize("resample_bilinear"), batch_format="pyarrow", zero_copy_batch=True))
 
 
+def q_render_png_toy(sf_dir: str):
+    """Render surface: per-tile ColorMap -> PNG (core/render.py) as a
+    map_batches sink stage over the toy layer; output per-tile PNG byte size
+    + magic check (rows-only; codec round-trip pytest-verified)."""
+    from .core.raster import decode_tile
+    from .core.render import ColorMap, render_tile_png
+
+    cmap = ColorMap(breaks=[2.0, 4.0, 6.0, 8.0],
+                    colors=[(0, 0, 255, 255), (0, 255, 0, 255), (255, 255, 0, 255), (255, 0, 0, 255)])
+    base = _toy_layer(sf_dir, 6)
+
+    def render(b: pa.Table) -> pa.Table:
+        sizes, ok = [], []
+        for row in b.to_pylist():
+            a = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            png = render_tile_png(a, cmap)
+            sizes.append(len(png))
+            ok.append(png[:8] == b"\x89PNG\r\n\x1a\n")
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "png_bytes": pa.array(sizes, pa.int64()),
+                         "png_magic_ok": pa.array(ok, pa.bool_())})
+
+    return base.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_merge_layers_toy(sf_dir: str):
     from .stages.layer_ops import merge_layers
 
@@ -1784,6 +1809,7 @@ def build_queries() -> dict:
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
+        "q_render_png_toy": q_render_png_toy,
         "q_terrain_toy": q_terrain_toy,
         "q_cost_distance_toy": q_cost_distance_toy,
         "q_viewshed_toy": q_viewshed_toy,
