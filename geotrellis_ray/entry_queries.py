@@ -1592,6 +1592,40 @@ def q_cost_distance_toy(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_hydrology_toy(sf_dir: str):
+    """D8 hydrology (stages/hydrology.py): flow direction over a NaN-filled
+    toy DEM, then BSP flow accumulation; per-tile max accumulation + pit
+    count (rows-only; exactness pytest-verified vs brute D8 + Kahn
+    topological accumulation)."""
+    from .core.raster import decode_tile as _dt, encode_tile as _et
+    from .stages.hydrology import acc_tile, flow_accumulation, flow_direction
+
+    def fill(b: pa.Table) -> pa.Table:
+        cells = []
+        for row in b.to_pylist():
+            a = _dt(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            cells.append(_et(np.nan_to_num(a, nan=5.0))[0])
+        return b.set_column(b.schema.get_field_index("cells"), "cells",
+                            pa.array(cells, pa.binary()))
+
+    dem = _toy_layer(sf_dir, 7).map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    dirs = flow_direction(dem).materialize()
+    acc = flow_accumulation(dirs, max_rounds=32)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        mx, pits = [], []
+        for row in b.to_pylist():
+            a = acc_tile(row)
+            d = _dt(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            mx.append(float(np.nanmax(a)) if np.isfinite(a).any() else 0.0)
+            pits.append(int((d == 0).sum()))
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "max_acc": pa.array(mx, pa.float64()),
+                         "n_pits": pa.array(pits, pa.int64())})
+
+    return acc.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_viewshed_toy(sf_dir: str):
     """Distributed XDraw viewshed (stages/viewshed.py): horizon propagation
     over the toy layer as a DEM; per-tile visible-cell count (rows-only;
@@ -1813,6 +1847,7 @@ def build_queries() -> dict:
         "q_terrain_toy": q_terrain_toy,
         "q_cost_distance_toy": q_cost_distance_toy,
         "q_viewshed_toy": q_viewshed_toy,
+        "q_hydrology_toy": q_hydrology_toy,
         "q_geojson_cliptogrid": q_geojson_cliptogrid,
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_vector_tiles_mvt": q_vector_tiles_mvt,

@@ -234,6 +234,18 @@ def _op_viewshed(ds, viewpoint, observer_height: float = 0.0, max_rounds: int = 
     return out
 
 
+def _op_flow_direction(ds):
+    from ..stages.hydrology import flow_direction
+
+    return flow_direction(ds)
+
+
+def _op_flow_accumulation(ds, max_rounds: int = 64):
+    from ..stages.hydrology import flow_accumulation
+
+    return flow_accumulation(ds, max_rounds=max_rounds)
+
+
 def _op_read_geotiffs(ds, path: str):
     from ..sources.raster_ingest import read_geotiffs
 
@@ -299,6 +311,8 @@ for _name, _fn in {
     "transform.resample_tiles": _op_resample_tiles,
     "focal.cost_distance": _op_cost_distance,
     "focal.viewshed": _op_viewshed,
+    "hydrology.flow_direction": _op_flow_direction,
+    "hydrology.flow_accumulation": _op_flow_accumulation,
     "buffer.tiles": _op_buffer_tiles,
     "transform.reproject": _op_reproject_points,
     "transform.spacetime_key": _op_spacetime_key,
