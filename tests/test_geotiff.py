@@ -184,3 +184,95 @@ def test_write_geotiffs_sink_roundtrip(ray_session, tmp_path):
         kc, kr = layout.extent_to_bounds(ext)[:2]
         a = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
         np.testing.assert_allclose(a, vals[(kc, kr)], equal_nan=True)
+
+
+def test_reader_big_endian_mm():
+    """Hand-assembled BIG-endian (MM) TIFF: 3x2 uint16 image, one strip —
+    the endian-swap path the writer never produces."""
+    rows, cols = 2, 3
+    vals = [100, 200, 300, 400, 500, 600]
+    pix = b"".join(struct.pack(">H", v) for v in vals)
+    entries = []
+
+    def entry(tag, ftype, count, value_bytes):
+        entries.append((tag, struct.pack(">HHI", tag, ftype, count) + value_bytes))
+
+    def short(v):
+        return struct.pack(">H", v) + b"\x00\x00"
+
+    def long_(v):
+        return struct.pack(">I", v)
+
+    n_entries = 11
+    ifd_size = 2 + 12 * n_entries + 4
+    scale_off = 8 + ifd_size
+    tie_off = scale_off + 3 * 8
+    pix_off = tie_off + 6 * 8
+    entry(256, 3, 1, short(cols))
+    entry(257, 3, 1, short(rows))
+    entry(258, 3, 1, short(16))
+    entry(259, 3, 1, short(1))
+    entry(262, 3, 1, short(1))
+    entry(273, 4, 1, long_(pix_off))
+    entry(277, 3, 1, short(1))
+    entry(278, 3, 1, short(rows))
+    entry(279, 4, 1, long_(len(pix)))
+    entry(33550, 12, 3, long_(scale_off))
+    entry(33922, 12, 6, long_(tie_off))
+    entries.sort(key=lambda e: e[0])
+    buf = b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+    buf += struct.pack(">H", n_entries) + b"".join(e[1] for e in entries) + struct.pack(">I", 0)
+    buf += struct.pack(">3d", 1.0, 2.0, 0.0)
+    buf += struct.pack(">6d", 0.0, 0.0, 0.0, -10.0, 20.0, 0.0)
+    buf += pix
+    ext, arr, meta = decode_geotiff(buf)
+    assert ext == Extent(-10.0, 20.0 - 2 * 2.0, -10.0 + 3 * 1.0, 20.0)
+    np.testing.assert_array_equal(arr, np.array(vals, dtype=np.float64).reshape(2, 3))
+
+
+def test_deflate_strip_with_predictor_external_layout():
+    """Deflate + predictor-2 strips assembled manually (not via the writer):
+    validates the decode pipeline order (inflate -> un-predict)."""
+    rows, cols = 4, 5
+    data = np.arange(rows * cols, dtype="<i2").reshape(rows, cols) * 3
+    pred = data.copy()
+    pred[:, 1:] = data[:, 1:] - data[:, :-1]
+    comp = zlib.compress(pred.tobytes())
+    entries = []
+
+    def entry(tag, ftype, count, value_bytes):
+        entries.append((tag, struct.pack("<HHI", tag, ftype, count) + value_bytes))
+
+    def short(v):
+        return struct.pack("<H", v) + b"\x00\x00"
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    n_entries = 14
+    ifd_size = 2 + 12 * n_entries + 4
+    scale_off = 8 + ifd_size
+    tie_off = scale_off + 3 * 8
+    pix_off = tie_off + 6 * 8
+    entry(256, 3, 1, short(cols))
+    entry(257, 3, 1, short(rows))
+    entry(258, 3, 1, short(16))
+    entry(259, 3, 1, short(8))       # deflate
+    entry(262, 3, 1, short(1))
+    entry(273, 4, 1, long_(pix_off))
+    entry(277, 3, 1, short(1))
+    entry(278, 3, 1, short(rows))
+    entry(279, 4, 1, long_(len(comp)))
+    entry(284, 3, 1, short(1))
+    entry(317, 3, 1, short(2))       # horizontal predictor
+    entry(339, 3, 1, short(2))       # signed int
+    entry(33550, 12, 3, long_(scale_off))
+    entry(33922, 12, 6, long_(tie_off))
+    entries.sort(key=lambda e: e[0])
+    buf = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+    buf += struct.pack("<H", n_entries) + b"".join(e[1] for e in entries) + struct.pack("<I", 0)
+    buf += struct.pack("<3d", 0.5, 0.5, 0.0)
+    buf += struct.pack("<6d", 0.0, 0.0, 0.0, 0.0, 2.0, 0.0)
+    buf += comp
+    _ext, arr, _meta = decode_geotiff(buf)
+    np.testing.assert_array_equal(arr, data.astype(np.float64))
