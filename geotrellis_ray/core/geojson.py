@@ -154,15 +154,21 @@ def write_geojson_batch(batch, wkb_col: str = "wkb", props_cols: list[str] | Non
 
 # --- WKT --------------------------------------------------------------------
 
+def _f(x: float) -> str:
+    # repr gives the SHORTEST decimal that round-trips the float64 exactly
+    # (a fixed %.10g loses bits on values needing more digits)
+    return repr(float(x))
+
+
 def _fmt_coords(coords: np.ndarray) -> str:
-    return ", ".join(f"{x:.10g} {y:.10g}" for x, y in np.asarray(coords, dtype=np.float64))
+    return ", ".join(f"{_f(x)} {_f(y)}" for x, y in np.asarray(coords, dtype=np.float64))
 
 
 def wkt_encode(geom: dict) -> str:
     t = geom["type"]
     if t == "Point":
         c = np.asarray(geom["coords"], dtype=np.float64).ravel()[:2]
-        return f"POINT ({c[0]:.10g} {c[1]:.10g})"
+        return f"POINT ({_f(c[0])} {_f(c[1])})"
     if t == "LineString":
         return f"LINESTRING ({_fmt_coords(geom['coords'])})"
     if t == "Polygon":

@@ -1,0 +1,70 @@
+"""Property-based round-trips (hypothesis) for the geometry codecs: WKB <->
+GeoJSON <-> WKT and the MVT geometry command stream over random inputs —
+catches edge shapes the example tests never construct."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geotrellis_ray.core import wkb
+from geotrellis_ray.core.geojson import geojson_to_geom, geom_to_geojson, wkt_decode, wkt_encode
+from geotrellis_ray.core.mvt import GEOM_LINESTRING, decode_geometry, encode_geometry
+
+finite = st.floats(allow_nan=False, allow_infinity=False)  # full float64 domain
+
+
+def coords(min_pts, max_pts):
+    return st.lists(st.tuples(finite, finite), min_size=min_pts, max_size=max_pts)
+
+
+@st.composite
+def geometries(draw):
+    kind = draw(st.sampled_from(["Point", "LineString", "Polygon", "MultiPoint",
+                                 "MultiLineString", "MultiPolygon"]))
+    if kind == "Point":
+        x, y = draw(st.tuples(finite, finite))
+        return {"type": "Point", "coords": np.array([x, y])}
+    if kind == "LineString":
+        return {"type": "LineString", "coords": np.array(draw(coords(2, 8)))}
+    if kind == "Polygon":
+        rings = [np.array(draw(coords(3, 8))) for _ in range(draw(st.integers(1, 3)))]
+        return {"type": "Polygon", "rings": rings}
+    if kind == "MultiPoint":
+        pts = draw(coords(1, 5))
+        return {"type": "MultiPoint",
+                "parts": [{"type": "Point", "coords": np.array(p)} for p in pts]}
+    if kind == "MultiLineString":
+        n = draw(st.integers(1, 3))
+        return {"type": "MultiLineString",
+                "parts": [{"type": "LineString", "coords": np.array(draw(coords(2, 6)))}
+                          for _ in range(n)]}
+    n = draw(st.integers(1, 3))
+    return {"type": "MultiPolygon",
+            "parts": [{"type": "Polygon", "rings": [np.array(draw(coords(3, 6)))]}
+                      for _ in range(n)]}
+
+
+@settings(max_examples=120, deadline=None)
+@given(geometries())
+def test_wkb_geojson_wkb_identity(geom):
+    buf = wkb.encode(geom)
+    assert wkb.encode(geojson_to_geom(geom_to_geojson(wkb.decode(buf)))) == buf
+
+
+@settings(max_examples=120, deadline=None)
+@given(geometries())
+def test_wkb_wkt_wkb_identity(geom):
+    buf = wkb.encode(geom)
+    assert wkb.encode(wkt_decode(wkt_encode(wkb.decode(buf)))) == buf
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4095), st.integers(0, 4095)), min_size=2, max_size=20))
+def test_mvt_linestring_command_stream_identity(pts):
+    arr = np.array(pts, dtype=np.int64)
+    # consecutive duplicate points are legal MVT (zero deltas)
+    ints = encode_geometry(GEOM_LINESTRING, [arr])
+    back = decode_geometry(GEOM_LINESTRING, ints)
+    assert len(back) == 1
+    np.testing.assert_array_equal(back[0], arr)
