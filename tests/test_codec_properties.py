@@ -68,3 +68,33 @@ def test_mvt_linestring_command_stream_identity(pts):
     back = decode_geometry(GEOM_LINESTRING, ints)
     assert len(back) == 1
     np.testing.assert_array_equal(back[0], arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.integers(1, 40), cols=st.integers(1, 40),
+    compression=st.sampled_from(["none", "deflate"]),
+    tiled=st.booleans(),
+    dtype=st.sampled_from(["uint8", "int16", "int32", "float32", "float64"]),
+    seed=st.integers(0, 2**16),
+    nodata_frac=st.floats(0.0, 0.4),
+)
+def test_geotiff_roundtrip_property(rows, cols, compression, tiled, dtype, seed, nodata_frac):
+    from geotrellis_ray.core.geotiff import decode_geotiff, encode_geotiff
+    from geotrellis_ray.core.layout import Extent
+
+    rng = np.random.default_rng(seed)
+    a = np.floor(rng.uniform(0, 200, (rows, cols)))
+    a[rng.random((rows, cols)) < nodata_frac] = np.nan
+    kind = np.dtype(dtype).kind
+    nodata = 255 if dtype == "uint8" else (-9999 if kind == "i" else None)
+    pred = 2 if kind in ("i", "u") else 1
+    ext = Extent(-5.0, 1.0, -5.0 + cols * 0.25, 1.0 + rows * 0.5)
+    buf = encode_geotiff(ext, a, dtype=dtype, nodata=nodata, predictor=pred,
+                         compression=compression, tile_size=16 if tiled else None)
+    ext2, back, meta = decode_geotiff(buf)
+    assert ext2 == ext
+    exp = a.astype(dtype).astype(np.float64) if kind == "f" else a.astype(np.float64)
+    if kind == "f" and nodata is None:
+        pass  # NaN survives as NaN in float payloads
+    np.testing.assert_allclose(back, exp, equal_nan=True)
