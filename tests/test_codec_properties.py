@@ -98,3 +98,26 @@ def test_geotiff_roundtrip_property(rows, cols, compression, tiled, dtype, seed,
     if kind == "f" and nodata is None:
         pass  # NaN survives as NaN in float payloads
     np.testing.assert_allclose(back, exp, equal_nan=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-(1 << 28), (1 << 28) - 1), st.integers(-(1 << 28), (1 << 28) - 1),
+       st.integers(0, 15))
+def test_hex_pack_unpack_identity(q, r, res):
+    from geotrellis_ray.core.cellid import hex_pack, hex_unpack
+
+    cid = hex_pack(np.array([q]), np.array([r]), res)
+    q2, r2, res2 = hex_unpack(cid)
+    assert (int(q2[0]), int(r2[0]), int(res2[0])) == (q, r, res)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, (1 << 21) - 1), st.integers(0, (1 << 21) - 1),
+       st.integers(0, (1 << 21) - 1))
+def test_zorder3_roundtrip(c, r, t):
+    from geotrellis_ray.core.sfc import zorder3, zorder3_decode
+
+    z = zorder3(np.array([c], dtype=np.int64), np.array([r], dtype=np.int64),
+                np.array([t], dtype=np.int64))
+    c2, r2, t2 = zorder3_decode(z)
+    assert (int(c2[0]), int(r2[0]), int(t2[0])) == (c, r, t)
