@@ -377,6 +377,29 @@ SQL_DEDUP_EXACT = """
 """
 
 
+def q_duplicated_spans(sf_dir: str):
+    """Chunk-based exact-substring duplication detector (stages/dedup.py:
+    duplicated_spans — the windowed approximation of suffix-array training-
+    data dedup): 40-char spans at stride 20 appearing in >= 2 places.
+    SQL-checked against a DuckDB substr explode (texts are ASCII, so
+    codepoint and char slicing agree)."""
+    from .stages.dedup import duplicated_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_spans(ds, window=40, stride=20, min_count=2, key="text")
+
+
+SQL_DUP_SPANS = """
+    WITH spans AS (
+        SELECT doc_id, substr(text, CAST(o AS INT) + 1, 40) AS span
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, GREATEST(length(text) - 40 + 1, 0), 20)) AS o) t
+    )
+    SELECT span, count(*) AS n, min(doc_id) AS min_doc
+    FROM spans GROUP BY span HAVING count(*) >= 2
+"""
+
+
 def q_doc_token_counts(sf_dir: str):
     from .functions.text_analysis import token_count_batch
 
@@ -1798,6 +1821,7 @@ def build_queries() -> dict:
         "q_exact_quantiles": q_exact_quantiles,
         "q_events_hourly": q_events_hourly,
         "q_dedup_docs_exact": q_dedup_docs_exact,
+        "q_duplicated_spans": q_duplicated_spans,
         "q_doc_token_counts": q_doc_token_counts,
         "q_doc_bpe_tokens": q_doc_bpe_tokens,
         "q_doc_quality": q_doc_quality,
@@ -1868,6 +1892,7 @@ def build_oracle_sql() -> dict:
         "q_exact_quantiles": SQL_EXACT_QUANTILES,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
+        "q_duplicated_spans": SQL_DUP_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,
         "q_doc_bpe_tokens": _sql_bpe(),
         "q_doc_quality": SQL_DOC_QUALITY,

@@ -481,3 +481,60 @@ def verify_pairs_exact_jaccard(pairs_ds, docs_ds, ngram: int = 3,
         return out.append_column("jaccard", pa.array(ja, pa.float64()))
 
     return j.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicated_spans(ds, window: int = 40, stride: int = 20, min_count: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text", key: str = "text"):
+    """Cross-document duplicated text spans — the chunk-hash approximation of
+    exact-substring dedup (the published "deduplicating training data"
+    recipe's detector, windowed instead of suffix-array): every document
+    explodes to its length-``window`` spans at ``stride`` offsets
+    (vectorized: ONE pyarrow utf8 slice per offset across the whole batch,
+    not per doc), then a groupby counts spans appearing in >= ``min_count``
+    places. Returns (span, n, min_doc).
+
+    ``key="text"`` groups on the raw span (exact, SQL-checkable);
+    ``key="hash"`` groups on a 64-bit hash — at 100 TB the shuffle then
+    carries 8 bytes/span instead of ``window`` bytes (collisions ~ 2^-64 per
+    pair; re-verify via a pair join when it matters)."""
+    import pyarrow.compute as pc
+
+    from .agg import partial_groupby
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        max_off = int(max(0, (lens.max() - window)) if len(lens) else 0)
+        ids = b[id_col]
+        parts = []
+        for off in range(0, max_off + 1, stride):
+            keep = lens >= off + window
+            if not keep.any():
+                break
+            sl = pc.utf8_slice_codeunits(texts, off, off + window)
+            mask = pa.array(keep)
+            parts.append(pa.table({
+                "span": sl.filter(mask),
+                id_col: ids.filter(mask),
+            }))
+        if not parts:
+            return pa.table({"span": pa.array([], pa.string()),
+                             id_col: pa.array([], b.schema.field(id_col).type)})
+        out = pa.concat_tables(parts)
+        if key == "hash":
+            h = np.fromiter(
+                (int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big") >> 1
+                 for s in out["span"].to_pylist()),
+                dtype=np.int64, count=out.num_rows)
+            out = pa.table({"span_hash": pa.array(h, pa.int64()), id_col: out[id_col]})
+        return out
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    group_col = "span" if key == "text" else "span_hash"
+    counts = partial_groupby(
+        exploded, [group_col],
+        [(id_col, "count", "n"), (id_col, "min", "min_doc")],
+    )
+    return counts.filter(expr=f"n >= {min_count}")

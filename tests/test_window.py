@@ -166,3 +166,28 @@ def test_grouped_top_k_and_exact_quantiles(ray_session):
     for q, val in qs.items():
         exp_idx = max(0, int(np.ceil(q * len(sv))) - 1)
         assert val == sv[exp_idx], (q, val, sv[exp_idx])
+
+
+def test_duplicated_spans_hash_and_text_agree(ray_session):
+    """key="hash" finds exactly the same duplicated spans as key="text"
+    (modulo the grouping column), incl. planted cross-doc duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 3
+    texts = [base + "tail one", "prefix " + base, "completely different text " * 10,
+             "short", base[:60]]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    from geotrellis_ray.stages.dedup import duplicated_spans
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    by_text = duplicated_spans(ds, window=30, stride=10, key="text").to_pandas()
+    by_hash = duplicated_spans(ray.data.from_arrow(t).repartition(3),
+                               window=30, stride=10, key="hash").to_pandas()
+    assert len(by_text) > 0
+    a = by_text.sort_values(["n", "min_doc"]).reset_index(drop=True)[["n", "min_doc"]]
+    b = by_hash.sort_values(["n", "min_doc"]).reset_index(drop=True)[["n", "min_doc"]]
+    pd.testing.assert_frame_equal(a, b)
+    # doc 2's internal phrase repetition is legitimately detected (intra-doc
+    # duplication is duplicated training text too); doc 3 is too short for
+    # any span and doc 4 only shares base-prefix spans whose min_doc is 0
+    assert set(by_text["min_doc"]) <= {0, 2}
