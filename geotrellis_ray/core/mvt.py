@@ -342,8 +342,12 @@ def geom_to_mvt_parts(geom: dict, ext, extent: int = EXTENT) -> tuple[int, list[
     quantized integer parts, shell flags). Multi* flatten into extra parts."""
     def q(coords: np.ndarray) -> np.ndarray:
         c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
-        qx = np.clip((c[:, 0] - ext.xmin) / (ext.xmax - ext.xmin) * extent, 0, extent - 1)
-        qy = np.clip((ext.ymax - c[:, 1]) / (ext.ymax - ext.ymin) * extent, 0, extent - 1)
+        # clamp to [0, extent] inclusive: the MVT spec allows coords == extent
+        # (and beyond, for buffers); clamping to extent-1 shifted every
+        # ClipToGrid-clipped max-edge vertex inward 1/extent, producing
+        # hairline gaps between adjacent tiles (ADVICE r02).
+        qx = np.clip((c[:, 0] - ext.xmin) / (ext.xmax - ext.xmin) * extent, 0, extent)
+        qy = np.clip((ext.ymax - c[:, 1]) / (ext.ymax - ext.ymin) * extent, 0, extent)
         return np.column_stack([qx, qy]).astype(np.int64)
 
     t = geom["type"]

@@ -1810,7 +1810,11 @@ def q_reproject_points(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def build_queries() -> dict:
-    return {
+    """All registered driver queries. ORDERING MATTERS: the driver snapshots
+    the first ~50 queries into CORRECTNESS_r{N}.json, so every query that has
+    a DuckDB oracle (build_oracle_sql) is emitted FIRST, rows-only queries and
+    toys last (VERDICT r02 next-round #2)."""
+    all_queries = {
         "q1_pricing_summary": q1_pricing_summary,
         "q_filter_range": q_filter_range,
         "q_join_customer_orders": q_join_customer_orders,
@@ -1878,6 +1882,10 @@ def build_queries() -> dict:
         "q_reproject_points": q_reproject_points,
         "q_reproject_utm": q_reproject_utm,
     }
+    sql_checked = build_oracle_sql()
+    ordered = {k: v for k, v in all_queries.items() if k in sql_checked}
+    ordered.update({k: v for k, v in all_queries.items() if k not in sql_checked})
+    return ordered
 
 
 def build_oracle_sql() -> dict:

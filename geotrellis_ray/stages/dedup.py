@@ -140,15 +140,19 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
     ]
     # blk tags the source block so the driver stitch never re-pairs two
     # boundary rows from the SAME block (those pairs, if any, were already
-    # emitted as kind=0 above). The first row's id is unique per block in a
-    # sorted stream, so it serves as the block tag.
+    # emitted as kind=0 above). The bare first-row id is NOT unique across
+    # blocks (a doc emits one row per band, so two adjacent blocks can start
+    # with the same id under different buckets, which would silently suppress
+    # a genuine cross-block pair). The full (band, band_hash, id) triple of
+    # the first row IS unique per block in a sorted stream — hash it.
     edge = [0, n - 1] if n > 1 else [0]
-    try:
-        blk_tag = int(ids[0])
-    except (TypeError, ValueError):  # non-integer id columns
-        blk_tag = int.from_bytes(
-            hashlib.sha256(str(ids[0]).encode()).digest()[:8], "big", signed=True
-        )
+    blk_tag = int.from_bytes(
+        hashlib.sha256(
+            f"{int(band[0])}|{int(bhash[0])}|{ids[0]!r}".encode()
+        ).digest()[:8],
+        "big",
+        signed=True,
+    )
     parts.append(
         pa.table(
             {
@@ -162,6 +166,35 @@ def _block_adjacent_pairs(batch: pa.Table, id_col: str) -> pa.Table:
         )
     )
     return pa.concat_tables(parts)
+
+
+def _stitch_boundary_rows(boundary) -> "pa.Table | None":
+    """Driver-side O(#blocks) stitch: pair adjacent kind=1 boundary rows that
+    share (band, band_hash) but come from DIFFERENT blocks (same-block pairs
+    were already emitted in-block as kind=0). Returns a pairs table or None.
+    Extracted so tests can drive it with adversarial block splits."""
+    if len(boundary) <= 1:
+        return None
+    boundary = boundary.sort_values(["band", "band_hash", "id_a"], kind="stable")
+    bb = boundary.reset_index(drop=True)
+    same = (
+        (bb["band"].to_numpy()[1:] == bb["band"].to_numpy()[:-1])
+        & (bb["band_hash"].to_numpy()[1:] == bb["band_hash"].to_numpy()[:-1])
+        & (bb["id_a"].to_numpy()[1:] != bb["id_a"].to_numpy()[:-1])
+        & (bb["blk"].to_numpy()[1:] != bb["blk"].to_numpy()[:-1])
+    )
+    idx = np.nonzero(same)[0]
+    if not len(idx):
+        return None
+    return pa.table(
+        {
+            "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
+            "id_a": pa.array(bb["id_a"].to_numpy()[idx]),
+            "id_b": pa.array(bb["id_a"].to_numpy()[idx + 1]),
+            "band": pa.array(bb["band"].to_numpy()[idx].astype(np.int32), pa.int32()),
+            "band_hash": pa.array(bb["band_hash"].to_numpy()[idx].astype(np.uint64), pa.uint64()),
+        }
+    )
 
 
 def _join_partitions() -> int:
@@ -210,30 +243,9 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
     )
     pairs = mixed.filter(expr="kind == 0").drop_columns(["blk"])
     boundary = mixed.filter(expr="kind == 1").to_pandas()  # 2 rows per block
-    if len(boundary) > 1:
-        boundary = boundary.sort_values(["band", "band_hash", "id_a"], kind="stable")
-        bb = boundary.reset_index(drop=True)
-        # only stitch ACROSS blocks — two boundary rows of the same block that
-        # share a bucket were already paired in-block (kind=0), so re-pairing
-        # them here would emit duplicates
-        same = (
-            (bb["band"].to_numpy()[1:] == bb["band"].to_numpy()[:-1])
-            & (bb["band_hash"].to_numpy()[1:] == bb["band_hash"].to_numpy()[:-1])
-            & (bb["id_a"].to_numpy()[1:] != bb["id_a"].to_numpy()[:-1])
-            & (bb["blk"].to_numpy()[1:] != bb["blk"].to_numpy()[:-1])
-        )
-        idx = np.nonzero(same)[0]
-        if len(idx):
-            cross = pa.table(
-                {
-                    "kind": pa.array(np.zeros(len(idx), dtype=np.int8), pa.int8()),
-                    "id_a": pa.array(bb["id_a"].to_numpy()[idx]),
-                    "id_b": pa.array(bb["id_a"].to_numpy()[idx + 1]),
-                    "band": pa.array(bb["band"].to_numpy()[idx].astype(np.int32), pa.int32()),
-                    "band_hash": pa.array(bb["band_hash"].to_numpy()[idx].astype(np.uint64), pa.uint64()),
-                }
-            )
-            pairs = pairs.union(ray.data.from_arrow(cross))
+    cross = _stitch_boundary_rows(boundary)
+    if cross is not None:
+        pairs = pairs.union(ray.data.from_arrow(cross))
 
     # one row per pair BEFORE the text joins (a pair can surface from
     # several bands)

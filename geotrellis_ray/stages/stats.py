@@ -34,20 +34,43 @@ def _values_from_batch(batch: pa.Table, value_col: str) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _tree_merge_sketches(sketch_ds, make_empty, from_dict, tree_batch: int = 4096):
+    """One distributed re-merge round over the one-sketch-per-block stream
+    (large batch_size, so ~tree_batch sketches collapse into one per task)
+    before the final driver collect. Bounds the driver fetch at
+    O(#blocks / tree_batch) instead of O(#blocks) — at 100 TB (~10^6 blocks
+    x ~KB JSON each) the naive collect is GBs through the driver (VERDICT
+    r02 #5)."""
+    import json
+
+    def remerge(batch: pa.Table) -> pa.Table:
+        h = make_empty()
+        for s in batch["sketch"].to_pylist():
+            h.merge(from_dict(json.loads(s)))
+        return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
+
+    merged = sketch_ds.map_batches(
+        remerge, batch_format="pyarrow", zero_copy_batch=True, batch_size=tree_batch
+    )
+    out = make_empty()
+    for row in merged.take_all():
+        out.merge(from_dict(json.loads(row["sketch"])))
+    return out
+
+
 def layer_histogram(ds, value_col: str, size: int = 80) -> StreamingHistogram:
-    """Whole-layer StreamingHistogram: one sketch per block, merged at the
-    end. Only sketch rows cross the wire."""
+    """Whole-layer StreamingHistogram: one sketch per block, tree-merged (one
+    distributed combine round), tiny final merge on the driver. Only sketch
+    rows cross the wire."""
     import json
 
     def partial(batch: pa.Table) -> pa.Table:
         h = StreamingHistogram(size).update(_values_from_batch(batch, value_col))
         return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
 
-    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    out = StreamingHistogram(size)
-    for row in sketches:
-        out.merge(StreamingHistogram.from_dict(json.loads(row["sketch"])))
-    return out
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _tree_merge_sketches(sketches, lambda: StreamingHistogram(size),
+                                StreamingHistogram.from_dict)
 
 
 def layer_histogram_exact(ds, value_col: str) -> FastMapHistogram:
@@ -57,11 +80,8 @@ def layer_histogram_exact(ds, value_col: str) -> FastMapHistogram:
         h = FastMapHistogram().update(_values_from_batch(batch, value_col))
         return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
 
-    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    out = FastMapHistogram()
-    for row in sketches:
-        out.merge(FastMapHistogram.from_dict(json.loads(row["sketch"])))
-    return out
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _tree_merge_sketches(sketches, FastMapHistogram, FastMapHistogram.from_dict)
 
 
 def class_breaks(ds, value_col: str, n: int) -> list[float]:
