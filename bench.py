@@ -54,6 +54,78 @@ BENCH_QUERIES = [
 ]
 
 
+def _proc_descendants(root_pid: int) -> set[int]:
+    """PIDs of root_pid + all descendants (raylet, workers, object store)."""
+    ppid: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            ppid[int(d)] = int(rest[1])
+        except (OSError, IndexError, ValueError):
+            pass
+    out = {root_pid}
+    changed = True
+    while changed:
+        changed = False
+        for pid, pp in ppid.items():
+            if pp in out and pid not in out:
+                out.add(pid)
+                changed = True
+    return out
+
+
+def _cpu_snapshot() -> tuple[int, int]:
+    """(host busy jiffies, our-process-tree jiffies). The difference across a
+    window is EXTERNAL load — robust against our own 32-cpu bursts, unlike
+    loadavg."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    ours = 0
+    for pid in _proc_descendants(os.getpid()):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            # utime + stime + cutime + cstime (reaped children fold into the
+            # parent's cutime/cstime — without them, exited workers vanish)
+            ours += int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        except (OSError, IndexError, ValueError):
+            pass
+    return busy, ours
+
+
+# external load above this fraction of the host marks a window contaminated
+# (BASELINE.md: tenant bursts hit loadavg 10-60; 15% of 32 cpus ~ loadavg 5)
+EXT_LOAD_FRAC = 0.15
+_CLK = os.sysconf("SC_CLK_TCK")
+_NCPU_HOST = os.cpu_count() or 32
+
+
+def _timed_clean(fn, max_attempts: int = 3):
+    """Run fn() up to max_attempts times until a window with external load
+    below EXT_LOAD_FRAC; returns (result, sec, ext_frac, attempts,
+    contaminated). Keeps the fastest wall if no clean window appears —
+    per-query best-of-clean (VERDICT r02 #3)."""
+    best = None
+    for attempt in range(1, max_attempts + 1):
+        b0, o0 = _cpu_snapshot()
+        t0 = time.monotonic()
+        res = fn()
+        wall = time.monotonic() - t0
+        b1, o1 = _cpu_snapshot()
+        denom = max(wall, 1e-6) * _CLK * _NCPU_HOST
+        ext = max(0.0, (b1 - b0) - (o1 - o0)) / denom
+        cand = (res, wall, ext, attempt)
+        if best is None or wall < best[1]:
+            best = cand
+        if ext <= EXT_LOAD_FRAC:
+            return res, wall, ext, attempt, False
+    return best[0], best[1], best[2], best[3], True
+
+
 def _consume(res) -> int:
     """Force full execution; return row count."""
     import pandas as pd
@@ -125,16 +197,22 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         # on this box; steady-state throughput is what maps to a real cluster)
         _consume(queries["q_tile_assign_events"](sf_dir))
         per_query: dict[str, float] = {}
+        noise: dict[str, dict] = {}
         for name in BENCH_QUERIES:
             fn = queries[name]
-            t0 = time.monotonic()
-            _consume(fn(sf_dir))
-            per_query[name] = round(time.monotonic() - t0, 3)
+            _res, wall, ext, attempts, dirty = _timed_clean(
+                lambda: _consume(fn(sf_dir)))
+            per_query[name] = round(wall, 3)
+            if attempts > 1 or dirty:
+                noise[name] = {"ext_load_frac": round(ext, 3),
+                               "attempts": attempts, "contaminated": dirty}
 
-        # warm flagship (actor-pool spin-up) then measure steady state
+        # warm flagship (actor-pool spin-up) then measure steady state,
+        # rerunning if an external-tenant burst contaminated the window
         run_flagship(sf_dir)
-        flag = run_flagship(sf_dir)
-        return {
+        flag, _w, flag_ext, flag_attempts, flag_dirty = _timed_clean(
+            lambda: run_flagship(sf_dir))
+        out = {
             "metric": "flagship spatial-join + tile-assignment wall (pages corpus)",
             "value": flag["sec"],
             "unit": "sec",
@@ -143,6 +221,18 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus,
             "flagship": flag,
         }
+        if noise or flag_dirty or flag_attempts > 1:
+            out["noise"] = {
+                "threshold_ext_load_frac": EXT_LOAD_FRAC,
+                "queries": noise,
+                "flagship": {"ext_load_frac": round(flag_ext, 3),
+                             "attempts": flag_attempts,
+                             "contaminated": flag_dirty},
+                "note": "contaminated=true means no window with external load "
+                        "below the threshold appeared in 3 attempts; the "
+                        "fastest wall is reported",
+            }
+        return out
     finally:
         ray.shutdown()
 
@@ -157,10 +247,22 @@ def run_scaling_child(num_cpus: int, n_pages: int) -> None:
         # hours; python-process spawn is not part of docs/sec)
         run_flagship(SF_DIR, n_pages=max(20_000, n_pages // 8))
         # best of 3: the sandbox host shows +-30% external interference;
-        # the fastest run is the least-contended estimate of capability
-        runs = [run_flagship(SF_DIR, n_pages=n_pages) for _ in range(3)]
-        flag = min(runs, key=lambda r: r["sec"])
+        # the fastest run is the least-contended estimate of capability.
+        # Each run also records the external-load fraction of its window so
+        # a burst-free run wins over a faster-but-contaminated one.
+        runs = []
+        for _ in range(3):
+            b0, o0 = _cpu_snapshot()
+            r = run_flagship(SF_DIR, n_pages=n_pages)
+            b1, o1 = _cpu_snapshot()
+            denom = max(r["sec"], 1e-6) * _CLK * _NCPU_HOST
+            r["ext_load_frac"] = round(max(0.0, (b1 - b0) - (o1 - o0)) / denom, 3)
+            runs.append(r)
+        clean = [r for r in runs if r["ext_load_frac"] <= EXT_LOAD_FRAC]
+        flag = min(clean or runs, key=lambda r: r["sec"])
         flag["all_secs"] = [r["sec"] for r in runs]
+        flag["all_ext_load"] = [r["ext_load_frac"] for r in runs]
+        flag["contaminated"] = not clean
         print("CHILD_RESULT " + json.dumps(flag))
     finally:
         ray.shutdown()

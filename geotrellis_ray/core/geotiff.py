@@ -8,17 +8,19 @@ from-spec (TIFF 6.0 + GeoTIFF 1.1) implementation, NOT a port.
 
 Supported (read):
 - classic TIFF, little- or big-endian (II / MM); BigTIFF is refused
-- single band (SamplesPerPixel=1), bits 8/16/32/64, SampleFormat
-  uint / int / float
+- single band AND multiband (round 3): chunky (PlanarConfiguration=1,
+  pixel-interleaved) and planar (=2) organizations, uniform dtype across
+  bands; bits 8/16/32/64, SampleFormat uint / int / float
 - strip and tile organization
-- Compression: 1 (none) and 8 (Deflate/zlib), Predictor 1 (none) and
-  2 (horizontal differencing)
+- Compression: 1 (none), 5 (LZW, TIFF early-change variant — own pure-python
+  codec below), 8 (Deflate/zlib); Predictor 1 (none) and 2 (horizontal
+  differencing, per-channel for multiband)
 - georeferencing from ModelPixelScale + ModelTiepoint (axis-aligned only;
   ModelTransformation is refused), GeoKeyDirectory EPSG code recorded
 - GDAL_NODATA ascii tag -> cells mapped to NaN
 
-Supported (write): tiled or stripped single-band Deflate/uncompressed with
-predictor, pixel-scale/tiepoint geo tags, GDAL_NODATA.
+Supported (write): tiled or stripped, single- or multi-band (chunky),
+none/LZW/Deflate with predictor, pixel-scale/tiepoint geo tags, GDAL_NODATA.
 
 Decoded cells are float64 with NaN as NoData (the engine's tile model,
 core/raster.py).
@@ -108,14 +110,125 @@ def _read_ifd_entries(buf: bytes, off: int, endian: str) -> dict[int, list]:
 
 
 def _undo_predictor2(arr: np.ndarray) -> np.ndarray:
-    # horizontal differencing is defined on the stored integer width
+    # horizontal differencing is defined on the stored integer width; axis 1
+    # is always the column axis (multiband chunky arrays are (rows, cols,
+    # bands), so per-channel differencing still runs along axis=1)
     return np.cumsum(arr, axis=1, dtype=arr.dtype)
+
+
+# --- LZW (TIFF 6.0 flavor: MSB-first bit packing, early change) -------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW: 8-bit roots, ClearCode 256, EOI 257, MSB-first
+    variable-width codes (9..12 bits) with EARLY CHANGE (width bumps when the
+    next code WOULD reach 2^width - 1, one entry earlier than classic LZW) —
+    TIFF 6.0 §13."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    bitbuf = 0
+    bits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while True:
+        while bits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bits += 8
+        code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        # early change: bump width one entry before the table fills
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (matching lzw_decode's early-change rule)."""
+    out = bytearray()
+    bitbuf = 0
+    bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # early change, libtiff rule: the decoder's table lags next_code by
+        # exactly one append (its first code after Clear adds nothing), so
+        # the encoder bumps when next_code reaches 2^width — the decoder then
+        # bumps at the same code index (len(table)+1 == 2^width)
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(_LZW_CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
 
 
 def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
     """GeoTiff bytes -> (Extent, float64 array with NaN NoData, meta).
-    meta: {"epsg": int | None, "nodata": float | None, "cols", "rows",
-    "dtype": str}."""
+
+    Single band: array shape (rows, cols). Multiband (round 3): shape
+    (bands, rows, cols), both chunky (PlanarConfiguration=1) and planar (=2)
+    organizations, all bands sharing one dtype. Compression: none, LZW (5),
+    Deflate (8); Predictor 1/2. meta: {"epsg", "nodata", "cols", "rows",
+    "bands", "dtype"}."""
     if buf[:2] == b"II":
         endian = "<"
     elif buf[:2] == b"MM":
@@ -130,50 +243,70 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
     (ifd_off,) = struct.unpack_from(endian + "I", buf, 4)
     tags = _read_ifd_entries(buf, ifd_off, endian)
 
-    if tags.get(_SAMPLES_PER_PIXEL, [1])[0] != 1:
-        raise ValueError("only single-band GeoTiffs are supported")
-    if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
+    nbands = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
+    planar = int(tags.get(_PLANAR_CONFIG, [1])[0])
+    if planar not in (1, 2):
         raise ValueError("unsupported PlanarConfiguration")
     if _MODEL_TRANSFORMATION in tags:
         raise ValueError("ModelTransformation (rotated rasters) is not supported")
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 8):
-        raise ValueError(f"unsupported Compression {comp} (only none/Deflate)")
+    if comp not in (1, 5, 8):
+        raise ValueError(f"unsupported Compression {comp} (only none/LZW/Deflate)")
     predictor = tags.get(_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported Predictor {predictor}")
 
     cols = int(tags[_IMAGE_WIDTH][0])
     rows = int(tags[_IMAGE_LENGTH][0])
-    bits = int(tags.get(_BITS_PER_SAMPLE, [8])[0])
-    fmt = int(tags.get(_SAMPLE_FORMAT, [1])[0])
+    bits_list = [int(b) for b in tags.get(_BITS_PER_SAMPLE, [8])] or [8]
+    if len(set(bits_list)) != 1:
+        raise ValueError("mixed per-band BitsPerSample is not supported")
+    fmt_list = [int(f) for f in tags.get(_SAMPLE_FORMAT, [1])] or [1]
+    if len(set(fmt_list)) != 1:
+        raise ValueError("mixed per-band SampleFormat is not supported")
+    bits, fmt = bits_list[0], fmt_list[0]
     dt = _dtype_for(bits, fmt, endian)
     if predictor == 2 and dt.kind == "f":
         raise ValueError("floating-point predictor is not supported")
 
+    def _decompress(raw: bytes) -> bytes:
+        if comp == 8:
+            return zlib.decompress(raw)
+        if comp == 5:
+            return lzw_decode(raw)
+        return raw
+
+    # chunky: a segment holds seg_rows x seg_cols x nbands interleaved
+    # samples; planar: the segment list repeats once per band.
+    chans = nbands if planar == 1 else 1
+
     def segments(offsets, counts, seg_cols, seg_rows, tiled):
-        out = np.empty((rows, cols), dtype=dt.newbyteorder("="))
+        out = np.empty((nbands, rows, cols), dtype=dt.newbyteorder("="))
         per_row = -(-cols // seg_cols)  # tiles per row of tiles (1 for strips)
+        per_band = per_row * (-(-rows // seg_rows)) if tiled else -(-rows // seg_rows)
         for idx, (o, c) in enumerate(zip(offsets, counts)):
-            raw = buf[int(o) : int(o) + int(c)]
-            if comp == 8:
-                raw = zlib.decompress(raw)
+            raw = _decompress(buf[int(o) : int(o) + int(c)])
+            band, sidx = (divmod(idx, per_band) if planar == 2 else (0, idx))
             if tiled:
-                tr, tc = divmod(idx, per_row)
+                tr, tc = divmod(sidx, per_row)
                 r0, c0 = tr * seg_rows, tc * seg_cols
-                seg = np.frombuffer(raw, dtype=dt, count=seg_rows * seg_cols).reshape(seg_rows, seg_cols)
-                if predictor == 2:
-                    seg = _undo_predictor2(seg)
-                out[r0 : min(r0 + seg_rows, rows), c0 : min(c0 + seg_cols, cols)] = seg[
-                    : min(seg_rows, rows - r0), : min(seg_cols, cols - c0)
-                ]
+                sr = seg_rows  # tiles are always padded to full size
             else:
-                r0 = idx * seg_rows
-                nr = min(seg_rows, rows - r0)
-                seg = np.frombuffer(raw, dtype=dt, count=nr * cols).reshape(nr, cols)
-                if predictor == 2:
-                    seg = _undo_predictor2(seg)
-                out[r0 : r0 + nr] = seg
+                r0, c0 = sidx * seg_rows, 0
+                sr = min(seg_rows, rows - r0)  # last strip may be short
+            seg = np.frombuffer(raw, dtype=dt, count=sr * seg_cols * chans)
+            # horizontal differencing (predictor 2) runs per CHANNEL: axis 1
+            # is the column axis with channels separated on axis 2
+            seg = seg.reshape(sr, seg_cols, chans)
+            if predictor == 2:
+                seg = np.cumsum(seg, axis=1, dtype=seg.dtype)
+            nr = min(sr, rows - r0)
+            nc = min(seg_cols, cols - c0)
+            block = np.moveaxis(seg[:nr, :nc, :], 2, 0)  # (chans, nr, nc)
+            if planar == 2:
+                out[band, r0 : r0 + nr, c0 : c0 + nc] = block[0]
+            else:
+                out[:, r0 : r0 + nr, c0 : c0 + nc] = block
         return out
 
     if _TILE_OFFSETS in tags:
@@ -183,6 +316,8 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
     else:
         rps = int(tags.get(_ROWS_PER_STRIP, [rows])[0])
         arr = segments(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS], cols, rps, tiled=False)
+    if nbands == 1:
+        arr = arr[0]
 
     # georeferencing: raster-space (0,0) tiepoint + pixel scale
     if _MODEL_PIXEL_SCALE not in tags or _MODEL_TIEPOINT not in tags:
@@ -215,7 +350,8 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
             pass  # float NaN nodata already maps
         else:
             out[arr == dt.type(nodata)] = np.nan
-    meta = {"epsg": epsg, "nodata": nodata, "cols": cols, "rows": rows, "dtype": str(np.dtype(dt).newbyteorder("="))}
+    meta = {"epsg": epsg, "nodata": nodata, "cols": cols, "rows": rows,
+            "bands": nbands, "dtype": str(np.dtype(dt).newbyteorder("="))}
     return extent, out, meta
 
 
@@ -237,42 +373,57 @@ def encode_geotiff(
     dtype: str | np.dtype | None = None,
     predictor: int = 1,
 ) -> bytes:
-    """(Extent, 2-D array) -> little-endian classic GeoTiff bytes. NaN cells
-    become ``nodata`` (required for integer dtypes). ``tile_size=None``
-    writes strips (8 rows each)."""
-    rows, cols = arr.shape
-    dt = np.dtype(dtype) if dtype is not None else np.dtype(arr.dtype)
+    """(Extent, 2-D (rows, cols) or 3-D (bands, rows, cols) array) ->
+    little-endian classic GeoTiff bytes. Multiband writes chunky
+    (PlanarConfiguration=1, pixel-interleaved). NaN cells become ``nodata``
+    (required for integer dtypes). ``tile_size=None`` writes strips (8 rows
+    each). compression: "none" | "deflate" | "lzw"."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr3 = arr[None, :, :]
+    elif arr.ndim == 3:
+        arr3 = arr
+    else:
+        raise ValueError("encode_geotiff takes a 2-D or 3-D array")
+    nbands, rows, cols = arr3.shape
+    dt = np.dtype(dtype) if dtype is not None else np.dtype(arr3.dtype)
     dt = dt.newbyteorder("<")
-    data = np.asarray(arr, dtype=np.float64)
+    data = np.asarray(arr3, dtype=np.float64)
     nanmask = np.isnan(data)
     if nanmask.any():
         if nodata is None and dt.kind != "f":
             raise ValueError("integer GeoTiff with NaN cells needs an explicit nodata")
         data = np.where(nanmask, np.nan if (nodata is None) else nodata, data)
-    store = data.astype(dt)
+    # chunky pixel interleave: (rows, cols, bands)
+    store = np.moveaxis(data.astype(dt), 0, 2)
     if predictor == 2 and dt.kind == "f":
         raise ValueError("floating-point predictor is not supported")
 
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+
+    def _compress(raw: bytes) -> bytes:
+        if comp_code == 8:
+            return zlib.compress(raw)
+        if comp_code == 5:
+            return lzw_encode(raw)
+        return raw
+
+    fill = dt.type(nodata) if nodata is not None else (
+        dt.type(np.nan) if dt.kind == "f" else dt.type(0))
 
     segs: list[bytes] = []
     if tile_size:
         tw = th = int(tile_size)
         for r0 in range(0, rows, th):
             for c0 in range(0, cols, tw):
-                block = np.full((th, tw), store[r0, c0] * 0, dtype=dt)
-                sub = store[r0 : r0 + th, c0 : c0 + tw]
-                if nodata is not None:
-                    block[:] = dt.type(nodata)
-                elif dt.kind == "f":
-                    block[:] = dt.type(np.nan)
-                block[: sub.shape[0], : sub.shape[1]] = sub
+                block = np.full((th, tw, nbands), fill, dtype=dt)
+                sub = store[r0 : r0 + th, c0 : c0 + tw, :]
+                block[: sub.shape[0], : sub.shape[1], :] = sub
                 if predictor == 2:
                     block = _apply_predictor2(block)
-                raw = block.tobytes()
-                segs.append(zlib.compress(raw) if comp_code == 8 else raw)
+                segs.append(_compress(block.tobytes()))
         seg_tags = [(_TILE_WIDTH, 3, [tw]), (_TILE_LENGTH, 3, [th])]
         off_tag, cnt_tag = _TILE_OFFSETS, _TILE_BYTE_COUNTS
     else:
@@ -281,8 +432,7 @@ def encode_geotiff(
             block = store[r0 : r0 + rps]
             if predictor == 2:
                 block = _apply_predictor2(block)
-            raw = block.tobytes()
-            segs.append(zlib.compress(raw) if comp_code == 8 else raw)
+            segs.append(_compress(block.tobytes()))
         seg_tags = [(_ROWS_PER_STRIP, 3, [rps])]
         off_tag, cnt_tag = _STRIP_OFFSETS, _STRIP_BYTE_COUNTS
 
@@ -295,14 +445,14 @@ def encode_geotiff(
     entries: list[tuple[int, int, list]] = [
         (_IMAGE_WIDTH, 4, [cols]),
         (_IMAGE_LENGTH, 4, [rows]),
-        (_BITS_PER_SAMPLE, 3, [bits]),
+        (_BITS_PER_SAMPLE, 3, [bits] * nbands),
         (_COMPRESSION, 3, [comp_code]),
         (_PHOTOMETRIC, 3, [1]),
-        (_SAMPLES_PER_PIXEL, 3, [1]),
+        (_SAMPLES_PER_PIXEL, 3, [nbands]),
         *seg_tags,
         (_PLANAR_CONFIG, 3, [1]),
         (_PREDICTOR, 3, [predictor]),
-        (_SAMPLE_FORMAT, 3, [fmt]),
+        (_SAMPLE_FORMAT, 3, [fmt] * nbands),
         (_MODEL_PIXEL_SCALE, 12, [sx, sy, 0.0]),
         (_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0]),
         (_GEO_KEY_DIRECTORY, 3, geo_dir),

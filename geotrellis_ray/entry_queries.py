@@ -1355,6 +1355,103 @@ SQL_OVERLAY = """
 """
 
 
+def q_overlay_general(sf_dir: str):
+    """GENERAL vector overlay (non-convex boolean ops, core/polyclip.py via
+    stages/overlay.py:overlay_general_batch): 64 L-shaped (concave) polygons
+    x 56 half-cell-shifted rectangles; for every pair with a non-empty
+    intersection emit intersection / union / difference areas — three real
+    boolean_op code paths per pair. SQL-checked exactly: each L decomposes
+    into 2 disjoint axis rects, all coords integer, so every area is an
+    exact closed form in both engines."""
+    import ray.data
+
+    from .core import polyclip
+    from .core.wkb import decode as wkb_decode
+    from .core.wkb import encode_polygon
+
+    lrows = []
+    for i in range(64):
+        x0, y0 = (i % 8) * 50.0, (i // 8) * 25.0
+        ring = [(x0, y0), (x0 + 40, y0), (x0 + 40, y0 + 10), (x0 + 20, y0 + 10),
+                (x0 + 20, y0 + 20), (x0, y0 + 20)]
+        lrows.append({"polygon_id": i, "wkb": encode_polygon([ring])})
+    left = pa.Table.from_pylist(lrows, schema=pa.schema(
+        [("polygon_id", pa.int64()), ("wkb", pa.binary())]))
+
+    right_rows = []
+    for j in range(56):
+        rx0, ry0 = (j % 8) * 50.0 + 25.0, (j // 8) * 25.0 + 12.0
+        ring = [(rx0, ry0), (rx0 + 40, ry0), (rx0 + 40, ry0 + 20), (rx0, ry0 + 20)]
+        right_rows.append({
+            "id": j,
+            "geom": {"type": "Polygon",
+                     "rings": [np.array(ring, dtype=np.float64)]},
+            "area": 800.0,
+        })
+
+    def ops_batch(b: pa.Table) -> pa.Table:
+        lids, rids, inter_a, union_a, diff_a = [], [], [], [], []
+        for k, buf in enumerate(b["wkb"].to_pylist()):
+            geom = wkb_decode(buf)
+            lid = b["polygon_id"][k].as_py()
+            l_area = polyclip.rings_signed_area(polyclip.geom_polygons(geom))
+            for rr in right_rows:
+                inter = polyclip.boolean_op(geom, rr["geom"], "intersection")
+                if inter is None:
+                    continue
+                ia = polyclip.rings_signed_area(polyclip.geom_polygons(inter))
+                if ia <= 0.0:
+                    continue
+                uni = polyclip.boolean_op(geom, rr["geom"], "union")
+                dif = polyclip.boolean_op(geom, rr["geom"], "difference")
+                ua = polyclip.rings_signed_area(polyclip.geom_polygons(uni))
+                da = (polyclip.rings_signed_area(polyclip.geom_polygons(dif))
+                      if dif is not None else 0.0)
+                lids.append(lid); rids.append(rr["id"])
+                inter_a.append(ia); union_a.append(ua); diff_a.append(da)
+        return pa.table({
+            "polygon_id": pa.array(lids, pa.int64()),
+            "right_id": pa.array(rids, pa.int64()),
+            "inter_area": pa.array(inter_a, pa.float64()),
+            "union_area": pa.array(union_a, pa.float64()),
+            "diff_area": pa.array(diff_a, pa.float64()),
+        })
+
+    return ray.data.from_arrow(left).map_batches(
+        ops_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_OVERLAY_GENERAL = """
+    WITH lefts AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               CAST(i % 8 AS DOUBLE) * 50.0 AS x0,
+               CAST(i // 8 AS DOUBLE) * 25.0 AS y0
+        FROM range(0, 64) t(i)
+    ),
+    rights AS (
+        SELECT CAST(j AS BIGINT) AS right_id,
+               CAST(j % 8 AS DOUBLE) * 50.0 + 25.0 AS rx0,
+               CAST(j // 8 AS DOUBLE) * 25.0 + 12.0 AS ry0
+        FROM range(0, 56) t(j)
+    ),
+    pairs AS (
+        SELECT polygon_id, right_id,
+               -- L = bottom rect [x0,y0,x0+40,y0+10] + top-left rect
+               -- [x0,y0+10,x0+20,y0+20] (disjoint), R = [rx0,ry0,rx0+40,ry0+20]
+               GREATEST(0, LEAST(x0 + 40, rx0 + 40) - GREATEST(x0, rx0))
+             * GREATEST(0, LEAST(y0 + 10, ry0 + 20) - GREATEST(y0, ry0))
+             + GREATEST(0, LEAST(x0 + 20, rx0 + 40) - GREATEST(x0, rx0))
+             * GREATEST(0, LEAST(y0 + 20, ry0 + 20) - GREATEST(y0 + 10, ry0))
+               AS inter_area
+        FROM lefts CROSS JOIN rights
+    )
+    SELECT polygon_id, right_id, inter_area,
+           600.0 + 800.0 - inter_area AS union_area,
+           600.0 - inter_area AS diff_area
+    FROM pairs WHERE inter_area > 0
+"""
+
+
 def q_range_join(sf_dir: str):
     """Bucketed interval join (1-D PBSM, stages/join.py:range_join): event
     values x 64 overlapping deterministic intervals [i*12.5, i*12.5+20),
@@ -1868,6 +1965,7 @@ def build_queries() -> dict:
         "q_range_join": q_range_join,
         "q_semi_anti_join": q_semi_anti_join,
         "q_overlay_rects": q_overlay_rects,
+        "q_overlay_general": q_overlay_general,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -1921,6 +2019,7 @@ def build_oracle_sql() -> dict:
         "q_range_join": SQL_RANGE_JOIN,
         "q_semi_anti_join": SQL_SEMI_ANTI,
         "q_overlay_rects": SQL_OVERLAY,
+        "q_overlay_general": SQL_OVERLAY_GENERAL,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

@@ -1,12 +1,13 @@
-"""Vector overlay (convex-clip subset): feature x convex-polygon
-intersection as a broadcast map_batches stage.
+"""Vector overlay as a broadcast map_batches stage — two paths:
 
-Scope (SURVEY §2.0 round-2): the LEFT side is any simple polygon (or multi),
-the RIGHT side must be CONVEX — Sutherland–Hodgman is exact there. General
-polygon x polygon overlay (concave x concave union/difference) remains a
-documented non-goal. Re-expresses the intersection subset of
-ref:vector/src/main/scala/geotrellis/vector/GeometryMethods (L:unverified —
-/root/reference empty at survey time).
+- ``overlay_intersection``: fast convex-clip subset (LEFT any simple polygon
+  or multi, RIGHT must be CONVEX — Sutherland–Hodgman, holes ignored);
+- ``overlay_general`` (round 3): FULL boolean semantics — non-convex both
+  sides, holes, intersection / union / difference — via the Margalit–Knott
+  fragment-classification clipper in core/polyclip.py.
+
+Re-expresses ref:vector/src/main/scala/geotrellis/vector/GeometryMethods
+(JTS overlay ops; L:unverified — /root/reference empty at survey time).
 
 Ray shape: the small convex side is broadcast once (ray.put / closure); each
 batch runs a bbox prefilter then per-candidate exact clip — a flat map, no
@@ -24,8 +25,10 @@ from ..core.geom import bbox_intersects, clip_polygon_convex, geom_bbox, polygon
 
 
 def _left_rings(geom: dict) -> list[np.ndarray]:
-    """Shell rings of a Polygon/MultiPolygon (holes are subtracted from the
-    area, not clipped — documented convex-subset limitation)."""
+    """Shell rings of a Polygon/MultiPolygon. Holes are IGNORED entirely on
+    this fast convex path (clipped shell areas only — a left polygon with
+    holes overstates its area); use ``overlay_general`` when holes or a
+    non-convex right side matter."""
     if geom["type"] == "Polygon":
         return [np.asarray(geom["rings"][0], dtype=np.float64)]
     if geom["type"] == "MultiPolygon":
@@ -96,5 +99,76 @@ def overlay_intersection(left_ds, right_table: pa.Table, wkb_col: str = "wkb",
     return left_ds.map_batches(
         lambda b: intersect_convex_batch(b, right_rows, wkb_col=wkb_col,
                                          id_col=id_col, right_id_col=right_id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+# --- general (non-convex, holes, union/difference) path ---------------------
+
+def prepare_general_rows(table: pa.Table, wkb_col: str = "wkb",
+                         id_col: str = "polygon_id") -> list[dict]:
+    """Decode + bbox the broadcastable right side once (driver or actor
+    __init__). Any simple Polygon/MultiPolygon, holes included."""
+    from ..core.polyclip import geom_polygons
+
+    rows = []
+    for i in range(table.num_rows):
+        geom = wkb.decode(table[wkb_col][i].as_py())
+        rows.append({"id": int(table[id_col][i].as_py()),
+                     "geom": geom,
+                     "polys": geom_polygons(geom),
+                     "bbox": geom_bbox(geom)})
+    return rows
+
+
+def overlay_general_batch(batch: pa.Table, right_rows: list[dict], op: str,
+                          wkb_col: str = "wkb", id_col: str = "polygon_id",
+                          right_id_col: str = "right_id") -> pa.Table:
+    """One batch of left features x broadcast right polygons, FULL boolean
+    semantics (core/polyclip.py): op in {intersection, union, difference}.
+    Emits (left id, right id, result wkb or null, area) for every pair whose
+    bboxes intersect AND whose result is non-empty (union always emits for
+    bbox-hit pairs)."""
+    from ..core import polyclip
+
+    lids, rids, wkbs, areas = [], [], [], []
+    for i, buf in enumerate(batch[wkb_col].to_pylist()):
+        geom = wkb.decode(buf)
+        lid = batch[id_col][i].as_py()
+        lbox = geom_bbox(geom)
+        for rr in right_rows:
+            if not bbox_intersects(lbox, rr["bbox"]) and op != "union":
+                continue
+            res = polyclip.boolean_op(geom, rr["geom"], op)
+            if res is None:
+                continue
+            area = polyclip.rings_signed_area(polyclip.geom_polygons(res))
+            if area <= 0.0 and op != "union":
+                continue
+            lids.append(lid)
+            rids.append(rr["id"])
+            wkbs.append(wkb.encode(res))
+            areas.append(float(area))
+    return pa.table({
+        id_col: pa.array(lids),
+        right_id_col: pa.array(rids, pa.int64()),
+        "clipped_wkb": pa.array(wkbs, pa.binary()),
+        "area": pa.array(areas, pa.float64()),
+    })
+
+
+def overlay_general(left_ds, right_table: pa.Table, op: str = "intersection",
+                    wkb_col: str = "wkb", id_col: str = "polygon_id",
+                    right_id_col: str = "right_id"):
+    """Distributed general overlay: left feature Dataset x small right table
+    (broadcast) with full boolean semantics — non-convex, holes, union and
+    difference included. Same no-shuffle broadcast shape as
+    overlay_intersection; compose with ClipToGrid + the sfc equi-join for
+    large-large overlay."""
+    right_rows = prepare_general_rows(right_table, wkb_col=wkb_col, id_col=id_col)
+
+    return left_ds.map_batches(
+        lambda b: overlay_general_batch(b, right_rows, op, wkb_col=wkb_col,
+                                        id_col=id_col, right_id_col=right_id_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )

@@ -15,8 +15,16 @@ recurrence in strict distance order, which validates the distributed
 plumbing exactly, plus exact-geometry checks on axis rays where XDraw is
 exact.
 
-NoData cells are not supported in v1 (document NaN-free DEMs); viewpoint
-height is the DEM value at the viewpoint plus ``observer_height``.
+NoData (NaN) DEM cells are supported (round 3) under two conventions,
+selected by ``nodata``:
+- "transparent" (default): a void contributes no terrain — rays pass through
+  (its angle is -inf for horizon purposes); the void cell itself is never
+  visible.
+- "opaque": a void blocks all sight lines through it (+inf horizon); cells
+  behind it are hidden; the void cell itself is never visible.
+Both substitutions are constants, so the monotone-up recurrence is
+unaffected. The viewpoint cell must have data. Viewpoint height is the DEM
+value at the viewpoint plus ``observer_height``.
 """
 
 from __future__ import annotations
@@ -40,7 +48,8 @@ def _angles(dem: np.ndarray, r_abs: np.ndarray, c_abs: np.ndarray,
 
 
 def xdraw_relax(hbuf: np.ndarray, dembuf: np.ndarray, kc: int, kr: int, m: int,
-                vr: int, vc: int, v_height: float, tile_rows: int, tile_cols: int) -> np.ndarray:
+                vr: int, vc: int, v_height: float, tile_rows: int, tile_cols: int,
+                nodata: str = "transparent") -> np.ndarray:
     """One tile's XDraw sweep to local fixpoint over the collar-buffered
     horizon plane. Upstream cells are at most one row/col closer, so a
     margin-1 collar suffices."""
@@ -48,6 +57,12 @@ def xdraw_relax(hbuf: np.ndarray, dembuf: np.ndarray, kc: int, kr: int, m: int,
     r_abs = kr * tile_rows + (np.arange(rows) - m)
     c_abs = kc * tile_cols + (np.arange(cols) - m)
     ang = _angles(dembuf, r_abs, c_abs, vr, vc, v_height)
+    # NoData substitution: transparent voids contribute no terrain (-inf),
+    # opaque voids block everything behind them (+inf). Constant either way,
+    # so monotonicity holds.
+    void = np.isnan(ang)
+    if void.any():
+        ang = np.where(void, -np.inf if nodata == "transparent" else np.inf, ang)
     drm = r_abs[:, None] - vr  # (rows, 1)
     dcm = c_abs[None, :] - vc  # (1, cols)
     adr = np.broadcast_to(np.abs(drm), (rows, cols)).astype(np.float64)
@@ -105,7 +120,10 @@ def xdraw_relax(hbuf: np.ndarray, dembuf: np.ndarray, kc: int, kr: int, m: int,
             h_up_col = np.where(wy == 0, h[i0, up_j],
                                 (1 - wy) * h[i0, up_j] + wy * h[i1, up_j])
         h_up = np.where(valid_row, h_up_row, np.where(valid_col, h_up_col, np.nan))
-        new = np.maximum(ang, np.nan_to_num(h_up, nan=-np.inf))
+        # keep +-inf intact (opaque voids carry +inf horizons); only NaN
+        # (interpolation between +inf and -inf, or no valid upstream) drops
+        new = np.maximum(ang, np.nan_to_num(h_up, nan=-np.inf,
+                                            posinf=np.inf, neginf=-np.inf))
         new = np.where(at_vp, -np.inf, new)
         upd = valid_row | valid_col | at_vp
         # monotone: never decrease (collar info may still be partial)
@@ -117,11 +135,14 @@ def xdraw_relax(hbuf: np.ndarray, dembuf: np.ndarray, kc: int, kr: int, m: int,
 
 def viewshed(dem_ds, viewpoint: tuple[int, int], observer_height: float = 0.0,
              tile_rows: int | None = None, tile_cols: int | None = None,
-             max_rounds: int = 64):
+             max_rounds: int = 64, nodata: str = "transparent"):
     """DEM layer + viewpoint (absolute cell_row, cell_col) -> layer with a
     ``horizon`` plane and a per-cell visibility derivable as
     ``angle >= horizon`` (see ``visibility_tile``). BSP rounds until no
-    tile's horizon core changes."""
+    tile's horizon core changes. ``nodata``: "transparent" | "opaque" (see
+    module docstring)."""
+    if nodata not in ("transparent", "opaque"):
+        raise ValueError(f"unknown nodata convention {nodata!r}")
     vr, vc = int(viewpoint[0]), int(viewpoint[1])
 
     first = dem_ds.take(1)[0]
@@ -137,6 +158,8 @@ def viewshed(dem_ds, viewpoint: tuple[int, int], observer_height: float = 0.0,
         v_height = float(a[vr % t_rows, vc % t_cols]) + observer_height
     if v_height is None:
         raise ValueError("viewpoint is outside the layer")
+    if np.isnan(v_height):
+        raise ValueError("viewpoint cell is NoData")
 
     def init(batch: pa.Table) -> pa.Table:
         hs = []
@@ -148,7 +171,8 @@ def viewshed(dem_ds, viewpoint: tuple[int, int], observer_height: float = 0.0,
     cur = dem_ds.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
 
     def relax(hbuf, dembuf, kc, kr, m):
-        return xdraw_relax(hbuf, dembuf, kc, kr, m, vr, vc, v_height, t_rows, t_cols)
+        return xdraw_relax(hbuf, dembuf, kc, kr, m, vr, vc, v_height, t_rows,
+                           t_cols, nodata=nodata)
 
     for _round in range(max_rounds):
         nxt = bsp_round(cur, relax, margin=1, plane_col="horizon",
@@ -168,6 +192,8 @@ def visibility_tile(row: dict, vr: int, vc: int, v_height: float,
     r_abs = row["key_row"] * tile_rows + np.arange(dem.shape[0])
     c_abs = row["key_col"] * tile_cols + np.arange(dem.shape[1])
     ang = _angles(dem, r_abs, c_abs, vr, vc, v_height)
-    vis = h <= ang + tol
+    with np.errstate(invalid="ignore"):
+        vis = h <= ang + tol
+    vis[np.isnan(dem)] = False  # NoData cells are never visible
     vis[(r_abs[:, None] == vr) & (c_abs[None, :] == vc)] = True
     return vis

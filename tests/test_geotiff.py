@@ -276,3 +276,108 @@ def test_deflate_strip_with_predictor_external_layout():
     buf += comp
     _ext, arr, _meta = decode_geotiff(buf)
     np.testing.assert_array_equal(arr, data.astype(np.float64))
+
+
+# --- round 3: LZW + multiband ------------------------------------------------
+
+def test_lzw_codec_property():
+    """LZW encode/decode round-trip: random, repetitive (table growth through
+    9->10->11->12-bit widths), and reset-forcing streams."""
+    from geotrellis_ray.core.geotiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"\x00",
+        b"TOBEORNOTTOBEORTOBEORNOT",  # classic LZW exercise
+        # incompressible and long enough that next_code passes 4096 and the
+        # encoder emits a mid-stream Clear (the 12-bit reset path)
+        bytes(rng.integers(0, 256, size=16384, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, size=100_000, dtype=np.uint8)),  # huge table -> reset
+        b"ab" * 30_000,
+        bytes(range(256)) * 64,
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("tile_size", [None, 16])
+def test_roundtrip_multiband(compression, tile_size):
+    rng = np.random.default_rng(11)
+    arr = rng.uniform(-50, 50, size=(3, 21, 17))  # odd sizes: short edge segs
+    ext = Extent(0, 0, 17, 21)
+    buf = encode_geotiff(ext, arr, compression=compression, tile_size=tile_size)
+    ext2, out, meta = decode_geotiff(buf)
+    assert meta["bands"] == 3 and out.shape == (3, 21, 17)
+    np.testing.assert_array_equal(out, arr)
+    assert ext2.xmin == ext.xmin and ext2.ymax == ext.ymax
+
+
+def test_roundtrip_multiband_int_predictor_nodata():
+    arr = np.arange(2 * 8 * 8, dtype=np.float64).reshape(2, 8, 8)
+    arr[0, 0, 0] = np.nan
+    ext = Extent(0, 0, 8, 8)
+    buf = encode_geotiff(ext, arr, compression="lzw", tile_size=None,
+                         dtype="int32", nodata=-9999, predictor=2)
+    _, out, meta = decode_geotiff(buf)
+    assert meta["bands"] == 2 and meta["nodata"] == -9999
+    assert np.isnan(out[0, 0, 0])
+    np.testing.assert_array_equal(out[~np.isnan(out)], arr[~np.isnan(arr)])
+
+
+def test_reader_planar_configuration_2():
+    """Hand-assembled 2-band PLANAR (PlanarConfiguration=2) stripped TIFF:
+    band planes stored as consecutive strip runs."""
+    rows = cols = 4
+    b0 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    b1 = (np.arange(16, dtype=np.uint8) * 3).reshape(4, 4)
+
+    def entry(tag, ftype, count, value_bytes):
+        return struct.pack("<HHI", tag, ftype, count) + value_bytes
+
+    # strips: 2 rows per strip -> 2 strips per band, 4 strips total (band-major)
+    strips = [b0[:2].tobytes(), b0[2:].tobytes(), b1[:2].tobytes(), b1[2:].tobytes()]
+    n_entries = 13
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    # out-of-line data: bits(2H=4B fits inline), offsets (4I), counts (4I),
+    # pixel scale (3d), tiepoint (6d), sample format 2H fits inline
+    data_off = ifd_off + ifd_size
+    off_offsets = data_off
+    off_counts = off_offsets + 16
+    off_scale = off_counts + 16
+    off_tp = off_scale + 24
+    strip_base = off_tp + 48
+    offs = []
+    o = strip_base
+    for s in strips:
+        offs.append(o)
+        o += len(s)
+    entries = b"".join([
+        entry(256, 3, 1, struct.pack("<HH", cols, 0)),
+        entry(257, 3, 1, struct.pack("<HH", rows, 0)),
+        entry(258, 3, 2, struct.pack("<HH", 8, 8)),
+        entry(259, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(262, 3, 1, struct.pack("<HH", 1, 0)),
+        entry(273, 4, 4, struct.pack("<I", off_offsets)),
+        entry(277, 3, 1, struct.pack("<HH", 2, 0)),
+        entry(278, 3, 1, struct.pack("<HH", 2, 0)),
+        entry(279, 4, 4, struct.pack("<I", off_counts)),
+        entry(284, 3, 1, struct.pack("<HH", 2, 0)),      # planar
+        entry(339, 3, 2, struct.pack("<HH", 1, 1)),
+        entry(33550, 12, 3, struct.pack("<I", off_scale)),
+        entry(33922, 12, 6, struct.pack("<I", off_tp)),
+    ])
+    buf = (b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off)
+           + struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+           + struct.pack("<4I", *offs)
+           + struct.pack("<4I", *[len(s) for s in strips])
+           + struct.pack("<3d", 1.0, 1.0, 0.0)
+           + struct.pack("<6d", 0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+           + b"".join(strips))
+    ext, out, meta = decode_geotiff(buf)
+    assert meta["bands"] == 2
+    np.testing.assert_array_equal(out[0], b0.astype(np.float64))
+    np.testing.assert_array_equal(out[1], b1.astype(np.float64))
+    assert (ext.xmin, ext.ymax) == (10.0, 20.0)

@@ -76,3 +76,30 @@ def test_overlay_intersection_distributed(ray_session):
     # clipped geometry round-trips through wkb
     g = wkb.decode(out["clipped_wkb"][0])
     assert g["type"] == "Polygon" and abs(polygon_area(g["rings"][0]) - 16.0) < 1e-12
+
+
+def test_overlay_general_distributed(ray_session):
+    """Distributed general overlay: non-convex L-shapes x rects, all three
+    ops, against closed-form areas."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.overlay import overlay_general
+
+    L = np.array([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)], dtype=np.float64)
+    left = pa.Table.from_pylist(
+        [{"polygon_id": 1, "wkb": wkb.encode({"type": "Polygon", "rings": [L]})}],
+        schema=pa.schema([("polygon_id", pa.int64()), ("wkb", pa.binary())]))
+    right = pa.Table.from_pylist(
+        [{"polygon_id": 100, "wkb": wkb.encode({"type": "Polygon", "rings": [_rect(1, 1, 3, 3)]})}],
+        schema=pa.schema([("polygon_id", pa.int64()), ("wkb", pa.binary())]))
+
+    inter = overlay_general(ray.data.from_arrow(left), right, op="intersection").to_pandas()
+    assert len(inter) == 1 and inter["area"][0] == pytest.approx(3.0)
+    uni = overlay_general(ray.data.from_arrow(left), right, op="union").to_pandas()
+    assert uni["area"][0] == pytest.approx(12.0 + 4.0 - 3.0)
+    diff = overlay_general(ray.data.from_arrow(left), right, op="difference").to_pandas()
+    assert diff["area"][0] == pytest.approx(12.0 - 3.0)
+    # result geometry round-trips through wkb and is non-convex
+    g = wkb.decode(inter["clipped_wkb"][0])
+    assert g["type"] in ("Polygon", "MultiPolygon")

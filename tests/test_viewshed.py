@@ -29,8 +29,9 @@ def _layer_from(big):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
-def _xdraw_reference(dem, vr, vc, v_height):
-    """Independent single-machine XDraw: ring order, same recurrence."""
+def _xdraw_reference(dem, vr, vc, v_height, nodata="transparent"):
+    """Independent single-machine XDraw: ring order, same recurrence.
+    NoData: same constant substitution as the distributed impl."""
     rows, cols = dem.shape
 
     def H_read(H, r, c):
@@ -43,6 +44,8 @@ def _xdraw_reference(dem, vr, vc, v_height):
     with np.errstate(divide="ignore", invalid="ignore"):
         ang = (dem - v_height) / dist
     ang[dist == 0] = -np.inf
+    void = np.isnan(ang)
+    ang = np.where(void, -np.inf if nodata == "transparent" else np.inf, ang)
     H = np.full(dem.shape, -np.inf)
     cheb = np.maximum(np.abs(rr - vr), np.abs(cc - vc))
     order = np.argsort(cheb.ravel(), kind="stable")
@@ -73,13 +76,15 @@ def _xdraw_reference(dem, vr, vc, v_height):
             h_up = -np.inf
         H[r, c] = max(ang[r, c], h_up)
     vis = H <= ang + 1e-9
+    vis[np.isnan(dem)] = False
     vis[vr, vc] = True
     return H, vis
 
 
-def _run(big, vr, vc, observer_height=0.0, max_rounds=16):
+def _run(big, vr, vc, observer_height=0.0, max_rounds=16, nodata="transparent"):
     out, (r, c, vh) = viewshed(_layer_from(big), (vr, vc),
-                               observer_height=observer_height, max_rounds=max_rounds)
+                               observer_height=observer_height,
+                               max_rounds=max_rounds, nodata=nodata)
     H = np.full(big.shape, np.nan)
     V = np.zeros(big.shape, dtype=bool)
     for row in out.take_all():
@@ -121,3 +126,47 @@ def test_viewshed_wall_shadow_on_axis(ray_session):
     assert not V[vr, 7]      # flat ground behind the wall
     assert not V[vr, 10]     # 19 < 20
     assert V[vr, 12]         # 26 > 25
+
+
+@pytest.mark.parametrize("mode", ["transparent", "opaque"])
+def test_viewshed_nodata_voids_match_reference(ray_session, mode):
+    """Random DEM with NaN void blobs: distributed result equals the
+    independent ring-order oracle under the same NoData convention."""
+    rng = np.random.default_rng(17)
+    big = rng.uniform(0.0, 30.0, (3 * T, 3 * T))
+    # plant voids: two rectangular blobs + scattered single cells
+    big[4:7, 10:14] = np.nan
+    big[15:18, 3:6] = np.nan
+    big.ravel()[rng.choice(big.size, 25, replace=False)] = np.nan
+    vr, vc = 11, 13
+    big[vr, vc] = 12.0  # viewpoint must have data
+    H, V = _run(big, vr, vc, observer_height=2.0, nodata=mode)
+    He, Ve = _xdraw_reference(big, vr, vc, big[vr, vc] + 2.0, nodata=mode)
+    np.testing.assert_allclose(H, He, atol=1e-9)
+    np.testing.assert_array_equal(V, Ve)
+    assert not V[np.isnan(big)].any()  # voids are never visible
+
+
+def test_viewshed_nodata_axis_semantics(ray_session):
+    """Exact axis-ray geometry through a void: transparent sees through it,
+    opaque hides everything behind it."""
+    big = np.zeros((2 * T, 2 * T))
+    vr, vc = 8, 2
+    big[vr, 6] = np.nan       # void on the sight line at distance 4
+    big[vr, 10] = 5.0         # a hill behind the void (angle 5/8)
+    big[vr, 12] = 7.0         # clears the hill's sight line (7/10 > 5/8)
+
+    _H, V = _run(big, vr, vc, nodata="transparent")
+    assert V[vr, 10] and V[vr, 12]     # ray passes through the void
+    assert not V[vr, 6]                # the void itself is not visible
+
+    _H, V = _run(big, vr, vc, nodata="opaque")
+    assert not V[vr, 10] and not V[vr, 12]  # void blocks everything behind
+    assert V[vr, 5]                          # in front of the void: visible
+
+
+def test_viewshed_nodata_viewpoint_rejected(ray_session):
+    big = np.zeros((2 * T, 2 * T))
+    big[5, 5] = np.nan
+    with pytest.raises(ValueError, match="NoData"):
+        viewshed(_layer_from(big), (5, 5))
