@@ -413,6 +413,71 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
                                    num_partitions=max(2, min(16, num_cpus // 2)))
         n_joined = joined.count()
         pbsm_wall = time.monotonic() - t0
+        peak_after_pbsm = peak["used"]
+
+        # PBSM with a LARGE polygon side (VERDICT r02 #8): 10k synthetic
+        # rects of varied size — the fixture's 171 polygons underfeed the
+        # clip-explode + equi-join path
+        from geotrellis_ray.core.wkb import encode_polygon
+
+        n_poly = 10_000
+        pid = np.arange(n_poly, dtype=np.uint64)
+        px0 = -180.0 + ((pid * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.float64) / (1 << 32) * 345.0
+        py0 = -85.0 + ((pid * np.uint64(40503)) % np.uint64(1 << 16)).astype(np.float64) / (1 << 16) * 160.0
+        pw = 1.0 + (pid % np.uint64(29)).astype(np.float64) * 0.5   # 1..15 deg
+        ph = 1.0 + (pid % np.uint64(19)).astype(np.float64) * 0.5
+        poly_rows = [
+            {"polygon_id": int(i),
+             "wkb": encode_polygon([[(x, y), (x + w, y), (x + w, y + h), (x, y + h)]])}
+            for i, x, y, w, h in zip(pid, px0, py0, pw, ph)
+        ]
+        polys10k = ray.data.from_arrow(pa.Table.from_pylist(
+            poly_rows, schema=pa.schema([("polygon_id", pa.int64()), ("wkb", pa.binary())])))
+        t0 = time.monotonic()
+        joined10k = pbsm_spatial_join(pts, polys10k, layout, zoom=6,
+                                      num_partitions=max(2, min(16, num_cpus // 2)))
+        n_joined10k = joined10k.count()
+        pbsm10k_wall = time.monotonic() - t0
+        peak_after_pbsm10k = peak["used"]
+
+        # ANN index build at ~10x the bench embedding table (VERDICT r02 #8):
+        # deterministic synthetic vectors, IVF hive-partitioned write, then a
+        # probed query to prove the no-full-scan read path at this scale
+        import shutil
+
+        from geotrellis_ray.sources.ann_index import ann_query_index, build_ann_index
+
+        n_emb = max(20_000, n_docs // 10)
+        dim = 64
+
+        def mk_emb(b: pa.Table) -> pa.Table:
+            ids = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            # deterministic per-id pseudo-random unit-ish vectors
+            seeds = (ids[:, None] * np.uint64(6364136223846793005)
+                     + np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(1442695040888963407))
+            vals = ((seeds >> np.uint64(11)) % np.uint64(1 << 24)).astype(np.float32)
+            vals = vals / np.float32(1 << 23) - np.float32(1.0)
+            return pa.table({
+                "vec_id": pa.array(ids.view(np.int64), pa.int64()),
+                "embedding": pa.array(list(vals), pa.list_(pa.float32(), dim)),
+            })
+
+        emb = ray.data.range(n_emb, override_num_blocks=max(8, num_cpus)).map_batches(
+            mk_emb, batch_format="pyarrow", zero_copy_batch=True)
+        idx_path = f"/tmp/graft_ann_idx_{n_emb}"
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t0 = time.monotonic()
+        build_ann_index(emb, idx_path, kind="ivf", n_centroids=256)
+        ann_build_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        qvecs = np.stack([
+            ((np.uint64(q) * np.uint64(6364136223846793005)
+              + np.arange(dim, dtype=np.uint64) * np.uint64(1442695040888963407))
+             >> np.uint64(11)).astype(np.float64) % (1 << 24) / (1 << 23) - 1.0
+            for q in range(8)
+        ])
+        n_hits = ann_query_index(idx_path, qvecs.astype(np.float32), k=5, nprobe=4).count()
+        ann_query_wall = time.monotonic() - t0
         return {
             "metric": f"shuffle rehearsal at {n_docs} docs",
             "unit": "sec",
@@ -421,7 +486,18 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
                         "candidate_pairs": n_pairs,
                         "docs_per_sec": round(n_docs / minhash_wall, 1)},
             "pbsm": {"sec": round(pbsm_wall, 2), "points": n_docs, "joined_rows": n_joined,
-                     "docs_per_sec": round(n_docs / pbsm_wall, 1)},
+                     "docs_per_sec": round(n_docs / pbsm_wall, 1),
+                     "peak_frac_after": round(peak_after_pbsm / total_store, 4) if total_store else None},
+            "pbsm_10k_polygons": {
+                "sec": round(pbsm10k_wall, 2), "points": n_docs, "polygons": n_poly,
+                "joined_rows": n_joined10k,
+                "docs_per_sec": round(n_docs / pbsm10k_wall, 1),
+                "peak_frac_after": round(peak_after_pbsm10k / total_store, 4) if total_store else None},
+            "ann_index_10x": {
+                "build_sec": round(ann_build_wall, 2), "vectors": n_emb, "dim": dim,
+                "vectors_per_sec": round(n_emb / ann_build_wall, 1),
+                "query_sec": round(ann_query_wall, 3), "query_rows": int(n_hits),
+            },
             "object_store_total_bytes": int(total_store),
             "object_store_peak_bytes": int(peak["used"]),
             "object_store_peak_frac": round(peak["used"] / total_store, 4) if total_store else None,

@@ -414,6 +414,60 @@ SQL_TOKEN_COUNTS = r"""
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (functions/text_analysis.tfidf_top_terms):
+    batch-local term counts -> partial_groupby DF -> hash join -> grouped
+    top-k with term tie-break. SQL-checked (integer tf/df; idf via libm ln
+    on integer inputs is bit-reproducible)."""
+    from .functions.text_analysis import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=3, num_partitions=max(2, min(16, _pool_size(frac=2))))
+    return out.select_columns(["doc_id", "term", "tf", "df", "tfidf", "rank"])
+
+
+SQL_TFIDF = r"""
+    WITH terms AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+def q_line_stats(sf_dir: str):
+    """Gopher-style per-doc line-repetition signals (integer-exact):
+    n_lines / n_distinct_lines / n_dup_lines. Batch-local explode +
+    groupby-nunique; no shuffle. SQL-checked."""
+    from .functions.text_analysis import line_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(line_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LINE_STATS = r"""
+    WITH lines AS (
+        SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM documents
+    )
+    SELECT doc_id, count(*) AS n_lines,
+           count(DISTINCT line) AS n_distinct_lines,
+           count(*) - count(DISTINCT line) AS n_dup_lines
+    FROM lines GROUP BY doc_id
+"""
+
+
 def q_doc_quality(sf_dir: str):
     from .functions.text_analysis import quality_score_batch
 
@@ -1925,6 +1979,8 @@ def build_queries() -> dict:
         "q_duplicated_spans": q_duplicated_spans,
         "q_doc_token_counts": q_doc_token_counts,
         "q_doc_bpe_tokens": q_doc_bpe_tokens,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_line_stats": q_line_stats,
         "q_doc_quality": q_doc_quality,
         "q_lang_stats": q_lang_stats,
         "q_tile_assign_events": q_tile_assign_events,
@@ -2001,6 +2057,8 @@ def build_oracle_sql() -> dict:
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,
         "q_doc_bpe_tokens": _sql_bpe(),
+        "q_tfidf_top_terms": SQL_TFIDF,
+        "q_line_stats": SQL_LINE_STATS,
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_lang_stats": SQL_LANG_STATS,
         "q_tile_assign_events": SQL_TILE_ASSIGN,

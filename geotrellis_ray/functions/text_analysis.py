@@ -124,3 +124,99 @@ BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+
 
 # RE2-compatible in both pyarrow and DuckDB (\b word boundaries, (?i))
 STOPWORD_PATTERN = r"(?i)\b(?:the|and|of|to|in|a|is|that|for|it|on|as|with|was|at)\b"
+
+
+# --- round 3: TF-IDF + repetition filters ------------------------------------
+
+_WORD_RE = r"[a-z]{2,}"
+
+
+def terms_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Explode each doc into (id, term, tf): lowercase alpha tokens of length
+    >= 2 (regexp_extract_all semantics, matching the DuckDB oracle exactly).
+    One extract_regex_all + one explode + one pandas groupby — no row loop."""
+    import pandas as pd
+
+    # pyarrow 16 has no extract_regex_all: split on non-alpha runs instead,
+    # then drop the <2-char fragments (same token set as the oracle's
+    # regexp_extract_all(lower(text), '[a-z]{2,}'))
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+    keep = pc.greater_equal(pc.utf8_length(flat), 2)
+    flat = flat.filter(keep)
+    ids = ids[keep.to_numpy(zero_copy_only=False)]
+    df = pd.DataFrame({"doc_id": ids, "term": flat.to_pandas()})
+    tf = df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+    return pa.table({
+        id_col: pa.array(tf["doc_id"].to_numpy()),
+        "term": pa.array(tf["term"], pa.string()),
+        "tf": pa.array(tf["tf"].to_numpy().astype(np.int64), pa.int64()),
+    })
+
+
+def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                    num_partitions: int | None = None):
+    """Per-doc top-k terms by tf-idf (idf = ln(N/df), df = docs containing
+    the term). The canonical two-phase shape: (1) per-doc term counts (batch-
+    local), (2) DF via partial_groupby over the term stream (only (term, 1)
+    partials shuffle), (3) hash-join DF back onto the term stream — at 100 TB
+    the DF table is corpus-vocabulary-sized, so a join, not a broadcast —
+    (4) grouped top-k with deterministic term tie-break.
+
+    idf is computed with math.log on (N, df) INTEGERS inside a vectorized
+    map over the joined stream, so the score is bit-reproducible against the
+    SQL oracle's ln()."""
+    import math
+
+    import ray
+
+    from ..stages.agg import grouped_top_k, partial_groupby
+
+    terms = ds.map_batches(
+        lambda b: terms_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # reused twice (df + join); term rows are slim
+    n_docs = ds.count()
+    df_tbl = partial_groupby(terms, ["term"], [("doc_id", "count", "df")])
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus // 2))
+    joined = terms.join(df_tbl, join_type="inner", num_partitions=num_partitions,
+                        on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        # ln over the handful of distinct df values via libm (math.log):
+        # bit-identical to the SQL oracle's ln(N/df) with double division
+        uniq, inv = np.unique(dfv, return_inverse=True)
+        idf = np.array([math.log(n_docs / int(d)) for d in uniq], dtype=np.float64)
+        return batch.append_column("tfidf", pa.array(tf * idf[inv], pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_top_k(scored, [id_col], "tfidf", k, descending=True, tie_col="term")
+
+
+def line_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals, integer-exact for the SQL oracle:
+    n_lines (newline-split segments), n_distinct_lines, n_dup_lines
+    (occurrences beyond each line's first). Batch-local: explode lines,
+    one pandas groupby-nunique — no row loop."""
+    import pandas as pd
+
+    lines = pc.split_pattern(batch[text_col], "\n")
+    lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+    flat = pc.list_flatten(lines)
+    df = pd.DataFrame({"doc_id": ids, "line": flat.to_pandas()})
+    g = df.groupby("doc_id", sort=False)["line"].agg(["size", "nunique"])
+    n_lines = g["size"].to_numpy().astype(np.int64)
+    n_distinct = g["nunique"].to_numpy().astype(np.int64)
+    return pa.table({
+        id_col: pa.array(g.index.to_numpy()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_distinct_lines": pa.array(n_distinct, pa.int64()),
+        "n_dup_lines": pa.array(n_lines - n_distinct, pa.int64()),
+    })

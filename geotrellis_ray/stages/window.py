@@ -44,7 +44,13 @@ def sliding_window_agg(ds, keys, specs, ts_col: str = "ts",
                        span_us: int = 7_200_000_000, slide_us: int = 3_600_000_000,
                        final: str = "single"):
     """Overlapping-window aggregate: groups = (keys..., window_start).
-    specs as in partial_groupby: [(col, fn, alias)]."""
+    specs as in partial_groupby: [(col, fn, alias)].
+
+    window_start cardinality grows with the time span, so final='single'
+    is safe only because partial_groupby now ENFORCES its bounded-groups
+    contract (counts partial rows, auto-falls back to the shuffle merge
+    above the threshold — agg.py:_SINGLE_FINAL_MAX_ROWS). Long streams take
+    the shuffle path automatically."""
     from .agg import partial_groupby
 
     exploded = ds.map_batches(

@@ -226,3 +226,22 @@ def test_stitch_all_split_points_match_single_block():
         for s1 in range(1, n):
             for s2 in range(s1 + 1, n):
                 assert _pairs_with_splits(t, [s1, s2]) == oracle, (buckets, s1, s2)
+
+
+def test_terms_and_line_stats_edge_cases():
+    from geotrellis_ray.functions.text_analysis import line_stats_batch, terms_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["The cat! THE CAT.", "", "a b c 123", "x\n\nx\n"], pa.string()),
+    })
+    terms = terms_batch(t).to_pandas()
+    # doc 1: 'the' x2, 'cat' x2; doc 2: none; doc 3: no >=2-char alpha tokens
+    got = {(r.doc_id, r.term): r.tf for r in terms.itertuples()}
+    assert got == {(1, "the"): 2, (1, "cat"): 2}
+    ls = line_stats_batch(t).to_pandas().set_index("doc_id")
+    assert ls.loc[1, "n_lines"] == 1 and ls.loc[1, "n_dup_lines"] == 0
+    # 'x\n\nx\n' -> ['x','','x',''] : 4 lines, 2 distinct, 2 dups
+    assert ls.loc[4, "n_lines"] == 4
+    assert ls.loc[4, "n_distinct_lines"] == 2
+    assert ls.loc[4, "n_dup_lines"] == 2
