@@ -138,3 +138,179 @@ def meridian_arc_numeric(lat_deg: float, steps: int = 200_000) -> float:
     phi = np.linspace(0.0, np.radians(lat_deg), steps)
     integrand = A_WGS84 * (1 - _E2) / np.power(1 - _E2 * np.sin(phi) ** 2, 1.5)
     return float(np.trapz(integrand, phi))
+
+
+# --- round 3: generic Transverse Mercator (any ellipsoid/origin) ------------
+
+def _krueger_coeffs(f: float) -> tuple[float, np.ndarray, np.ndarray, np.ndarray]:
+    """Series coefficients for a given flattening (same published Krüger/
+    Karney polynomials as the WGS84 constants above, evaluated for f)."""
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    alpha = np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ])
+    delta = np.array([
+        2 * n - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45 + 26 * n5 / 45 - 2854 * n6 / 675,
+        7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45 + 2704 * n5 / 315 + 2323 * n6 / 945,
+        56 * n3 / 15 - 136 * n4 / 35 - 1262 * n5 / 105 + 73814 * n6 / 2835,
+        4279 * n4 / 630 - 332 * n5 / 35 - 399572 * n6 / 14175,
+        4174 * n5 / 315 - 144838 * n6 / 6237,
+        601676 * n6 / 22275,
+    ])
+    return n, alpha, beta, delta
+
+
+class TransverseMercator:
+    """Parameterized TM projection: any ellipsoid (a, 1/rf), natural origin
+    (lat0, lon0), scale k0, false easting/northing. Covers national grids
+    like OSGB (EPSG:27700) that plain UTM wrappers cannot. Projection math
+    only — geodetic inputs are in the CRS's OWN datum; combine with
+    ``helmert`` for datum shifts."""
+
+    def __init__(self, a: float, rf: float, lat0: float, lon0: float,
+                 k0: float, fe: float, fn: float):
+        self.a, self.rf = float(a), float(rf)
+        f = 1.0 / rf
+        self.f = f
+        self.lat0, self.lon0, self.k0 = float(lat0), float(lon0), float(k0)
+        self.fe, self.fn = float(fe), float(fn)
+        n, self._alpha, self._beta, self._delta = _krueger_coeffs(f)
+        self._A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        self._e2 = f * (2 - f)
+        self._se = np.sqrt(self._e2)
+        # meridian arc from equator to lat0 (series at lam=0)
+        self._M0 = float(self._xi_eta(np.array([lat0]), np.array([lon0]))[0][0]) * self._A
+
+    def _xi_eta(self, lat, lon):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - self._se * np.arctanh(self._se * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j in range(6):
+            k = 2.0 * (j + 1)
+            xi += self._alpha[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+            eta += self._alpha[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+        return xi, eta
+
+    def forward(self, lat, lon) -> tuple[np.ndarray, np.ndarray]:
+        xi, eta = self._xi_eta(lat, lon)
+        e = self.fe + self.k0 * self._A * eta
+        nn = self.fn + self.k0 * (self._A * xi - self._M0)
+        return e, nn
+
+    def inverse(self, easting, northing) -> tuple[np.ndarray, np.ndarray]:
+        eta = (np.asarray(easting, dtype=np.float64) - self.fe) / (self.k0 * self._A)
+        xi = (np.asarray(northing, dtype=np.float64) - self.fn + self.k0 * self._M0) / (self.k0 * self._A)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j in range(6):
+            k = 2.0 * (j + 1)
+            xi_p -= self._beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+            eta_p -= self._beta[j] * np.cos(k * xi) * np.sinh(k * eta)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        phi = chi.copy()
+        for j in range(6):
+            k = 2.0 * (j + 1)
+            phi += self._delta[j] * np.sin(k * chi)
+        return np.degrees(phi), np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p))) + self.lon0
+
+
+# published ellipsoids (a, 1/f)
+ELLIPSOIDS = {
+    "wgs84": (6378137.0, 298.257223563),
+    "grs80": (6378137.0, 298.257222101),
+    "airy1830": (6377563.396, 299.3249646),
+    "intl1924": (6378388.0, 297.0),
+}
+
+
+def helmert(lat, lon, params: tuple[float, ...], a_src: float, rf_src: float,
+            a_dst: float, rf_dst: float, inverse: bool = False):
+    """7-parameter Helmert datum transformation (position-vector sign
+    convention): params = (tx, ty, tz [m], s [ppm], rx, ry, rz [arcsec]).
+    Geodetic (h=0) -> cartesian -> transform -> geodetic on the target
+    ellipsoid. Vectorized."""
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    f_src = 1.0 / rf_src
+    e2s = f_src * (2 - f_src)
+    nu = a_src / np.sqrt(1 - e2s * np.sin(lat) ** 2)
+    x = nu * np.cos(lat) * np.cos(lon)
+    y = nu * np.cos(lat) * np.sin(lon)
+    z = nu * (1 - e2s) * np.sin(lat)
+
+    tx, ty, tz, s_ppm, rx_s, ry_s, rz_s = params
+    if inverse:
+        tx, ty, tz, s_ppm, rx_s, ry_s, rz_s = -tx, -ty, -tz, -s_ppm, -rx_s, -ry_s, -rz_s
+    s = 1.0 + s_ppm * 1e-6
+    rx = np.radians(rx_s / 3600.0)
+    ry = np.radians(ry_s / 3600.0)
+    rz = np.radians(rz_s / 3600.0)
+    x2 = tx + s * (x - rz * y + ry * z)
+    y2 = ty + s * (rz * x + y - rx * z)
+    z2 = tz + s * (-ry * x + rx * y + z)
+
+    f_dst = 1.0 / rf_dst
+    e2d = f_dst * (2 - f_dst)
+    p = np.hypot(x2, y2)
+    lat2 = np.arctan2(z2, p * (1 - e2d))
+    for _ in range(6):  # converges to sub-mm in <=4 iterations
+        nu2 = a_dst / np.sqrt(1 - e2d * np.sin(lat2) ** 2)
+        lat2 = np.arctan2(z2 + e2d * nu2 * np.sin(lat2), p)
+    return np.degrees(lat2), np.degrees(np.arctan2(y2, x2))
+
+
+# OS Helmert parameters WGS84/ETRS89 -> OSGB36 (public, ~3-5 m national rms)
+HELMERT_WGS84_TO_OSGB36 = (-446.448, 125.157, -542.060, 20.4894, -0.1502, -0.2470, -0.8421)
+
+# EPSG:27700 British National Grid: TM on Airy 1830
+OSGB_TM = TransverseMercator(*ELLIPSOIDS["airy1830"], lat0=49.0, lon0=-2.0,
+                             k0=0.9996012717, fe=400_000.0, fn=-100_000.0)
+
+
+def latlng_to_osgb(lat, lon) -> tuple[np.ndarray, np.ndarray]:
+    """WGS84 (lat, lon) -> EPSG:27700 (E, N): Helmert shift to OSGB36, then
+    the Airy TM."""
+    lat36, lon36 = helmert(lat, lon, HELMERT_WGS84_TO_OSGB36,
+                           *ELLIPSOIDS["wgs84"], *ELLIPSOIDS["airy1830"])
+    return OSGB_TM.forward(lat36, lon36)
+
+
+def osgb_to_latlng(easting, northing) -> tuple[np.ndarray, np.ndarray]:
+    lat36, lon36 = OSGB_TM.inverse(easting, northing)
+    return helmert(lat36, lon36, HELMERT_WGS84_TO_OSGB36,
+                   *ELLIPSOIDS["airy1830"], *ELLIPSOIDS["wgs84"], inverse=True)
+
+
+def parse_tmerc_crs(name: str) -> TransverseMercator:
+    """'tmerc:<lat0>,<lon0>,<k0>,<fe>,<fn>[,<ellps>]' -> projection (default
+    ellipsoid wgs84). Example: 'tmerc:49,-2,0.9996012717,400000,-100000,airy1830'."""
+    if not name.startswith("tmerc:"):
+        raise ValueError(f"not a tmerc crs name: {name!r}")
+    parts = [p.strip() for p in name[6:].split(",")]
+    if len(parts) not in (5, 6):
+        raise ValueError(f"tmerc crs needs 5 or 6 fields: {name!r}")
+    ellps = parts[5].lower() if len(parts) == 6 else "wgs84"
+    if ellps not in ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {ellps!r} (have {sorted(ELLIPSOIDS)})")
+    a, rf = ELLIPSOIDS[ellps]
+    lat0, lon0, k0, fe, fn = (float(p) for p in parts[:5])
+    return TransverseMercator(a, rf, lat0, lon0, k0, fe, fn)

@@ -1920,6 +1920,35 @@ def q_reproject_utm(sf_dir: str):
     return out.select_columns(["event_id", "x", "y"])
 
 
+def q_reproject_osgb(sf_dir: str):
+    """Vector reproject to a NATIONAL GRID (EPSG:27700 British National
+    Grid): generic Transverse Mercator on Airy 1830 + 7-parameter Helmert
+    datum shift (core/utm.py:TransverseMercator, round 3). Rows-only;
+    exactness is pytest-verified against the Ordnance Survey worked example
+    (sub-mm)."""
+    from .stages.reproject import reproject_points_batch
+
+    def to_gb(b: pa.Table) -> pa.Table:
+        # deterministically squeeze the world coords into the GB extent so
+        # every event exercises the national-grid path
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "lat": pa.array(50.0 + (lat + 90.0) / 180.0 * 8.5, pa.float64()),
+            "lon": pa.array(-7.0 + (lon + 180.0) / 360.0 * 8.8, pa.float64()),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(to_gb, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(
+        lambda b: reproject_points_batch(b, "latlng", "epsg:27700"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.select_columns(["event_id", "x", "y"])
+
+
 def q_vector_tiles_mvt(sf_dir: str):
     """Real Mapbox Vector Tile output (protobuf, core/mvt.py): per-tile
     feature count + decoded-byte self-check columns (rows-only; wire-level
@@ -2035,6 +2064,7 @@ def build_queries() -> dict:
         "q_vector_tiles_mvt": q_vector_tiles_mvt,
         "q_reproject_points": q_reproject_points,
         "q_reproject_utm": q_reproject_utm,
+        "q_reproject_osgb": q_reproject_osgb,
     }
     sql_checked = build_oracle_sql()
     ordered = {k: v for k, v in all_queries.items() if k in sql_checked}

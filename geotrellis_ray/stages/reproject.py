@@ -37,6 +37,14 @@ def _to_latlng(crs: str, xs, ys):
 
         zone, south = parse_utm_crs(crs)
         return utm_to_latlng(xs, ys, zone, south)
+    if crs == "epsg:27700":
+        from ..core.utm import osgb_to_latlng
+
+        return osgb_to_latlng(xs, ys)
+    if crs.startswith("tmerc:"):
+        from ..core.utm import parse_tmerc_crs
+
+        return parse_tmerc_crs(crs).inverse(xs, ys)
     raise ValueError(f"unsupported crs {crs!r}")
 
 
@@ -51,6 +59,15 @@ def _from_latlng(crs: str, lat, lon):
 
         zone, south = parse_utm_crs(crs)
         return latlng_to_utm(lat, lon, zone, south)
+    if crs == "epsg:27700":
+        from ..core.utm import latlng_to_osgb
+
+        return latlng_to_osgb(lat, lon)
+    if crs.startswith("tmerc:"):
+        from ..core.utm import parse_tmerc_crs
+
+        tm = parse_tmerc_crs(crs)
+        return tm.forward(lat, lon)
     raise ValueError(f"unsupported crs {crs!r}")
 
 

@@ -129,3 +129,21 @@ def test_vector_tiles_mvt_distributed(ray_session):
             assert all(_ring_area(r.astype(np.float64)) != 0 for r in f["parts"])
         total += len(feats)
     assert total >= len(out)
+
+
+def test_quantize_clamps_to_extent_inclusive():
+    """ADVICE r02: vertices on the tile's max edge must quantize to extent
+    (4096), not extent-1 — clamping inward opened hairline gaps between
+    adjacent clipped tiles."""
+    import numpy as np
+
+    from geotrellis_ray.core.layout import Extent
+
+    ext = Extent(0.0, 0.0, 10.0, 10.0)
+    ring = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])
+    gtype, parts, shells = geom_to_mvt_parts(
+        {"type": "Polygon", "rings": [ring]}, ext, 4096)
+    q = parts[0]
+    # map xmax -> 4096; ymin (screen-y grows downward) -> 4096
+    assert q[:, 0].max() == 4096 and q[:, 1].max() == 4096
+    assert q[:, 0].min() == 0 and q[:, 1].min() == 0

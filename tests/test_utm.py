@@ -89,3 +89,63 @@ def test_reproject_points_batch_utm(ray_session):
         pa.table({"lon": out["x"], "lat": out["y"]}), "utm:32n", "latlng")
     np.testing.assert_allclose(back["y"].to_numpy(), lat, atol=1e-9)
     np.testing.assert_allclose(back["x"].to_numpy(), lon, atol=1e-9)
+
+
+# --- round 3: generic Transverse Mercator + OSGB -----------------------------
+
+def test_osgb_matches_os_worked_example():
+    """Ordnance Survey 'A guide to coordinate systems in Great Britain'
+    worked example (OSGB36 geodetic -> national grid): sub-mm."""
+    from geotrellis_ray.core.utm import OSGB_TM
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = OSGB_TM.forward(np.array([lat]), np.array([lon]))
+    assert abs(E[0] - 651409.903) < 1e-3
+    assert abs(N[0] - 313177.270) < 1e-3
+    la, lo = OSGB_TM.inverse(E, N)
+    assert abs(la[0] - lat) < 1e-12 and abs(lo[0] - lon) < 1e-12
+
+
+def test_tmerc_generic_matches_utm_special_case():
+    """A tmerc CRS configured with UTM zone 33N parameters must reproduce
+    the dedicated UTM path exactly."""
+    from geotrellis_ray.core.utm import latlng_to_utm, parse_tmerc_crs
+
+    tm = parse_tmerc_crs("tmerc:0,15,0.9996,500000,0,wgs84")
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-70, 70, 50)
+    lon = rng.uniform(12, 18, 50)
+    e1, n1 = tm.forward(lat, lon)
+    e2, n2 = latlng_to_utm(lat, lon, 33, south=False)
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+    np.testing.assert_allclose(n1, n2, atol=1e-6)
+
+
+def test_helmert_roundtrip_and_osgb_wgs84_path():
+    from geotrellis_ray.core.utm import latlng_to_osgb, osgb_to_latlng
+
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(50.0, 58.5, 40)   # GB extent
+    lon = rng.uniform(-7.0, 1.8, 40)
+    E, N = latlng_to_osgb(lat, lon)
+    la, lo = osgb_to_latlng(E, N)
+    np.testing.assert_allclose(la, lat, atol=1e-7)  # ~1 cm
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    # London lands in the right grid ballpark (Greenwich ~ TQ 3889 7727)
+    E0, N0 = latlng_to_osgb(np.array([51.4779]), np.array([-0.0015]))
+    assert abs(E0[0] - 538890) < 20 and abs(N0[0] - 177270) < 80
+
+
+def test_reproject_batch_osgb(ray_session):
+    import pyarrow as pa
+
+    from geotrellis_ray.stages.reproject import reproject_points_batch
+
+    b = pa.table({"lon": pa.array([-0.0015, -3.2], pa.float64()),
+                  "lat": pa.array([51.4779, 55.95], pa.float64())})
+    out = reproject_points_batch(b, "latlng", "epsg:27700")
+    assert out["x"][0].as_py() > 500_000 and out["y"][1].as_py() > 600_000
+    back = reproject_points_batch(
+        pa.table({"lon": out["x"], "lat": out["y"]}), "epsg:27700", "latlng")
+    np.testing.assert_allclose(back["y"].to_numpy(), [51.4779, 55.95], atol=1e-7)
