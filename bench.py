@@ -290,20 +290,37 @@ def _cpu_compute_ratio(cpus_lo: int, cpus_hi: int, secs: float = 2.0) -> float:
     return totals[cpus_hi] / totals[cpus_lo]
 
 
+def _scaling_child_once(cpus: int, n_pages: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-child",
+         "--cpus", str(cpus), "--n-pages", str(n_pages)],
+        capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"scaling child (cpus={cpus}) failed")
+    return json.loads(line[-1][len("CHILD_RESULT "):])
+
+
 def run_scaling(n_pages: int, cpus_lo: int, cpus_hi: int) -> dict:
+    # hi arm FIRST (it loses the quiet start of the window otherwise), and a
+    # contaminated arm is retried in a fresh child (up to 3 total) — tenant
+    # bursts on this host last minutes, so a later child often lands clean.
     results = {}
-    for cpus in (cpus_lo, cpus_hi):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child",
-             "--cpus", str(cpus), "--n-pages", str(n_pages)],
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-            raise RuntimeError(f"scaling child (cpus={cpus}) failed")
-        results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+    for cpus in (cpus_hi, cpus_lo):
+        best = None
+        for attempt in range(3):
+            r = _scaling_child_once(cpus, n_pages)
+            r["child_attempts"] = attempt + 1
+            if best is None or (not r["contaminated"] and best["contaminated"]) \
+                    or (r["contaminated"] == best["contaminated"]
+                        and r["sec"] < best["sec"]):
+                best = r
+            if not best["contaminated"]:
+                break
+        results[cpus] = best
     t_lo = results[cpus_lo]["docs_per_sec"]
     t_hi = results[cpus_hi]["docs_per_sec"]
     factor = cpus_hi / cpus_lo

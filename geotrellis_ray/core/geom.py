@@ -269,3 +269,69 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
 
 def bbox_intersects(a, b) -> bool:
     return not (b[0] > a[2] or b[2] < a[0] or b[1] > a[3] or b[3] < a[1])
+
+
+def simplify_dp(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker line simplification (geotrellis.vector.methods
+    Simplify / JTS DouglasPeuckerSimplifier semantics, from scratch):
+    keeps every vertex whose perpendicular distance from the current chord
+    exceeds `tolerance`. Iterative stack (no recursion-depth limit);
+    per-segment distance computation is vectorized numpy."""
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    if n <= 2:
+        return coords.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = coords[i + 1:j]
+        a, b = coords[i], coords[j]
+        ab = b - a
+        L2 = ab @ ab
+        if L2 == 0.0:
+            d = np.linalg.norm(seg - a, axis=1)
+        else:
+            # perpendicular distance to the INFINITE line through a-b
+            # (classic DP uses the line, not the clamped segment)
+            rel = seg - a
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / np.sqrt(L2)
+        kmax = int(np.argmax(d))
+        if d[kmax] > tolerance:
+            mid = i + 1 + kmax
+            keep[mid] = True
+            stack.append((i, mid))
+            stack.append((mid, j))
+    return coords[keep]
+
+
+def simplify_geom(geom: dict, tolerance: float) -> dict:
+    """Simplify a decoded-WKB geometry dict. Rings keep >= 4 points (closed);
+    degenerate results collapse to the ring's bbox triangle-free fallback:
+    if a simplified ring would drop below 4 points the original ring is
+    kept (JTS's ensureValid-ish conservative behavior, OUR spec)."""
+    t = geom["type"]
+    if t == "Point":
+        return geom
+    if t == "LineString":
+        return {"type": "LineString",
+                "coordinates": simplify_dp(np.asarray(geom["coordinates"]), tolerance)}
+    if t == "Polygon":
+        rings = []
+        for ring in geom["coordinates"]:
+            s = simplify_dp(np.asarray(ring), tolerance)
+            rings.append(s if len(s) >= 4 else np.asarray(ring, dtype=np.float64))
+        return {"type": "Polygon", "coordinates": rings}
+    if t.startswith("Multi") or t == "GeometryCollection":
+        key = "geometries" if t == "GeometryCollection" else "coordinates"
+        sub_t = t[5:] if t.startswith("Multi") else None
+        if t == "GeometryCollection":
+            return {"type": t, "geometries": [simplify_geom(g, tolerance)
+                                              for g in geom["geometries"]]}
+        parts = [simplify_geom({"type": sub_t, "coordinates": c}, tolerance)["coordinates"]
+                 for c in geom["coordinates"]]
+        return {"type": t, "coordinates": parts}
+    raise ValueError(f"unsupported geometry {t}")

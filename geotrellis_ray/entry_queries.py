@@ -400,6 +400,43 @@ SQL_DUP_SPANS = """
 """
 
 
+def q_exact_substring_spans(sf_dir: str):
+    """Exact (stride-1) duplicated-substring coverage -> maximal per-doc
+    spans (stages/dedup.exact_substring_spans — the suffix-array training-
+    data-dedup semantics as gram-coverage + distributed interval merge).
+    SQL-checked against a DuckDB gaps-and-islands window query."""
+    from .stages.dedup import exact_substring_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_substring_spans(ds, min_len=40, min_count=2, key="text")
+
+
+SQL_EXACT_SPANS = """
+    WITH grams AS (
+        SELECT doc_id, CAST(o AS BIGINT) AS off,
+               substr(text, CAST(o AS INT) + 1, 40) AS g
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, GREATEST(length(text) - 40 + 1, 0))) AS o) t
+    ),
+    counts AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    cov AS (SELECT doc_id, off FROM grams JOIN counts USING (g)),
+    m AS (
+        SELECT doc_id, off,
+               CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
+                    THEN 0 ELSE 1 END AS brk
+        FROM cov
+    ),
+    grp AS (
+        SELECT doc_id, off,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY off
+                              ROWS UNBOUNDED PRECEDING) AS gid
+        FROM m
+    )
+    SELECT doc_id, min(off) AS span_start, CAST(max(off) + 40 AS BIGINT) AS span_end
+    FROM grp GROUP BY doc_id, gid
+"""
+
+
 def q_doc_token_counts(sf_dir: str):
     from .functions.text_analysis import token_count_batch
 
@@ -465,6 +502,77 @@ SQL_LINE_STATS = r"""
            count(DISTINCT line) AS n_distinct_lines,
            count(*) - count(DISTINCT line) AS n_dup_lines
     FROM lines GROUP BY doc_id
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (functions/text_analysis.pii_redact_batch): emails ->
+    IPv4 -> phone-like digit runs, sequentially, via RE2 kernels shared
+    bit-for-bit with the DuckDB oracle. The synthetic corpus has no PII, so
+    both sides first plant deterministic doc_id-derived PII (synth_pii_batch
+    == the oracle's concat CTE), making the check known-positive."""
+    from .functions.text_analysis import pii_redact_batch, synth_pii_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(synth_pii_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(pii_redact_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_pii() -> str:
+    from .functions.text_analysis import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+    WITH synth AS (
+        SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@ex-mail.org' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 01' || doc_id || '-9876' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || doc_id || '.255 up' ELSE '' END AS t
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, length(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+                  regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t FROM synth),
+    s2 AS (SELECT doc_id, n_emails, length(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips,
+                  regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_ips, length(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+                  regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t FROM s2)
+    SELECT doc_id, n_emails, n_ips, n_phones, t AS text_redacted FROM s3
+"""
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain rollup over deterministic doc_id-derived URLs
+    (functions/text_analysis.synth_url_batch + domain_of_batch): host
+    extracted with one RE2 capture shared with the oracle, then a
+    partial_groupby (map-side combine; only (domain, partial) rows
+    shuffle — the 100-TB shape for per-domain corpus stats)."""
+    from .functions.text_analysis import domain_of_batch, synth_url_batch
+    from .stages.agg import partial_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(synth_url_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(domain_of_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_groupby(
+        ds, ["domain"],
+        [("doc_id", "count", "n_docs"), ("n_chars", "sum", "total_chars"),
+         ("doc_id", "min", "min_doc")],
+    )
+
+
+def _sql_domain_stats() -> str:
+    from .functions.text_analysis import URL_DOMAIN_RE
+
+    return f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               'https://w' || (doc_id % 7) || '.site' || (doc_id % 97) ||
+               '.example/p/' || doc_id AS url
+        FROM documents
+    ),
+    d AS (SELECT doc_id, n_chars,
+                 regexp_extract(lower(url), '{URL_DOMAIN_RE}', 1) AS domain FROM u)
+    SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc
+    FROM d GROUP BY domain
 """
 
 
@@ -1858,6 +1966,262 @@ def q_terrain_toy(sf_dir: str):
     return out.union(resampled.map_batches(summarize("resample_bilinear"), batch_format="pyarrow", zero_copy_batch=True))
 
 
+_KD_LAYOUT = None
+
+
+def _mod_filter(col: str, m: int):
+    """Vectorized id %% m == 0 batch filter (Ray's filter(expr=...) grammar
+    has no modulo)."""
+    def f(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % m == 0))
+    return f
+
+
+def _kd_layout():
+    """64x64-cell world grid over (-180,-85,180,85): cell w=5.625 and
+    h=2.65625 are exact binary doubles, so Ray and DuckDB floor() agree."""
+    global _KD_LAYOUT
+    if _KD_LAYOUT is None:
+        from .core.layout import Extent, LayoutDefinition, TileLayout
+
+        _KD_LAYOUT = LayoutDefinition(Extent(-180.0, -85.0, 180.0, 85.0),
+                                      TileLayout(4, 4, 16, 16))
+    return _KD_LAYOUT
+
+
+def _explode_tiles_to_cells(ds, value_cast="int64", drop_zero=True):
+    """Tile layer -> (cell_x, cell_y, density) global-cell rows."""
+    from .core.raster import decode_tile
+
+    def explode(b: pa.Table) -> pa.Table:
+        xs, ys, vs = [], [], []
+        kcs = b["key_col"].to_numpy(zero_copy_only=False)
+        krs = b["key_row"].to_numpy(zero_copy_only=False)
+        for i in range(b.num_rows):
+            tc, tr = int(b["cols"][i].as_py()), int(b["rows"][i].as_py())
+            t = decode_tile(b["cells"][i].as_py(), tc, tr, b["cell_type"][i].as_py())
+            m = (t != 0) & ~np.isnan(t) if drop_zero else ~np.isnan(t)
+            ry, rx = np.nonzero(m)
+            xs.append(int(kcs[i]) * tc + rx)
+            ys.append(int(krs[i]) * tr + ry)
+            vs.append(t[ry, rx])
+        if not xs:
+            return pa.table({"cell_x": pa.array([], pa.int64()),
+                             "cell_y": pa.array([], pa.int64()),
+                             "density": pa.array([], getattr(pa, value_cast)())})
+        v = np.concatenate(vs)
+        return pa.table({
+            "cell_x": pa.array(np.concatenate(xs).astype(np.int64), pa.int64()),
+            "cell_y": pa.array(np.concatenate(ys).astype(np.int64), pa.int64()),
+            "density": pa.array(v.astype(np.int64) if value_cast == "int64" else v,
+                                getattr(pa, value_cast)()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_kernel_density(sf_dir: str):
+    """KernelDensity (stages/interpolation.kernel_density): every event
+    stamps a square kernel (radius 2 cells, weight 1) on the 64x64 world
+    grid; slim (key, cell, w) explode -> groupby(key) paint. Integer sums
+    with a square kernel -> bit-exact SQL parity (the oracle explodes each
+    point to its 5x5 stamp with two unnest ranges)."""
+    from .stages.interpolation import kernel_density
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    kd = kernel_density(pts, _kd_layout(), radius=2, kernel="square",
+                        x_col="lon", y_col="lat")
+    return _explode_tiles_to_cells(kd, value_cast="int64")
+
+
+SQL_KERNEL_DENSITY = f"""
+    WITH pts AS ({SQL_COORDS}),
+    cell AS (
+        SELECT CAST(floor((lon - (-180.0)) / 5.625) AS BIGINT) AS cx,
+               CAST(floor((85.0 - lat) / 2.65625) AS BIGINT) AS cy
+        FROM pts
+    ),
+    stamp AS (
+        SELECT cx + dx AS x, cy + dy AS y
+        FROM cell,
+             LATERAL (SELECT unnest(range(-2, 3)) AS dx) a,
+             LATERAL (SELECT unnest(range(-2, 3)) AS dy) b
+    )
+    SELECT x AS cell_x, y AS cell_y, count(*) AS density
+    FROM stamp WHERE x BETWEEN 0 AND 63 AND y BETWEEN 0 AND 63
+    GROUP BY x, y
+"""
+
+
+def _hash_grid_layer(n_tiles: int = 3, tile: int = 16):
+    """Deterministic SQL-expressible categorical raster:
+    val(x, y) = (x * 2654435761 + y * 40503) % 3 over an
+    (n_tiles*tile)^2 grid, cut into tiles."""
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+
+    rows = []
+    for kr in range(n_tiles):
+        for kc in range(n_tiles):
+            gy = kr * tile + np.arange(tile)[:, None]
+            gx = kc * tile + np.arange(tile)[None, :]
+            a = ((gx * 2654435761 + gy * 40503) % 3).astype(np.float64)
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": kc, "key_row": kr, "sfc": int(_z(kc, kr)),
+                         "cells": cells, "cols": cols, "rows": trows,
+                         "cell_type": ct})
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def q_region_group(sf_dir: str):
+    """RegionGroup (stages/regiongroup): distributed connected-component
+    labeling (per-tile run-based CCL + edge-equivalence stitch) over a
+    deterministic hash-valued 48x48 grid, reported label-free as
+    (region_cell = min global cell index, n_cells) so a DuckDB recursive
+    transitive-closure oracle can check it exactly."""
+    from .core.layout import Extent, LayoutDefinition, TileLayout
+    from .stages.regiongroup import region_group, region_stats
+
+    lay = LayoutDefinition(Extent(0, 0, 48, 48), TileLayout(3, 3, 16, 16))
+    labeled = region_group(_hash_grid_layer(3, 16), lay)
+    return region_stats(labeled, lay)
+
+
+SQL_REGION_GROUP = """
+    WITH RECURSIVE grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 3 AS val,
+               y * 48 + x AS id
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    lab AS (
+        SELECT x, y, val, id AS lab FROM grid
+        UNION
+        SELECT g.x, g.y, g.val, l.lab
+        FROM lab l
+        JOIN grid g ON g.val = l.val
+         AND ((abs(g.x - l.x) = 1 AND g.y = l.y)
+           OR (abs(g.y - l.y) = 1 AND g.x = l.x))
+        WHERE l.lab < g.y * 48 + g.x
+    ),
+    comp AS (SELECT x, y, min(lab) AS region FROM lab GROUP BY x, y)
+    SELECT region AS region_cell, CAST(count(*) AS BIGINT) AS n_cells
+    FROM comp GROUP BY region
+"""
+
+
+def q_euclidean_distance(sf_dir: str):
+    """EuclideanDistanceTile (stages/interpolation.euclidean_distance):
+    per-cell distance to the nearest of ~samples (events subsampled
+    event_id %% 211 == 0), sample side broadcast once (ray.put), no shuffle.
+    min() is order-independent -> bit-exact SQL parity via a cells x points
+    cross join."""
+    from .stages.interpolation import euclidean_distance
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(_mod_filter("event_id", 211), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    ed = euclidean_distance(pts.rename(columns={"lon": "x", "lat": "y"}),
+                            _kd_layout(), (0, 0, 3, 3))
+    return _explode_tiles_to_cells(ed, value_cast="float64", drop_zero=False)
+
+
+SQL_EUCLID = f"""
+    WITH pts AS ({SQL_COORDS}),
+    sample AS (SELECT lon, lat FROM pts WHERE event_id % 211 = 0),
+    cells AS (
+        SELECT x, y,
+               -180.0 + (CAST(x AS DOUBLE) + 0.5) * 5.625 AS cx,
+               85.0 - (CAST(y AS DOUBLE) + 0.5) * 2.65625 AS cy
+        FROM (SELECT unnest(range(0, 64)) AS x),
+             (SELECT unnest(range(0, 64)) AS y)
+    )
+    SELECT CAST(x AS BIGINT) AS cell_x, CAST(y AS BIGINT) AS cell_y,
+           sqrt(min((cx - lon) * (cx - lon) + (cy - lat) * (cy - lat))) AS density
+    FROM cells CROSS JOIN sample
+    GROUP BY x, y
+"""
+
+
+def q_idw_toy(sf_dir: str):
+    """IDW interpolation surface (stages/interpolation.idw_interpolation)
+    over the sampled events; per-tile mean reported (rows-only — float sum
+    order varies; exactness is pytest-verified cell-wise)."""
+    from .stages.interpolation import idw_interpolation
+    from .stages.layer_ops import batch_to_cube
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = ds.map_batches(_mod_filter("event_id", 211), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    pts = pts.rename(columns={"lon": "x", "lat": "y"})
+    surf = idw_interpolation(pts, _kd_layout(), (0, 0, 3, 3), power=2.0)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cube = batch_to_cube(b)
+        means = np.nanmean(cube.reshape(cube.shape[0], -1), axis=1) if cube.size else np.array([])
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "mean_val": pa.array(means, pa.float64())})
+
+    return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/ann.semantic_dedup): distributed
+    k-means (per-batch matmul partials, k*d floats to the driver/iter) then
+    in-cluster cosine near-dup drop. Rows-only (iterative float algorithm);
+    planted-duplicate recovery is pytest-verified."""
+    from .stages.ann import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, threshold=0.985, n_centroids=8, iters=2)
+    return out.select_columns(["vec_id", "cluster", "keep"])
+
+
+def q_simplify_geoms(sf_dir: str):
+    """Douglas-Peucker simplification (core/geom.simplify_dp) of per-event
+    derived zigzag polylines; emits (event_id, n_in, n_out, length_in,
+    length_out). Rows-only; DP properties are pytest-verified."""
+    from .core.geom import line_length, simplify_dp
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(_mod_filter("event_id", 97), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def build_and_simplify(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        n_in, n_out, len_in, len_out = [], [], [], []
+        for eid in ids:
+            rng = np.random.default_rng(int(eid) % (2**31))
+            n = 30
+            xs = np.arange(n, dtype=np.float64)
+            ys = np.cumsum(rng.uniform(-1, 1, n))
+            coords = np.c_[xs, ys]
+            simp = simplify_dp(coords, 0.5)
+            n_in.append(n)
+            n_out.append(len(simp))
+            len_in.append(line_length(coords))
+            len_out.append(line_length(simp))
+        return pa.table({
+            "event_id": pa.array(ids),
+            "n_in": pa.array(n_in, pa.int64()),
+            "n_out": pa.array(n_out, pa.int64()),
+            "length_in": pa.array(len_in, pa.float64()),
+            "length_out": pa.array(len_out, pa.float64()),
+        })
+
+    return ds.map_batches(build_and_simplify, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_render_png_toy(sf_dir: str):
     """Render surface: per-tile ColorMap -> PNG (core/render.py) as a
     map_batches sink stage over the toy layer; output per-tile PNG byte size
@@ -2006,10 +2370,13 @@ def build_queries() -> dict:
         "q_events_hourly": q_events_hourly,
         "q_dedup_docs_exact": q_dedup_docs_exact,
         "q_duplicated_spans": q_duplicated_spans,
+        "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
         "q_doc_bpe_tokens": q_doc_bpe_tokens,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_line_stats": q_line_stats,
+        "q_pii_redact": q_pii_redact,
+        "q_domain_stats": q_domain_stats,
         "q_doc_quality": q_doc_quality,
         "q_lang_stats": q_lang_stats,
         "q_tile_assign_events": q_tile_assign_events,
@@ -2033,6 +2400,12 @@ def build_queries() -> dict:
         "q_ann_ivf_embeddings": q_ann_ivf_embeddings,
         "q_ann_index_ivf": q_ann_index_ivf,
         "q_embedding_near_dups": q_embedding_near_dups,
+        "q_kernel_density": q_kernel_density,
+        "q_region_group": q_region_group,
+        "q_euclidean_distance": q_euclidean_distance,
+        "q_idw_toy": q_idw_toy,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
@@ -2085,10 +2458,13 @@ def build_oracle_sql() -> dict:
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
         "q_duplicated_spans": SQL_DUP_SPANS,
+        "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,
         "q_doc_bpe_tokens": _sql_bpe(),
         "q_tfidf_top_terms": SQL_TFIDF,
         "q_line_stats": SQL_LINE_STATS,
+        "q_pii_redact": _sql_pii(),
+        "q_domain_stats": _sql_domain_stats(),
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_lang_stats": SQL_LANG_STATS,
         "q_tile_assign_events": SQL_TILE_ASSIGN,
@@ -2108,6 +2484,9 @@ def build_oracle_sql() -> dict:
         "q_semi_anti_join": SQL_SEMI_ANTI,
         "q_overlay_rects": SQL_OVERLAY,
         "q_overlay_general": SQL_OVERLAY_GENERAL,
+        "q_kernel_density": SQL_KERNEL_DENSITY,
+        "q_region_group": SQL_REGION_GROUP,
+        "q_euclidean_distance": SQL_EUCLID,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

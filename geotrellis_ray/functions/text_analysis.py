@@ -199,6 +199,84 @@ def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
     return grouped_top_k(scored, [id_col], "tfidf", k, descending=True, tie_col="term")
 
 
+# --- round 3 (cont.): PII redaction + URL/domain analytics --------------------
+#
+# Both engines (pyarrow.compute and DuckDB) use RE2, so replace/count with the
+# SAME pattern string is bit-reproducible. Patterns are applied sequentially
+# (email -> ipv4 -> phone) on the progressively redacted text: order matters
+# because the phone pattern would otherwise eat IPv4 octets.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9](?:[ ().-]{0,2}[0-9]){6,12}"
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redacts emails / IPv4s / phone-like digit runs (in that order) and
+    adds match counts. Fully vectorized: three count_substring_regex + three
+    replace_substring_regex kernels per batch, no row loop. The DuckDB oracle
+    is the same three-step CTE chain (SQL_PII in entry_queries)."""
+    t = batch[text_col]
+    n_emails = pc.count_substring_regex(t, PII_EMAIL).cast(pa.int64())
+    t = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+    n_ips = pc.count_substring_regex(t, PII_IPV4).cast(pa.int64())
+    t = pc.replace_substring_regex(t, PII_IPV4, "<IP>")
+    n_phones = pc.count_substring_regex(t, PII_PHONE).cast(pa.int64())
+    t = pc.replace_substring_regex(t, PII_PHONE, "<PHONE>")
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_emails", n_emails)
+    out = out.append_column("n_ips", n_ips)
+    out = out.append_column("n_phones", n_phones)
+    return out.append_column("text_redacted", t)
+
+
+def synth_pii_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Deterministically plants PII derived from doc_id (the synthetic corpus
+    contains none): every 3rd doc gets an email, every 5th a phone, every 7th
+    an IPv4. The SQL oracle performs the IDENTICAL concat, so the redaction
+    patterns are exercised on known-positive text on both sides."""
+    ids = batch[id_col].cast(pa.int64())
+    idn = ids.to_numpy(zero_copy_only=False)
+    s = pc.cast(ids, pa.string())
+    empty = pa.scalar("", pa.string())
+    email = pc.if_else(pa.array(idn % 3 == 0),
+                       pc.binary_join_element_wise(" mail user", s, "@ex-mail.org", ""),
+                       empty)
+    phone = pc.if_else(pa.array(idn % 5 == 0),
+                       pc.binary_join_element_wise(" call +1 (555) 01", s, "-9876", ""),
+                       empty)
+    ip = pc.if_else(pa.array(idn % 7 == 0),
+                    pc.binary_join_element_wise(" host 10.0.", s, ".255 up", ""),
+                    empty)
+    t = pc.binary_join_element_wise(batch[text_col], email, phone, ip, "")
+    return batch.set_column(batch.column_names.index(text_col), text_col, t)
+
+
+# named group for pyarrow extract_regex; still group 1 for DuckDB's
+# regexp_extract(url, pattern, 1) — both RE2
+URL_DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(?P<host>[^/:?#]+)"
+
+
+def synth_url_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic URL per doc (documents has no url column): doc_id i ->
+    https://w{i%7}.site{i%97}.example/p/{i} — same concat in the SQL oracle."""
+    ids = batch[id_col].cast(pa.int64())
+    idn = ids.to_numpy(zero_copy_only=False)
+    s = pc.cast(ids, pa.string())
+    url = pc.binary_join_element_wise(
+        "https://w", pc.cast(pa.array(idn % 7), pa.string()),
+        ".site", pc.cast(pa.array(idn % 97), pa.string()),
+        ".example/p/", s, "")
+    return batch.append_column("url", url)
+
+
+def domain_of_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Adds domain: lowercased host extracted with URL_DOMAIN_RE (RE2 capture
+    group 1 in both engines; userinfo and port stripped)."""
+    dom = pc.extract_regex(pc.utf8_lower(batch[url_col]), URL_DOMAIN_RE)
+    return batch.append_column("domain", pc.struct_field(dom, 0))
+
+
 def line_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Gopher-style repetition signals, integer-exact for the SQL oracle:
     n_lines (newline-split segments), n_distinct_lines, n_dup_lines

@@ -215,3 +215,121 @@ def ann_ivf(ds, queries: np.ndarray, k: int = 5, n_centroids: int = 16, nprobe: 
 
     pruned = ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
     return ann_brute_force(pruned, queries, k, id_col=id_col, emb_col=emb_col)
+
+
+# --- round 3: distributed k-means + SemDeDup-style semantic dedup -------------
+
+
+def kmeans_distributed(ds, n_centroids: int = 16, iters: int = 5,
+                       emb_col: str = "embedding", seed: int = 7):
+    """Full-data Lloyd's iterations, the scale shape: centroids broadcast
+    (closure, k x d floats), each batch does ONE matmul assignment and emits
+    per-centroid partial sums EXPLODED to (cluster, dim, s) rows plus
+    (cluster, n) counts — k*(d+1) slim rows per batch, tree-merged by
+    partial_groupby; the driver sees only k*d merged floats per iteration,
+    independent of corpus size. Initialization: kmeans_lite on a bounded
+    driver sample (deterministic given seed).
+
+    Returns the (k, d) float32 centroid matrix (unit-normalized rows, cosine
+    geometry throughout, matching ann_ivf)."""
+    from .agg import partial_groupby
+
+    sample = [
+        _normalize(_batch_matrix(b, emb_col))
+        for b in ds.limit(10_000).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    cents = kmeans_lite(np.vstack(sample), n_centroids, seed=seed)
+
+    for _ in range(iters):
+        c = cents  # bind current value into the batch closure
+
+        def partials(batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, emb_col)).astype(np.float64)
+            assign = np.argmax(m @ c.T.astype(np.float64), axis=1)
+            k, d = c.shape
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            cl = np.repeat(np.arange(k, dtype=np.int64), d)
+            dim = np.tile(np.arange(d, dtype=np.int64), k)
+            t = pa.table({
+                "cluster": pa.array(np.r_[cl, np.arange(k)], pa.int64()),
+                "dim": pa.array(np.r_[dim, np.full(k, -1)], pa.int64()),
+                "s": pa.array(np.r_[sums.ravel(),
+                                    counts.astype(np.float64)], pa.float64()),
+            })
+            return t
+
+        merged = partial_groupby(
+            ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+            ["cluster", "dim"], [("s", "sum", "s")],
+        ).to_pandas()
+        k, d = cents.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k)
+        for row in merged.itertuples():
+            if row.dim < 0:
+                counts[row.cluster] = row.s
+            else:
+                sums[row.cluster, row.dim] = row.s
+        nz = counts > 0
+        new = cents.astype(np.float64).copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = _normalize(new.astype(np.float32))
+    return cents
+
+
+def kmeans_assign(ds, cents: np.ndarray, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """Adds `cluster` (nearest centroid by cosine) — one matmul per batch."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, emb_col))
+        a = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(a, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_dedup(ds, threshold: float = 0.97, n_centroids: int = 16,
+                   iters: int = 3, id_col: str = "vec_id",
+                   emb_col: str = "embedding", cap: int = 8192):
+    """SemDeDup-style semantic deduplication (published recipe: k-means the
+    embedding space, deduplicate WITHIN clusters only): distributed k-means
+    -> groupby(cluster) -> in-cluster pairwise cosine; of any group of
+    mutual near-duplicates the MIN id survives. Returns (id, cluster, keep).
+
+    Pairwise work is per-cluster, never corpus-global; `cap` bounds the
+    per-cluster matrix (oversized clusters are processed in sorted-id chunks
+    against the running keeper set — deterministic, slightly conservative
+    across chunk borders, documented)."""
+    cents = kmeans_distributed(ds, n_centroids=n_centroids, iters=iters,
+                               emb_col=emb_col)
+    assigned = kmeans_assign(ds, cents, id_col=id_col, emb_col=emb_col)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        m = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float32) for v in g[emb_col]]))
+        keep = np.ones(len(g), dtype=bool)
+        keepers = np.empty((0, m.shape[1]), dtype=np.float32)
+        for lo in range(0, len(g), cap):
+            chunk = m[lo:lo + cap]
+            sim_prev = (chunk @ keepers.T) if len(keepers) else None
+            sim_self = chunk @ chunk.T
+            for i in range(len(chunk)):
+                dup = sim_prev is not None and (sim_prev[i] >= threshold).any()
+                if not dup:
+                    j = np.nonzero(keep[lo:lo + i] &
+                                   (sim_self[i, :i] >= threshold))[0]
+                    dup = len(j) > 0
+                keep[lo + i] = not dup
+            keepers = np.vstack([keepers, chunk[keep[lo:lo + cap]]])
+        return pd.DataFrame({
+            id_col: g[id_col], "cluster": g["cluster"],
+            "keep": keep,
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas")

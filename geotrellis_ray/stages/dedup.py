@@ -550,3 +550,155 @@ def duplicated_spans(ds, window: int = 40, stride: int = 20, min_count: int = 2,
         [(id_col, "count", "n"), (id_col, "min", "min_doc")],
     )
     return counts.filter(expr=f"n >= {min_count}")
+
+
+# --- round 3: exact-substring duplicated spans (stride-1, suffix-window) ------
+
+
+def _gram_hash64(spans: pa.Array, length: int) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of fixed-length ASCII grams: the
+    string array's flat data buffer is viewed as an (n, length) uint8 matrix
+    (every span has exactly `length` code units) and dotted with powers of a
+    prime under uint64 wraparound. No per-row Python."""
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n = len(spans)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    b = spans.cast(pa.binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int32, count=n + 1, offset=b.offset * 4)
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    mat = data[offs[0]: offs[-1]].reshape(n, length)
+    p = np.uint64(1099511628211)
+    pows = np.empty(length, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(1, length):
+            pows[j] = pows[j - 1] * p
+        h = (mat.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64)
+    # int64 VIEW (same bits): uint64 keys degrade to pickled-object extension
+    # arrays through Ray groupby/join paths; int64 stays a native Arrow key
+    return h.view(np.int64)
+
+
+def exact_substring_spans(ds, min_len: int = 40, min_count: int = 2,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          key: str = "text"):
+    """Exact duplicated-substring coverage, the published training-data dedup
+    semantics (suffix-array detector re-expressed Ray-Data-first): a character
+    position is duplicated iff the ``min_len``-gram starting there occurs
+    >= ``min_count`` times in the corpus (every duplicated run of length >=
+    min_len is exactly the union of such windows). Returns per-doc MAXIMAL
+    duplicated spans (doc_id, span_start, span_end), merged at stride 1 —
+    no approximation, unlike duplicated_spans' strided chunks.
+
+    Scale shape (the inherent O(total-bytes) of exact-substring dedup):
+    1. explode every offset to a slim gram row — with ``key="hash"`` the
+       shuffle carries 8-byte hashes (2^-64 collision/pair), with
+       ``key="text"`` raw grams (SQL-checkable);
+    2. partial_groupby counts grams (map-side combine) -> dup-gram set;
+    3. re-explode (recompute beats materializing the fat stream) and hash-join
+       the dup set back to (doc, off) rows — join output is dup-volume,
+       not corpus-volume;
+    4. ONE range sort by (doc, off), vectorized per-block interval merge,
+       block-edge spans (2/block) stitched on the driver — same O(#blocks)
+       side-channel pattern as the LSH candidate stitch.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .agg import partial_groupby
+
+    gcol = "g" if key == "text" else "gh"
+
+    def explode(b: pa.Table, with_pos: bool) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        ids = b[id_col]
+        max_off = int(max(0, (lens.max() - min_len)) if len(lens) else 0)
+        parts = []
+        for off in range(0, max_off + 1):
+            keep = lens >= off + min_len
+            if not keep.any():
+                break
+            mask = pa.array(keep)
+            sl = pc.utf8_slice_codeunits(texts.filter(mask), off, off + min_len)
+            cols = {}
+            if key == "text":
+                cols["g"] = sl
+            else:
+                cols["gh"] = pa.array(_gram_hash64(sl, min_len), pa.int64())
+            if with_pos:
+                cols[id_col] = ids.filter(mask)
+                cols["off"] = pa.array(
+                    np.full(len(sl), off, dtype=np.int64), pa.int64())
+            parts.append(pa.table(cols))
+        if not parts:
+            sch = {gcol: pa.array([], pa.string() if key == "text" else pa.int64())}
+            if with_pos:
+                sch[id_col] = pa.array([], b.schema.field(id_col).type)
+                sch["off"] = pa.array([], pa.int64())
+            return pa.table(sch)
+        return pa.concat_tables(parts)
+
+    counts = partial_groupby(
+        ds.map_batches(lambda b: explode(b, False), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [gcol], [(gcol, "count", "n")],
+    ).filter(expr=f"n >= {min_count}").drop_columns(["n"])
+
+    grams = ds.map_batches(lambda b: explode(b, True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    covered = grams.join(counts, join_type="inner", on=(gcol,),
+                         num_partitions=max(2, min(16, cpus // 2)))
+
+    covered = covered.select_columns([id_col, "off"]).sort([id_col, "off"])
+
+    def merge_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        id_t = b.schema.field(id_col).type
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             id_col: pa.array([], id_t),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        offs = b["off"].to_numpy(zero_copy_only=False)
+        brk = (ids[1:] != ids[:-1]) | (offs[1:] - offs[:-1] > min_len)
+        bidx = np.nonzero(brk)[0]
+        starts = np.r_[0, bidx + 1]
+        ends = np.r_[bidx, n - 1]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = 1
+        kind[-1] = 1  # block-edge spans may continue in neighbor blocks
+        return pa.table({"kind": pa.array(kind, pa.int8()),
+                         id_col: pa.array(ids[starts]),
+                         "span_start": pa.array(offs[starts], pa.int64()),
+                         "span_end": pa.array(offs[ends] + min_len, pa.int64())})
+
+    spans = covered.map_batches(merge_block, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    inner = spans.filter(expr="kind == 0").drop_columns(["kind"])
+    edge = spans.filter(expr="kind == 1").to_pandas()  # 2 rows per block
+    if len(edge):
+        edge = edge.sort_values([id_col, "span_start"], kind="stable")
+        ids = edge[id_col].to_numpy()
+        s = edge["span_start"].to_numpy()
+        e = edge["span_end"].to_numpy()
+        merged_ids, merged_s, merged_e = [], [], []
+        for i in range(len(edge)):
+            if merged_ids and merged_ids[-1] == ids[i] and s[i] <= merged_e[-1]:
+                merged_e[-1] = max(merged_e[-1], int(e[i]))
+            else:
+                merged_ids.append(ids[i])
+                merged_s.append(int(s[i]))
+                merged_e.append(int(e[i]))
+        stitched = pa.table({id_col: pa.array(merged_ids),
+                             "span_start": pa.array(merged_s, pa.int64()),
+                             "span_end": pa.array(merged_e, pa.int64())})
+        import ray.data as rd
+        inner = inner.union(rd.from_arrow(stitched))
+    return inner

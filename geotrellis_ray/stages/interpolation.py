@@ -1,0 +1,283 @@
+"""Point-surface raster operators: kernel density, IDW interpolation and
+Euclidean distance — the geotrellis.raster.density / .interpolation /
+.distance module family re-expressed Ray-Data-first
+(ref:raster/src/main/scala/geotrellis/raster/density/KernelDensity.scala,
+ref:raster/.../interpolation/InverseDistanceWeighted.scala,
+ref:raster/.../distance/EuclideanDistanceTile.scala — L:unverified,
+/root/reference empty at survey time).
+
+Scale shapes:
+- kernel_density: points explode (map_batches, no shuffle) to one slim row
+  per TOUCHED TILE (a kernel window crossing a tile edge contributes to <= 4
+  tiles), then groupby(key).map_groups paints — identical partitioning to
+  RasterizeRDD, so salt-and-split applies unchanged to hot cells.
+- idw / euclidean_distance: the SAMPLE side is small (the classic use: a
+  few thousand gauges/stations interpolated onto a raster), so it is
+  broadcast ONCE via ray.put and each tile of the target key grid is
+  computed independently in an actor-pool map_batches over a dataset of
+  keys — no shuffle at all; output is tile-partitioned and write-ready.
+  For sample sets too big to broadcast, pre-bucket samples by tile
+  neighborhood (the knn cell-pruned pattern) — documented, not needed here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.layout import LayoutDefinition
+from ..core.raster import cell_centers, encode_tile
+from ..core.sfc import zorder
+
+
+def _kernel_weights(kernel: str, radius: int) -> np.ndarray:
+    """(2r+1, 2r+1) stamp. circle: uniform disk; triangle: linear falloff
+    cone; gaussian: exp(-d^2 / (2 (r/3)^2)) clipped to the disk; square:
+    uniform box (integer-friendly, exact float sums)."""
+    r = int(radius)
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    d = np.sqrt((dx * dx + dy * dy).astype(np.float64))
+    if kernel == "square":
+        return np.ones((2 * r + 1, 2 * r + 1))
+    if kernel == "circle":
+        return (d <= r).astype(np.float64)
+    if kernel == "triangle":
+        return np.maximum(0.0, 1.0 - d / max(r, 1))
+    if kernel == "gaussian":
+        sigma = max(r, 1) / 3.0
+        w = np.exp(-(d * d) / (2 * sigma * sigma))
+        w[d > r] = 0.0
+        return w
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def kernel_density(ds, layout: LayoutDefinition, radius: int = 8,
+                   kernel: str = "circle", x_col: str = "x", y_col: str = "y",
+                   weight_col: str | None = None):
+    """KernelDensity: every point stamps `kernel` (cell units, radius r)
+    centred on its cell; overlapping stamps sum. Returns a standard tile
+    layer (key_col, key_row, sfc, cells, cols, rows, cell_type).
+
+    Explode emits (key, cell-grid coords, weight) per touched tile only —
+    4 rows/point worst case, 1 typical — so the shuffle carries ~28 B/row."""
+    tl = layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    kern = _kernel_weights(kernel, radius)
+    ext = layout.extent
+    cw, ch = layout.cell_width, layout.cell_height
+
+    def explode(b: pa.Table) -> pa.Table:
+        xs = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ys = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = (b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+             if weight_col else np.ones(len(xs)))
+        # global integer cell coords (row 0 = north, matching xy_to_key)
+        gcx = np.floor((xs - ext.xmin) / cw).astype(np.int64)
+        gcy = np.floor((ext.ymax - ys) / ch).astype(np.int64)
+        parts = {"key_col": [], "key_row": [], "gcx": [], "gcy": [], "w": []}
+        # tiles touched by the stamp window [gc-r, gc+r]
+        kc0 = (gcx - radius) // tc
+        kc1 = (gcx + radius) // tc
+        kr0 = (gcy - radius) // tr
+        kr1 = (gcy + radius) // tr
+        for dc in (0, 1):
+            for dr in (0, 1):
+                kc = np.where(dc == 0, kc0, kc1)
+                kr = np.where(dr == 0, kr0, kr1)
+                # dedupe: emit only the first (dc,dr) naming each tile
+                keep = np.ones(len(xs), dtype=bool)
+                if dc == 1:
+                    keep &= kc1 != kc0
+                if dr == 1:
+                    keep &= kr1 != kr0
+                keep &= (kc >= 0) & (kr >= 0) & (kc < tl.layout_cols) & (kr < tl.layout_rows)
+                parts["key_col"].append(kc[keep].astype(np.int32))
+                parts["key_row"].append(kr[keep].astype(np.int32))
+                parts["gcx"].append(gcx[keep])
+                parts["gcy"].append(gcy[keep])
+                parts["w"].append(w[keep])
+        return pa.table({
+            "key_col": pa.array(np.concatenate(parts["key_col"]), pa.int32()),
+            "key_row": pa.array(np.concatenate(parts["key_row"]), pa.int32()),
+            "gcx": pa.array(np.concatenate(parts["gcx"]), pa.int64()),
+            "gcy": pa.array(np.concatenate(parts["gcy"]), pa.int64()),
+            "w": pa.array(np.concatenate(parts["w"]), pa.float64()),
+        })
+
+    def paint(g: pd.DataFrame) -> pd.DataFrame:
+        kc = int(g["key_col"].iloc[0])
+        kr = int(g["key_row"].iloc[0])
+        tile = np.zeros((tr, tc))
+        x0, y0 = kc * tc, kr * tr  # tile origin in global cell coords
+        # deterministic stamp order regardless of shuffle arrival order
+        g = g.sort_values(["gcy", "gcx"], kind="stable")
+        for gx, gy, w in zip(g["gcx"].to_numpy(), g["gcy"].to_numpy(),
+                             g["w"].to_numpy()):
+            cx, cy = int(gx - x0), int(gy - y0)  # stamp centre, tile-local
+            r0, r1 = cy - radius, cy + radius + 1
+            c0, c1 = cx - radius, cx + radius + 1
+            kr0, kc0 = max(0, -r0), max(0, -c0)
+            tr0, tc0 = max(0, r0), max(0, c0)
+            tr1, tc1 = min(tr, r1), min(tc, c1)
+            if tr1 <= tr0 or tc1 <= tc0:
+                continue
+            tile[tr0:tr1, tc0:tc1] += w * kern[kr0:kr0 + (tr1 - tr0),
+                                               kc0:kc0 + (tc1 - tc0)]
+        cells, cols_, rows_, ct = encode_tile(tile)
+        return pd.DataFrame({
+            "key_col": [kc], "key_row": [kr], "sfc": [int(zorder(kc, kr))],
+            "cells": [cells], "cols": [cols_], "rows": [rows_], "cell_type": [ct],
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return exploded.groupby(["key_col", "key_row"]).map_groups(
+        paint, batch_format="pandas")
+
+
+def _keys_dataset(layout: LayoutDefinition, key_bounds):
+    """Dataset of (key_col, key_row) covering key_bounds (inclusive)."""
+    import ray.data as rd
+
+    c0, r0, c1, r1 = key_bounds
+    cols, rows = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
+    t = pa.table({"key_col": pa.array(cols.ravel().astype(np.int32), pa.int32()),
+                  "key_row": pa.array(rows.ravel().astype(np.int32), pa.int32())})
+    n_tiles = t.num_rows
+    return rd.from_arrow(t).repartition(max(1, min(n_tiles, 64)))
+
+
+class _SampleSurface:
+    """Actor-pool base: broadcast sample arrays fetched ONCE per actor in
+    __init__ (ray.get of the ray.put ref), tiles computed per batch."""
+
+    def __init__(self, samples_ref, layout: LayoutDefinition):
+        import ray
+
+        xs, ys, vals = ray.get(samples_ref)
+        self.xs, self.ys, self.vals = xs, ys, vals
+        self.layout = layout
+
+    def tile_values(self, extent) -> np.ndarray:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lay = self.layout
+        tc, trr = lay.tile_layout.tile_cols, lay.tile_layout.tile_rows
+        kcs = batch["key_col"].to_numpy(zero_copy_only=False)
+        krs = batch["key_row"].to_numpy(zero_copy_only=False)
+        out = {"key_col": [], "key_row": [], "sfc": [], "cells": [],
+               "cols": [], "rows": [], "cell_type": []}
+        for kc, kr in zip(kcs, krs):
+            tile = self.tile_values(lay.key_to_extent(int(kc), int(kr)))
+            cells, cols_, rows_, ct = encode_tile(tile)
+            out["key_col"].append(int(kc))
+            out["key_row"].append(int(kr))
+            out["sfc"].append(int(zorder(int(kc), int(kr))))
+            out["cells"].append(cells)
+            out["cols"].append(cols_)
+            out["rows"].append(rows_)
+            out["cell_type"].append(ct)
+        return pa.table({
+            "key_col": pa.array(out["key_col"], pa.int32()),
+            "key_row": pa.array(out["key_row"], pa.int32()),
+            "sfc": pa.array(out["sfc"], pa.uint64()),
+            "cells": pa.array(out["cells"], pa.binary()),
+            "cols": pa.array(out["cols"], pa.int32()),
+            "rows": pa.array(out["rows"], pa.int32()),
+            "cell_type": pa.array(out["cell_type"], pa.string()),
+        })
+
+
+class _IdwSurface(_SampleSurface):
+    def __init__(self, samples_ref, layout, power: float = 2.0,
+                 radius: float | None = None):
+        super().__init__(samples_ref, layout)
+        self.power = power
+        self.radius = radius
+
+    def tile_values(self, extent) -> np.ndarray:
+        tc = self.layout.tile_layout.tile_cols
+        trr = self.layout.tile_layout.tile_rows
+        gx, gy = cell_centers(extent, tc, trr)
+        px = gx.ravel()[:, None] - self.xs[None, :]
+        py = gy.ravel()[:, None] - self.ys[None, :]
+        d2 = px * px + py * py
+        if self.radius is not None:
+            d2 = np.where(d2 > self.radius * self.radius, np.inf, d2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = 1.0 / np.power(d2, self.power / 2.0)
+            wsum = w.sum(axis=1)
+            vals = (w * self.vals[None, :]).sum(axis=1) / wsum
+        # exact/near hits (or an inf weight overflowing the sum): nearest
+        # sample's value wins — the reference's exact-hit convention
+        near = (d2 < 1e-18).any(axis=1) | np.isinf(wsum)
+        if near.any():
+            nearest = np.argmin(d2, axis=1)
+            vals[near] = self.vals[nearest[near]]
+        vals[wsum == 0.0] = np.nan  # radius excluded every sample
+        return vals.reshape(trr, tc)
+
+
+class _DistanceSurface(_SampleSurface):
+    def tile_values(self, extent) -> np.ndarray:
+        tc = self.layout.tile_layout.tile_cols
+        trr = self.layout.tile_layout.tile_rows
+        gx, gy = cell_centers(extent, tc, trr)
+        px = gx.ravel()[:, None] - self.xs[None, :]
+        py = gy.ravel()[:, None] - self.ys[None, :]
+        d2 = px * px + py * py
+        return np.sqrt(d2.min(axis=1)).reshape(trr, tc)
+
+
+def _pool(requested: int) -> int:
+    """Clamp an actor-pool size so it never consumes every CPU of a small
+    cluster (a pool of cpus x 1-cpu actors starves the producing/reducing
+    tasks — the documented join-actor deadlock shape)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(requested, cpus - 1, cpus // 2 + 1))
+
+
+def _put_samples(points: "pa.Table | pd.DataFrame", x_col, y_col, value_col):
+    import ray
+
+    if isinstance(points, pd.DataFrame):
+        xs = points[x_col].to_numpy(dtype=np.float64)
+        ys = points[y_col].to_numpy(dtype=np.float64)
+        vs = (points[value_col].to_numpy(dtype=np.float64)
+              if value_col else np.zeros(len(xs)))
+    else:
+        xs = points[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ys = points[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vs = (points[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+              if value_col else np.zeros(len(xs)))
+    return ray.put((xs, ys, vs))
+
+
+def idw_interpolation(points, layout: LayoutDefinition, key_bounds,
+                      power: float = 2.0, radius: float | None = None,
+                      x_col: str = "x", y_col: str = "y",
+                      value_col: str = "value", concurrency: int = 4):
+    """InverseDistanceWeighted over the key_bounds tile grid: value(cell) =
+    sum(v_i / d_i^p) / sum(1 / d_i^p); exact sample hit -> sample value;
+    `radius` limits contributing samples (cells with none -> NoData)."""
+    ref = _put_samples(points, x_col, y_col, value_col)
+    keys = _keys_dataset(layout, key_bounds)
+    return keys.map_batches(
+        _IdwSurface, fn_constructor_args=(ref, layout, power, radius),
+        batch_format="pyarrow", concurrency=_pool(concurrency), batch_size=16)
+
+
+def euclidean_distance(points, layout: LayoutDefinition, key_bounds,
+                       x_col: str = "x", y_col: str = "y",
+                       concurrency: int = 4):
+    """EuclideanDistanceTile: per-cell distance to the nearest sample point
+    (direct vectorized min over the broadcast sample set; the reference uses
+    a Delaunay dual — same values, different algorithm)."""
+    ref = _put_samples(points, x_col, y_col, None)
+    keys = _keys_dataset(layout, key_bounds)
+    return keys.map_batches(
+        _DistanceSurface, fn_constructor_args=(ref, layout),
+        batch_format="pyarrow", concurrency=_pool(concurrency), batch_size=16)

@@ -1,0 +1,184 @@
+"""Kernel density / IDW / Euclidean distance / region group oracles:
+brute-force whole-grid recomputation and BFS labeling."""
+
+from collections import Counter, deque
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+from geotrellis_ray.core.raster import decode_tile, encode_tile
+from geotrellis_ray.core.sfc import zorder
+from geotrellis_ray.stages.interpolation import (
+    _kernel_weights,
+    euclidean_distance,
+    idw_interpolation,
+    kernel_density,
+)
+from geotrellis_ray.stages.regiongroup import label_tile, region_group, region_sizes
+
+LAYOUT = LayoutDefinition(Extent(0, 0, 64, 64), TileLayout(4, 4, 16, 16))
+
+
+def _stitch(df: pd.DataFrame, cell_type=None) -> np.ndarray:
+    out = np.full((64, 64), np.nan)
+    if cell_type == "int64":
+        out = np.full((64, 64), -1, dtype=np.int64)
+    for _, row in df.iterrows():
+        t = decode_tile(row["cells"], row["cols"], row["rows"],
+                        cell_type or row["cell_type"])
+        out[row["key_row"] * 16:(row["key_row"] + 1) * 16,
+            row["key_col"] * 16:(row["key_col"] + 1) * 16] = t
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["circle", "gaussian", "triangle", "square"])
+def test_kernel_density_matches_brute(ray_session, kernel):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 150
+    xs = rng.uniform(0, 64, n)
+    ys = rng.uniform(0, 64, n)
+    w = rng.integers(1, 5, n).astype(float)
+    pts = rd.from_arrow(pa.table({"x": xs, "y": ys, "w": w}))
+    kd = kernel_density(pts, LAYOUT, radius=3, kernel=kernel,
+                        weight_col="w").to_pandas()
+    kern = _kernel_weights(kernel, 3)
+    G = np.zeros((64, 64))
+    gcx = np.floor(xs).astype(int)
+    gcy = np.floor(64 - ys).astype(int)
+    for x, y, wt in zip(gcx, gcy, w):
+        for dy in range(-3, 4):
+            for dx in range(-3, 4):
+                r_, c_ = y + dy, x + dx
+                if 0 <= r_ < 64 and 0 <= c_ < 64:
+                    G[r_, c_] += wt * kern[dy + 3, dx + 3]
+    got = _stitch(kd)
+    got[np.isnan(got)] = 0.0  # untouched tiles are absent from the layer
+    assert np.allclose(got, G)
+
+
+def test_idw_cell_values_and_exact_hit(ray_session):
+    rng = np.random.default_rng(5)
+    samples = pd.DataFrame({
+        "x": np.r_[rng.uniform(0, 64, 25), [8.5]],
+        "y": np.r_[rng.uniform(0, 64, 25), [63.5]],
+        "value": np.r_[rng.normal(10, 3, 25), [123.0]],
+    })
+    out = idw_interpolation(samples, LAYOUT, (0, 0, 3, 3), power=2.0).to_pandas()
+    assert len(out) == 16
+    got = _stitch(out)
+    # brute-force a few random cells
+    for r, c in [(0, 0), (17, 33), (63, 63), (40, 9)]:
+        cx, cy = c + 0.5, 64 - r - 0.5
+        d2 = (samples["x"] - cx) ** 2 + (samples["y"] - cy) ** 2
+        if (d2 < 1e-18).any():
+            continue
+        w = 1.0 / d2
+        assert np.isclose(got[r, c], (w * samples["value"]).sum() / w.sum())
+    # exact hit: cell centre (8.5, 63.5) == sample -> sample value
+    assert got[0, 8] == 123.0
+
+
+def test_idw_radius_nodata(ray_session):
+    samples = pd.DataFrame({"x": [1.0], "y": [63.0], "value": [5.0]})
+    out = idw_interpolation(samples, LAYOUT, (0, 0, 3, 3), power=2.0,
+                            radius=4.0).to_pandas()
+    got = _stitch(out)
+    assert np.isnan(got[40, 40])  # far from the lone sample
+    assert np.isfinite(got[1, 1])
+
+
+def test_euclidean_distance_matches_brute(ray_session):
+    rng = np.random.default_rng(11)
+    samples = pd.DataFrame({"x": rng.uniform(0, 64, 40),
+                            "y": rng.uniform(0, 64, 40)})
+    out = euclidean_distance(samples, LAYOUT, (0, 0, 3, 3)).to_pandas()
+    got = _stitch(out)
+    for r, c in [(0, 0), (31, 5), (63, 63), (12, 50)]:
+        cx, cy = c + 0.5, 64 - r - 0.5
+        exp = np.sqrt(((samples["x"] - cx) ** 2 + (samples["y"] - cy) ** 2).min())
+        assert np.isclose(got[r, c], exp)
+
+
+def _bfs_labels(a: np.ndarray) -> np.ndarray:
+    rows, cols = a.shape
+    seen = np.full(a.shape, -1, dtype=np.int64)
+    nxt = 0
+    for r in range(rows):
+        for c in range(cols):
+            if np.isnan(a[r, c]) or seen[r, c] >= 0:
+                continue
+            q = deque([(r, c)])
+            seen[r, c] = nxt
+            while q:
+                y, x = q.popleft()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx_ = y + dy, x + dx
+                    if (0 <= ny < rows and 0 <= nx_ < cols
+                            and seen[ny, nx_] < 0 and a[ny, nx_] == a[y, x]):
+                        seen[ny, nx_] = nxt
+                        q.append((ny, nx_))
+            nxt += 1
+    return seen
+
+
+def _partition_bijection(a: np.ndarray, b: np.ndarray, mask: np.ndarray) -> bool:
+    pairs = set(zip(a[mask].tolist(), b[mask].tolist()))
+    return (len(pairs) == len({p[0] for p in pairs})
+            == len({p[1] for p in pairs}))
+
+
+def test_label_tile_random_vs_bfs():
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        a = rng.integers(0, 3, (24, 24)).astype(np.float64)
+        a[rng.random((24, 24)) < 0.2] = np.nan
+        labs = label_tile(a)
+        oracle = _bfs_labels(a)
+        m = ~np.isnan(a)
+        assert _partition_bijection(labs, oracle, m)
+        assert (labs[~m] == -1).all()
+
+
+def test_label_tile_snake():
+    # serpentine single region — worst case for naive propagation
+    a = np.zeros((16, 16))
+    a[1::2, :] = 1.0
+    for r in range(1, 16, 4):
+        a[r, -1] = 0.0
+    for r in range(3, 16, 4):
+        a[r, 0] = 0.0
+    labs = label_tile(a)
+    oracle = _bfs_labels(a)
+    assert _partition_bijection(labs, oracle, np.ones_like(a, dtype=bool))
+
+
+def test_region_group_distributed_vs_whole_array(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, 2, (64, 64)).astype(np.float64)
+    big[rng.random((64, 64)) < 0.1] = np.nan
+    rows = []
+    for kr in range(4):
+        for kc in range(4):
+            t = big[kr * 16:(kr + 1) * 16, kc * 16:(kc + 1) * 16]
+            cells, cols_, rows_, ct = encode_tile(t)
+            rows.append({"key_col": kc, "key_row": kr, "sfc": int(zorder(kc, kr)),
+                         "cells": cells, "cols": cols_, "rows": rows_,
+                         "cell_type": ct})
+    ds = rd.from_items(rows).map_batches(lambda b: b, batch_format="pyarrow")
+    out = region_group(ds, LAYOUT).to_pandas()
+    got = _stitch(out, cell_type="int64")
+    oracle = _bfs_labels(big)
+    m = ~np.isnan(big)
+    assert _partition_bijection(got, oracle, m)
+    assert (got[~m] == -1).all()
+
+    sizes = region_sizes(region_group(ds, LAYOUT)).to_pandas()
+    oc = Counter(oracle[m].tolist())
+    assert sorted(sizes["n_cells"].tolist()) == sorted(oc.values())

@@ -1,0 +1,127 @@
+"""Douglas-Peucker simplification properties + distributed k-means /
+SemDeDup-style semantic dedup with planted structure."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geotrellis_ray.core.geom import line_length, simplify_dp, simplify_geom
+from geotrellis_ray.stages.ann import (
+    _normalize,
+    kmeans_assign,
+    kmeans_distributed,
+    semantic_dedup,
+)
+
+
+def _brute_dp(coords, tol):
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) <= 2:
+        return coords.copy()
+    a, b = coords[0], coords[-1]
+    ab = b - a
+    L2 = ab @ ab
+    rel = coords[1:-1] - a
+    if L2 == 0:
+        d = np.linalg.norm(rel, axis=1)
+    else:
+        d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / np.sqrt(L2)
+    k = int(np.argmax(d))
+    if d[k] <= tol:
+        return np.array([a, b])
+    mid = k + 1
+    left = _brute_dp(coords[:mid + 1], tol)
+    right = _brute_dp(coords[mid:], tol)
+    return np.vstack([left[:-1], right])
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=2, max_size=40),
+       st.floats(0.01, 10.0))
+@settings(max_examples=60, deadline=None)
+def test_simplify_dp_matches_recursive_oracle(pts, tol):
+    coords = np.array(pts, dtype=np.float64)
+    got = simplify_dp(coords, tol)
+    want = _brute_dp(coords, tol)
+    assert np.array_equal(got, want)
+
+
+def test_simplify_dp_properties():
+    rng = np.random.default_rng(4)
+    coords = np.c_[np.arange(200, dtype=float), np.cumsum(rng.uniform(-1, 1, 200))]
+    simp = simplify_dp(coords, 0.5)
+    # endpoints preserved, output is a subsequence, shorter or equal length
+    assert (simp[0] == coords[0]).all() and (simp[-1] == coords[-1]).all()
+    assert len(simp) <= len(coords)
+    assert line_length(simp) <= line_length(coords) + 1e-9
+    idx = 0
+    for p in simp:  # subsequence check
+        while idx < len(coords) and not (coords[idx] == p).all():
+            idx += 1
+        assert idx < len(coords)
+
+
+def test_simplify_geom_ring_floor():
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    g = simplify_geom({"type": "Polygon", "coordinates": [sq]}, tolerance=10.0)
+    # huge tolerance would degenerate the ring below 4 pts -> original kept
+    assert len(g["coordinates"][0]) >= 4
+
+
+def _blob_table(rng, centers, per, d=16, noise=0.02):
+    rowsv, ids = [], []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            rowsv.append(c + rng.normal(0, noise, d))
+            ids.append(ci * per + j)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in rowsv],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    centers = _normalize(rng.normal(0, 1, (4, 16)).astype(np.float32))
+    t = _blob_table(rng, centers, per=50)
+    ds = rd.from_arrow(t)
+    cents = kmeans_distributed(ds, n_centroids=4, iters=4)
+    assigned = kmeans_assign(ds, cents).to_pandas()
+    # every planted blob maps to ONE cluster, bijectively
+    blob = assigned["vec_id"].to_numpy() // 50
+    m = {}
+    pure = True
+    for b, c in zip(blob, assigned["cluster"]):
+        if b in m and m[b] != c:
+            pure = False
+        m[b] = c
+    assert pure and len(set(m.values())) == 4
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    centers = _normalize(rng.normal(0, 1, (3, 16)).astype(np.float32))
+    t = _blob_table(rng, centers, per=30, noise=0.1)
+    base = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()])
+    # plant exact duplicates of ids 0..4 with new ids 1000..1004
+    dup = pa.table({
+        "vec_id": pa.array([1000 + i for i in range(5)], pa.int64()),
+        "embedding": pa.array([base[i].tolist() for i in range(5)],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(pa.concat_tables([t, dup]))
+    out = semantic_dedup(ds, threshold=0.999, n_centroids=3, iters=3).to_pandas()
+    assert len(out) == 95
+    kept = set(out[out["keep"]]["vec_id"])
+    for i in range(5):
+        # exactly one of (i, 1000+i) survives, and it is the smaller id
+        assert i in kept and (1000 + i) not in kept
+    # non-duplicated vectors survive
+    assert out["keep"].sum() == 90

@@ -1,0 +1,146 @@
+"""Round-3 text ops: PII redaction parity, domain extraction parity, and
+exact-substring span coverage (single-block oracle + planted duplicates)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotrellis_ray.functions.text_analysis import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    URL_DOMAIN_RE,
+    domain_of_batch,
+    pii_redact_batch,
+    synth_pii_batch,
+    synth_url_batch,
+)
+from geotrellis_ray.stages.dedup import _gram_hash64, exact_substring_spans
+
+
+def test_pii_patterns_match_duckdb():
+    texts = [
+        "reach me at bob.smith+x@corp.example.co or 10.1.2.3",
+        "call +1 (555) 010-9876 now",
+        "no pii here at all",
+        "a@b.io c@d.org 192.168.0.1 0123456789",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = pii_redact_batch(t).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = con.execute(f"""
+        WITH s1 AS (SELECT doc_id, length(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+                           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t FROM docs),
+        s2 AS (SELECT doc_id, n_emails, length(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips,
+                      regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, n_emails, n_ips, length(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+                      regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t FROM s2)
+        SELECT doc_id, n_emails, n_ips, n_phones, t AS text_redacted FROM s3
+        ORDER BY doc_id""").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want, check_dtype=False)
+
+
+def test_synth_pii_plants_all_kinds():
+    t = pa.table({"doc_id": pa.array([0, 105], pa.int64()),
+                  "text": pa.array(["x", "y"])})
+    s = synth_pii_batch(t)["text"].to_pylist()
+    assert "@ex-mail.org" in s[0] and "(555)" in s[0] and "10.0.0.255" in s[0]
+    r = pii_redact_batch(synth_pii_batch(t)).to_pandas()
+    assert (r[["n_emails", "n_ips", "n_phones"]].to_numpy() > 0).all()
+
+
+def test_domain_extraction_cases():
+    urls = ["https://User:pw@WWW.Example.COM:8080/path?q=1",
+            "http://a.b.c/x", "ftp://files.example.org"]
+    t = pa.table({"url": pa.array(urls)})
+    assert domain_of_batch(t)["domain"].to_pylist() == [
+        "www.example.com", "a.b.c", "files.example.org"]
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"url": urls}))
+    want = con.execute(
+        f"SELECT regexp_extract(lower(url), '{URL_DOMAIN_RE}', 1) AS d FROM u"
+    ).fetchdf()["d"].tolist()
+    assert domain_of_batch(t)["domain"].to_pylist() == want
+
+
+def test_gram_hash64_deterministic_and_collision_free_locally():
+    spans = pa.array(["abcdefgh", "abcdefgi", "abcdefgh", "zzzzzzzz"])
+    h = _gram_hash64(spans, 8)
+    assert h[0] == h[2] and h[0] != h[1] and h[1] != h[3]
+    # stable across chunked inputs
+    ch = pa.chunked_array([spans[:2], spans[2:]])
+    assert (_gram_hash64(ch, 8) == h).all()
+
+
+def _oracle_spans(texts: dict[int, str], L: int) -> set[tuple[int, int, int]]:
+    """Single-process oracle: gram counts -> covered offsets -> merged."""
+    from collections import Counter
+
+    c = Counter()
+    for t in texts.values():
+        for o in range(len(t) - L + 1):
+            c[t[o:o + L]] += 1
+    out = set()
+    for did, t in texts.items():
+        cov = [o for o in range(len(t) - L + 1) if c[t[o:o + L]] >= 2]
+        if not cov:
+            continue
+        s, e = cov[0], cov[0] + L
+        for o in cov[1:]:
+            if o <= e:
+                e = o + L
+            else:
+                out.add((did, s, e))
+                s, e = o, o + L
+        out.add((did, s, e))
+    return out
+
+
+@pytest.mark.parametrize("key", ["text", "hash"])
+def test_exact_substring_spans_vs_oracle(ray_session, key):
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = {}
+    for i in range(60):
+        texts[i] = " ".join(rng.choice(words, 12))
+    # plant an exact shared 60-char block in several docs
+    planted = "the quick brown fox jumps over the lazy dog again and again!"
+    for i in (5, 17, 33):
+        texts[i] = texts[i][:10] + planted + texts[i][10:]
+    L = 20
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    got = exact_substring_spans(ds, min_len=L, min_count=2, key=key).to_pandas()
+    got_set = {(int(r.doc_id), int(r.span_start), int(r.span_end))
+               for r in got.itertuples()}
+    assert got_set == _oracle_spans(texts, L)
+    # the planted block must be fully covered in every planted doc
+    for i in (5, 17, 33):
+        s0 = texts[i].index(planted)
+        assert any(d == i and s <= s0 and e >= s0 + len(planted)
+                   for d, s, e in got_set)
+
+
+def test_exact_substring_spans_block_boundary_stitch(ray_session):
+    """Adversarial: force many tiny blocks so duplicated runs cross block
+    edges; the edge-span driver stitch must reproduce the 1-block oracle."""
+    import ray.data as rd
+
+    # two long identical documents -> one giant duplicated span each
+    base = "x" * 5 + "qwertyuiopasdfghjklzxcvbnm" * 12
+    texts = {1: base, 2: base, 3: "completely different text with no dups!!"}
+    L = 15
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    ds = ds.repartition(6)
+    got = exact_substring_spans(ds, min_len=L, min_count=2).to_pandas()
+    got_set = {(int(r.doc_id), int(r.span_start), int(r.span_end))
+               for r in got.itertuples()}
+    assert got_set == _oracle_spans(texts, L)
+    assert got_set == {(1, 0, len(base)), (2, 0, len(base))}
