@@ -78,8 +78,10 @@ def test_mvt_linestring_command_stream_identity(pts):
     dtype=st.sampled_from(["uint8", "int16", "int32", "float32", "float64"]),
     seed=st.integers(0, 2**16),
     nodata_frac=st.floats(0.0, 0.4),
+    bigtiff=st.booleans(),
 )
-def test_geotiff_roundtrip_property(rows, cols, compression, tiled, dtype, seed, nodata_frac):
+def test_geotiff_roundtrip_property(rows, cols, compression, tiled, dtype, seed, nodata_frac,
+                                    bigtiff):
     from geotrellis_ray.core.geotiff import decode_geotiff, encode_geotiff
     from geotrellis_ray.core.layout import Extent
 
@@ -91,7 +93,8 @@ def test_geotiff_roundtrip_property(rows, cols, compression, tiled, dtype, seed,
     pred = 2 if kind in ("i", "u") else 1
     ext = Extent(-5.0, 1.0, -5.0 + cols * 0.25, 1.0 + rows * 0.5)
     buf = encode_geotiff(ext, a, dtype=dtype, nodata=nodata, predictor=pred,
-                         compression=compression, tile_size=16 if tiled else None)
+                         compression=compression, tile_size=16 if tiled else None,
+                         bigtiff=bigtiff)
     ext2, back, meta = decode_geotiff(buf)
     assert ext2 == ext
     exp = a.astype(dtype).astype(np.float64) if kind == "f" else a.astype(np.float64)

@@ -118,9 +118,10 @@ def test_reader_rejects_unsupported():
     buf = encode_geotiff(EXT, a)
     with pytest.raises(ValueError):
         decode_geotiff(b"XX" + buf[2:])
-    bigtiff = b"II" + struct.pack("<H", 43) + buf[4:]
+    # BigTIFF header with a wrong offset size (must be 8)
+    bad_big = b"II" + struct.pack("<HHH", 43, 4, 0) + struct.pack("<Q", 16)
     with pytest.raises(ValueError, match="BigTIFF"):
-        decode_geotiff(bigtiff)
+        decode_geotiff(bad_big)
 
 
 def test_read_geotiffs_tile_to_layout(ray_session, tmp_path):
@@ -381,3 +382,238 @@ def test_reader_planar_configuration_2():
     np.testing.assert_array_equal(out[0], b0.astype(np.float64))
     np.testing.assert_array_equal(out[1], b1.astype(np.float64))
     assert (ext.xmin, ext.ymax) == (10.0, 20.0)
+
+
+# --- BigTIFF (round 3): magic 43, 8-byte offsets, 20-byte IFD entries -------
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_bigtiff_roundtrip(compression):
+    a = _grid(rows=21, cols=13, nodata_frac=0.1)
+    buf = encode_geotiff(EXT, a, compression=compression, tile_size=8,
+                         bigtiff=True)
+    assert struct.unpack_from("<H", buf, 2)[0] == 43
+    assert struct.unpack_from("<HH", buf, 4) == (8, 0)
+    ext, out, meta = decode_geotiff(buf)
+    assert ext == EXT
+    np.testing.assert_array_equal(out, a)
+    # same payload forced classic decodes identically
+    _, outc, _ = decode_geotiff(encode_geotiff(EXT, a, compression=compression,
+                                               tile_size=8, bigtiff=False))
+    np.testing.assert_array_equal(outc, out)
+
+
+def test_bigtiff_roundtrip_multiband_predictor():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 4000, (3, 19, 23)).astype(np.uint16)
+    buf = encode_geotiff(EXT, a, compression="lzw", predictor=2,
+                         tile_size=16, bigtiff=True)
+    _, out, meta = decode_geotiff(buf)
+    assert meta["bands"] == 3
+    np.testing.assert_array_equal(out.astype(np.uint16), a)
+
+
+def test_bigtiff_auto_stays_classic_when_small():
+    buf = encode_geotiff(EXT, _grid(rows=6, cols=6, nodata_frac=0))
+    assert struct.unpack_from("<H", buf, 2)[0] == 42
+
+
+def test_reader_on_hand_assembled_bigtiff():
+    """A BigTIFF assembled BYTE BY BYTE (not via the writer): uncompressed
+    stripped uint8 3x4 image, one strip, LONG8 (type 16) offsets/counts and
+    8-byte inline values per the BigTIFF spec."""
+    rows, cols = 3, 4
+    pix = bytes(range(12))
+
+    def entry(tag, ftype, count, value8):
+        return struct.pack("<HHQ", tag, ftype, count) + value8
+
+    def short8(v):
+        return struct.pack("<H", v) + b"\x00" * 6
+
+    def long8(v):
+        return struct.pack("<Q", v)
+
+    n_entries = 11
+    header = 16
+    ifd_size = 8 + 20 * n_entries + 8
+    scale_off = header + ifd_size
+    tie_off = scale_off + 3 * 8
+    pix_off = tie_off + 6 * 8
+    entries = b"".join([
+        entry(256, 3, 1, short8(cols)),
+        entry(257, 3, 1, short8(rows)),
+        entry(258, 3, 1, short8(8)),
+        entry(259, 3, 1, short8(1)),
+        entry(262, 3, 1, short8(1)),
+        entry(273, 16, 1, long8(pix_off)),     # StripOffsets as LONG8, inline
+        entry(277, 3, 1, short8(1)),
+        entry(278, 3, 1, short8(rows)),
+        entry(279, 16, 1, long8(len(pix))),    # StripByteCounts as LONG8
+        entry(33550, 12, 3, long8(scale_off)),
+        entry(33922, 12, 6, long8(tie_off)),
+    ])
+    buf = (b"II" + struct.pack("<HHH", 43, 8, 0) + struct.pack("<Q", 16)
+           + struct.pack("<Q", n_entries) + entries + struct.pack("<Q", 0)
+           + struct.pack("<3d", 0.5, 0.25, 0.0)
+           + struct.pack("<6d", 0.0, 0.0, 0.0, 100.0, 50.0, 0.0)
+           + pix)
+    ext, arr, meta = decode_geotiff(buf)
+    assert ext == Extent(100.0, 50.0 - 3 * 0.25, 100.0 + 4 * 0.5, 50.0)
+    np.testing.assert_array_equal(arr, np.arange(12, dtype=np.float64).reshape(3, 4))
+
+
+def test_reader_on_hand_assembled_bigtiff_big_endian():
+    """Big-endian (MM) BigTIFF, 2x2 uint16, one strip, inline pixel data
+    pushed out-of-line to also exercise the 8-byte pointer path."""
+    rows, cols = 2, 2
+    pix = struct.pack(">4H", 10, 20, 30, 40)
+
+    def entry(tag, ftype, count, value8):
+        return struct.pack(">HHQ", tag, ftype, count) + value8
+
+    def short8(v):
+        return struct.pack(">H", v) + b"\x00" * 6
+
+    def long8(v):
+        return struct.pack(">Q", v)
+
+    n_entries = 10
+    header = 16
+    ifd_size = 8 + 20 * n_entries + 8
+    scale_off = header + ifd_size
+    tie_off = scale_off + 3 * 8
+    pix_off = tie_off + 6 * 8
+    entries = b"".join([
+        entry(256, 3, 1, short8(cols)),
+        entry(257, 3, 1, short8(rows)),
+        entry(258, 3, 1, short8(16)),
+        entry(259, 3, 1, short8(1)),
+        entry(273, 16, 1, long8(pix_off)),
+        entry(277, 3, 1, short8(1)),
+        entry(278, 3, 1, short8(rows)),
+        entry(279, 16, 1, long8(len(pix))),
+        entry(33550, 12, 3, long8(scale_off)),
+        entry(33922, 12, 6, long8(tie_off)),
+    ])
+    buf = (b"MM" + struct.pack(">HHH", 43, 8, 0) + struct.pack(">Q", 16)
+           + struct.pack(">Q", n_entries) + entries + struct.pack(">Q", 0)
+           + struct.pack(">3d", 1.0, 1.0, 0.0)
+           + struct.pack(">6d", 0.0, 0.0, 0.0, 0.0, 2.0, 0.0)
+           + pix)
+    ext, arr, meta = decode_geotiff(buf)
+    np.testing.assert_array_equal(arr, [[10.0, 20.0], [30.0, 40.0]])
+    assert ext == Extent(0.0, 0.0, 2.0, 2.0)
+
+
+# --- ModelTransformation / rotated rasters (round 3) ------------------------
+
+def _transform_tiff(pix: bytes, rows: int, cols: int, matrix16) -> bytes:
+    """Minimal uncompressed stripped uint8 TIFF georeferenced by a full
+    ModelTransformation (tag 34264), assembled byte by byte."""
+    n_entries = 10
+    header = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    mat_off = header + ifd_size
+    pix_off = mat_off + 16 * 8
+
+    def entry(tag, ftype, count, value4):
+        return struct.pack("<HHI", tag, ftype, count) + value4
+
+    def short(v):
+        return struct.pack("<H", v) + b"\x00\x00"
+
+    entries = b"".join([
+        entry(256, 3, 1, short(cols)),
+        entry(257, 3, 1, short(rows)),
+        entry(258, 3, 1, short(8)),
+        entry(259, 3, 1, short(1)),
+        entry(262, 3, 1, short(1)),
+        entry(273, 4, 1, struct.pack("<I", pix_off)),
+        entry(277, 3, 1, short(1)),
+        entry(278, 3, 1, short(rows)),
+        entry(279, 4, 1, struct.pack("<I", len(pix))),
+        entry(34264, 12, 16, struct.pack("<I", mat_off)),
+    ])
+    return (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+            + struct.pack("<16d", *matrix16)
+            + pix)
+
+
+def test_model_transformation_axis_aligned():
+    rows, cols = 3, 4
+    pix = bytes(range(12))
+    mat = [0.5, 0.0, 0.0, 100.0,
+           0.0, -0.25, 0.0, 50.0,
+           0.0, 0.0, 0.0, 0.0,
+           0.0, 0.0, 0.0, 1.0]
+    ext, arr, meta = decode_geotiff(_transform_tiff(pix, rows, cols, mat))
+    assert not meta["rectified"]
+    assert ext == Extent(100.0, 50.0 - 3 * 0.25, 100.0 + 4 * 0.5, 50.0)
+    np.testing.assert_array_equal(arr, np.arange(12, dtype=np.float64).reshape(3, 4))
+
+
+def test_model_transformation_rot90():
+    """A 90-degree rotation maps the pixel grid exactly onto an axis-aligned
+    grid: x = -j, y = i (unit pixels, origin chosen so the footprint starts
+    at (0,0)). Every output cell is an exact source cell, no NaN."""
+    rows, cols = 3, 5
+    src = np.arange(15, dtype=np.uint8).reshape(rows, cols)
+    # col i increases +y, row j increases -x; shift x by +rows so xmin = 0
+    mat = [0.0, -1.0, 0.0, float(rows),
+           1.0, 0.0, 0.0, 0.0,
+           0.0, 0.0, 0.0, 0.0,
+           0.0, 0.0, 0.0, 1.0]
+    ext, arr, meta = decode_geotiff(_transform_tiff(src.tobytes(), rows, cols, mat))
+    assert meta["rectified"]
+    assert (ext.xmin, ext.ymin, ext.xmax, ext.ymax) == (0.0, 0.0, rows, cols)
+    assert arr.shape == (cols, rows)
+    assert not np.isnan(arr).any()
+    # source pixel (i=col, j=row) lands at world x in [rows-1-j, rows-j],
+    # y in [i, i+1] -> output row (top-down) cols-1-i, output col rows-1-j
+    exp = np.full((cols, rows), np.nan)
+    for j in range(rows):
+        for i in range(cols):
+            exp[cols - 1 - i, rows - 1 - j] = src[j, i]
+    np.testing.assert_array_equal(arr, exp)
+
+
+def test_model_transformation_arbitrary_angle_brute_oracle():
+    """30-degree rotation: compare against an independent per-cell loop doing
+    the same inverse-affine nearest-neighbor sampling."""
+    import math
+    rows, cols = 7, 9
+    rng = np.random.default_rng(3)
+    src = rng.integers(1, 250, (rows, cols)).astype(np.uint8)
+    th = math.radians(30.0)
+    a, b = math.cos(th), math.sin(th)
+    # x = a*i + b*j + 10 ; y = b*i - a*j + 20  (rotated, row axis flipped)
+    mat = [a, b, 0.0, 10.0,
+           b, -a, 0.0, 20.0,
+           0.0, 0.0, 0.0, 0.0,
+           0.0, 0.0, 0.0, 1.0]
+    ext, arr, meta = decode_geotiff(_transform_tiff(src.tobytes(), rows, cols, mat))
+    assert meta["rectified"]
+    # brute oracle
+    corners_i = [0, cols, 0, cols]
+    corners_j = [0, 0, rows, rows]
+    wx = [a * i + b * j + 10.0 for i, j in zip(corners_i, corners_j)]
+    wy = [b * i - a * j + 20.0 for i, j in zip(corners_i, corners_j)]
+    xmin, xmax, ymin, ymax = min(wx), max(wx), min(wy), max(wy)
+    det = a * (-a) - b * b  # = -1 for a rotation
+    out_rows, out_cols = arr.shape
+    sx = (xmax - xmin) / out_cols
+    sy = (ymax - ymin) / out_rows
+    exp = np.full((out_rows, out_cols), np.nan)
+    for r in range(out_rows):
+        for c in range(out_cols):
+            x = xmin + (c + 0.5) * sx - 10.0
+            y = ymax - (r + 0.5) * sy - 20.0
+            si = ((-a) * x - b * y) / det
+            sj = (a * y - b * x) / det
+            ci, cj = int(np.floor(si)), int(np.floor(sj))
+            if 0 <= ci < cols and 0 <= cj < rows:
+                exp[r, c] = src[cj, ci]
+    np.testing.assert_array_equal(arr, exp)
+    assert np.isnan(arr).any()  # the rotated footprint leaves NaN corners
+    assert (ext.xmin, ext.ymax) == (xmin, ymax)
