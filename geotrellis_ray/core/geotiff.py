@@ -284,14 +284,18 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
     cols = int(tags[_IMAGE_WIDTH][0])
     rows = int(tags[_IMAGE_LENGTH][0])
     bits_list = [int(b) for b in tags.get(_BITS_PER_SAMPLE, [8])] or [8]
-    if len(set(bits_list)) != 1:
-        raise ValueError("mixed per-band BitsPerSample is not supported")
     fmt_list = [int(f) for f in tags.get(_SAMPLE_FORMAT, [1])] or [1]
-    if len(set(fmt_list)) != 1:
-        raise ValueError("mixed per-band SampleFormat is not supported")
-    bits, fmt = bits_list[0], fmt_list[0]
-    dt = _dtype_for(bits, fmt, endian)
-    if predictor == 2 and dt.kind == "f":
+    # pad short tag lists (writers may collapse uniform per-band values)
+    bits_list += [bits_list[-1]] * (nbands - len(bits_list))
+    fmt_list += [fmt_list[-1]] * (nbands - len(fmt_list))
+    dts = [_dtype_for(b, f, endian) for b, f in zip(bits_list, fmt_list)]
+    mixed = len({d.str for d in dts}) > 1
+    if mixed and planar != 2:
+        # chunky interleaves samples of different widths in one segment —
+        # only the planar organization keeps bands decodable independently
+        raise ValueError("mixed per-band dtypes need PlanarConfiguration=2")
+    dt = dts[0]
+    if predictor == 2 and any(d.kind == "f" for d in dts):
         raise ValueError("floating-point predictor is not supported")
 
     def _decompress(raw: bytes) -> bytes:
@@ -306,12 +310,14 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
     chans = nbands if planar == 1 else 1
 
     def segments(offsets, counts, seg_cols, seg_rows, tiled):
-        out = np.empty((nbands, rows, cols), dtype=dt.newbyteorder("="))
+        out_dt = np.dtype(np.float64) if mixed else dt.newbyteorder("=")
+        out = np.empty((nbands, rows, cols), dtype=out_dt)
         per_row = -(-cols // seg_cols)  # tiles per row of tiles (1 for strips)
         per_band = per_row * (-(-rows // seg_rows)) if tiled else -(-rows // seg_rows)
         for idx, (o, c) in enumerate(zip(offsets, counts)):
             raw = _decompress(buf[int(o) : int(o) + int(c)])
             band, sidx = (divmod(idx, per_band) if planar == 2 else (0, idx))
+            bdt = dts[band]
             if tiled:
                 tr, tc = divmod(sidx, per_row)
                 r0, c0 = tr * seg_rows, tc * seg_cols
@@ -319,7 +325,7 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
             else:
                 r0, c0 = sidx * seg_rows, 0
                 sr = min(seg_rows, rows - r0)  # last strip may be short
-            seg = np.frombuffer(raw, dtype=dt, count=sr * seg_cols * chans)
+            seg = np.frombuffer(raw, dtype=bdt, count=sr * seg_cols * chans)
             # horizontal differencing (predictor 2) runs per CHANNEL: axis 1
             # is the column axis with channels separated on axis 2
             seg = seg.reshape(sr, seg_cols, chans)
@@ -396,9 +402,10 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
             pass  # float NaN nodata already maps
         else:
             out[arr == dt.type(nodata)] = np.nan
+    dtype_name = ("mixed:" + ",".join(str(d.newbyteorder("=")) for d in dts)
+                  if mixed else str(np.dtype(dt).newbyteorder("=")))
     meta = {"epsg": epsg, "nodata": nodata, "cols": cols, "rows": rows,
-            "bands": nbands, "dtype": str(np.dtype(dt).newbyteorder("=")),
-            "rectified": rectified}
+            "bands": nbands, "dtype": dtype_name, "rectified": rectified}
     return extent, out, meta
 
 

@@ -617,3 +617,55 @@ def test_model_transformation_arbitrary_angle_brute_oracle():
     np.testing.assert_array_equal(arr, exp)
     assert np.isnan(arr).any()  # the rotated footprint leaves NaN corners
     assert (ext.xmin, ext.ymax) == (xmin, ymax)
+
+
+def test_reader_planar_mixed_band_dtypes():
+    """PlanarConfiguration=2 with BitsPerSample=[8,32] / SampleFormat=[1,3]:
+    band 0 uint8, band 1 float32 — each band decodes with its own dtype
+    (mixed widths are only representable planar; chunky mixed is refused)."""
+    rows, cols = 2, 2
+    b0 = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    b1 = np.array([[0.5, -1.5], [2.25, 8.0]], dtype="<f4")
+    strips = [b0.tobytes(), b1.tobytes()]
+
+    def entry(tag, ftype, count, value4):
+        return struct.pack("<HHI", tag, ftype, count) + value4
+
+    def short(v):
+        return struct.pack("<H", v) + b"\x00\x00"
+
+    n_entries = 12
+    header = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    off_offsets = header + ifd_size
+    off_counts = off_offsets + 2 * 4
+    off_scale = off_counts + 2 * 4
+    off_tp = off_scale + 3 * 8
+    data0 = off_tp + 6 * 8
+    offs = [data0, data0 + len(strips[0])]
+    entries = b"".join([
+        entry(256, 3, 1, short(cols)),
+        entry(257, 3, 1, short(rows)),
+        entry(258, 3, 2, struct.pack("<HH", 8, 32)),
+        entry(259, 3, 1, short(1)),
+        entry(273, 4, 2, struct.pack("<I", off_offsets)),
+        entry(277, 3, 1, short(2)),
+        entry(278, 3, 1, short(rows)),
+        entry(279, 4, 2, struct.pack("<I", off_counts)),
+        entry(284, 3, 1, short(2)),
+        entry(339, 3, 2, struct.pack("<HH", 1, 3)),
+        entry(33550, 12, 3, struct.pack("<I", off_scale)),
+        entry(33922, 12, 6, struct.pack("<I", off_tp)),
+    ])
+    buf = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+           + struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+           + struct.pack("<2I", *offs)
+           + struct.pack("<2I", *[len(s) for s in strips])
+           + struct.pack("<3d", 1.0, 1.0, 0.0)
+           + struct.pack("<6d", 0.0, 0.0, 0.0, 5.0, 9.0, 0.0)
+           + b"".join(strips))
+    ext, out, meta = decode_geotiff(buf)
+    assert meta["bands"] == 2 and meta["dtype"] == "mixed:uint8,float32"
+    np.testing.assert_array_equal(out[0], b0.astype(np.float64))
+    np.testing.assert_array_equal(out[1], b1.astype(np.float64))
+    assert (ext.xmin, ext.ymax) == (5.0, 9.0)
