@@ -576,6 +576,96 @@ def _sql_domain_stats() -> str:
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling (stages/sample.py): per-source
+    keep-rates (basis points derived from the source suffix so both sides
+    compute them arithmetically), keep decided by a vectorized 32-bit
+    integer mix of doc_id — pure map, zero shuffle, replay-stable. The
+    corpus-mix rebalancing step of a training-data pipeline, SQL-checked
+    bit-for-bit because the hash is plain BIGINT arithmetic."""
+    from .stages.sample import stratified_sample
+
+    rates = {f"src{k}": 500 + (k * 731) % 9000 for k in range(20)}
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(ds, "source", rates, "doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({sql_mix32('doc_id')}) % 10000
+          < 500 + (CAST(substr(source, 4) AS BIGINT) * 731) % 9000
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    """Gaps-and-islands sessionization over the event stream
+    (stages/window.sessionize): per-user sessions split at >6h gaps; ONE
+    range sort + vectorized block pass + O(#blocks) driver stitch. The
+    SQL-window `sum(new_flag) OVER (PARTITION BY user ORDER BY ts, id)`
+    semantics, distributed."""
+    from .stages.window import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", "event_id", gap_us=6 * 3600 * 1_000_000)
+
+
+SQL_SESSIONIZE = """
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM o
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.decontaminate): every 101st
+    doc plays the held-out benchmark; corpus docs sharing any 50-char
+    substring with that set are flagged with their overlap-gram count.
+    Benchmark gram hashes broadcast once (ray.put), probe is a pure
+    vectorized map — no shuffle. SQL-checked vs a DuckDB substr-explode
+    join."""
+    from .stages.dedup import decontaminate
+
+    def bench_filter(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 0))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(ds, bench, gram_len=50)
+
+
+SQL_DECONTAMINATE = """
+    WITH bg AS (
+        SELECT DISTINCT substr(b.text, CAST(i AS INT), 50) AS g
+        FROM documents b, unnest(range(1, length(b.text) - 48)) AS t(i)
+        WHERE b.doc_id % 101 = 0 AND length(b.text) >= 50
+    ),
+    tg AS (
+        SELECT d.doc_id, substr(d.text, CAST(i AS INT), 50) AS g
+        FROM documents d, unnest(range(1, length(d.text) - 48)) AS t(i)
+        WHERE length(d.text) >= 50
+    ),
+    hits AS (
+        SELECT tg.doc_id, count(*) AS n FROM tg JOIN bg USING (g) GROUP BY tg.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_doc_quality(sf_dir: str):
     from .functions.text_analysis import quality_score_batch
 
@@ -2377,6 +2467,9 @@ def build_queries() -> dict:
         "q_line_stats": q_line_stats,
         "q_pii_redact": q_pii_redact,
         "q_domain_stats": q_domain_stats,
+        "q_stratified_sample": q_stratified_sample,
+        "q_sessionize_events": q_sessionize_events,
+        "q_decontaminate": q_decontaminate,
         "q_doc_quality": q_doc_quality,
         "q_lang_stats": q_lang_stats,
         "q_tile_assign_events": q_tile_assign_events,
@@ -2465,6 +2558,9 @@ def build_oracle_sql() -> dict:
         "q_line_stats": SQL_LINE_STATS,
         "q_pii_redact": _sql_pii(),
         "q_domain_stats": _sql_domain_stats(),
+        "q_stratified_sample": _sql_stratified_sample(),
+        "q_sessionize_events": SQL_SESSIONIZE,
+        "q_decontaminate": SQL_DECONTAMINATE,
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_lang_stats": SQL_LANG_STATS,
         "q_tile_assign_events": SQL_TILE_ASSIGN,

@@ -702,3 +702,81 @@ def exact_substring_spans(ds, min_len: int = 40, min_count: int = 2,
         import ray.data as rd
         inner = inner.union(rd.from_arrow(stitched))
     return inner
+
+
+# --- benchmark decontamination (round 3) -------------------------------------
+
+def decontaminate(ds, bench_ds, gram_len: int = 50, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Benchmark decontamination (the Lee/Brown-style eval-overlap scrub a
+    training-data pipeline runs before training): flag every corpus doc that
+    shares ANY ``gram_len``-char substring with the benchmark corpus.
+    -> Dataset (id_col, n_contaminated_grams, contaminated) — one row per
+    corpus doc, n = number of character offsets whose gram hits the
+    benchmark set (docs shorter than gram_len have 0 grams).
+
+    Scale shape: benchmark sets are MB-scale against a TB corpus, so the
+    benchmark side reduces to a sorted uint64 gram-hash array built with ONE
+    distributed explode + partial_groupby (slim 8-byte rows, map-side
+    combined), broadcast once via ray.put; the corpus probe is then a pure
+    map_batches — one vectorized utf8_slice + poly-hash + searchsorted per
+    offset across the whole batch, no per-row Python and NO shuffle at all.
+    Hash membership stands in for string equality (64-bit polynomial,
+    2^-64/pair collision odds — same contract as exact_substring_spans'
+    key='hash' path)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .agg import partial_groupby
+
+    def explode_hashes(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        max_off = int(max(0, (lens.max() - gram_len)) if len(lens) else 0)
+        parts = []
+        for off in range(0, max_off + 1):
+            keep = lens >= off + gram_len
+            if not keep.any():
+                break
+            sl = pc.utf8_slice_codeunits(texts.filter(pa.array(keep)), off, off + gram_len)
+            parts.append(pa.table({"gh": pa.array(_gram_hash64(sl, gram_len), pa.int64())}))
+        if not parts:
+            return pa.table({"gh": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    uniq = partial_groupby(
+        bench_ds.map_batches(explode_hashes, batch_format="pyarrow", zero_copy_batch=True),
+        ["gh"], [("gh", "count", "n")],
+    ).select_columns(["gh"])
+    # benchmark-sized (MBs) by contract — the one permitted driver collect
+    bench_hashes = np.sort(uniq.to_pandas()["gh"].to_numpy(dtype=np.int64))
+    ref = ray.put(bench_hashes)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        n = b.num_rows
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False) if n else np.empty(0, np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        max_off = int(max(0, (lens.max() - gram_len)) if n else 0)
+        for off in range(0, max_off + 1):
+            keep = lens >= off + gram_len
+            if not keep.any():
+                break
+            idx = np.nonzero(keep)[0]
+            sl = pc.utf8_slice_codeunits(texts.filter(pa.array(keep)), off, off + gram_len)
+            h = _gram_hash64(sl, gram_len)
+            if len(bench):
+                pos = np.clip(np.searchsorted(bench, h), 0, len(bench) - 1)
+                counts[idx] += (bench[pos] == h).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_contaminated_grams": pa.array(counts, pa.int64()),
+            "contaminated": pa.array(counts > 0, pa.bool_()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -157,3 +157,128 @@ def as_of_prev(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
         lambda b: b.select([id_col, part_col, prev_col]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# --- sessionization (round 3) ------------------------------------------------
+
+def _block_sessions(batch: pa.Table, part_col: str, ts_col: str, id_col: str,
+                    gap_us: int) -> pa.Table:
+    """Sorted-stream block: kind=0 rows carry the IN-BLOCK per-partition
+    session number (1-based; the block's first row of each partition segment
+    tentatively starts a new session); kind=1 is the block's first row and
+    kind=2 its last row, each carrying its segment's in-block session count —
+    the O(#blocks) driver-stitch side channel."""
+    n = batch.num_rows
+    id_t = batch.schema.field(id_col).type
+    part_t = batch.schema.field(part_col).type
+    if n == 0:
+        return pa.table({
+            "kind": pa.array([], pa.int8()),
+            id_col: pa.array([], id_t),
+            part_col: pa.array([], part_t),
+            "__ts": pa.array([], pa.int64()),
+            "session_no": pa.array([], pa.int64()),
+            "__blk": pa.array([], pa.int64()),
+        })
+    part = batch[part_col].to_numpy(zero_copy_only=False)
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    new = np.ones(n, dtype=bool)
+    same = part[1:] == part[:-1]
+    new[1:] = ~same | (ts[1:] - ts[:-1] > gap_us)
+    cs = np.cumsum(new)
+    seg_first = np.zeros(n, dtype=bool)
+    seg_first[0] = True
+    seg_first[1:] = ~same
+    seg_start = np.maximum.accumulate(np.where(seg_first, np.arange(n), 0))
+    session_no = cs - cs[seg_start] + 1  # per-partition, 1-based
+    blk = np.full(n, int(ids[0]), dtype=np.int64)  # ids are globally unique
+    main = pa.table({
+        "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        id_col: batch[id_col],
+        part_col: batch[part_col],
+        "__ts": pa.array(ts, pa.int64()),
+        "session_no": pa.array(session_no, pa.int64()),
+        "__blk": pa.array(blk, pa.int64()),
+    })
+    # first-row edge carries the FIRST segment's session count; last-row edge
+    # the LAST segment's (equal when the block holds a single partition)
+    first_seg_end = int(np.argmax(~(part == part[0]))) - 1 if (part != part[0]).any() else n - 1
+    edge_idx = [0, n - 1]
+    edge_cnt = [int(session_no[first_seg_end]), int(session_no[n - 1])]
+    edges = pa.table({
+        "kind": pa.array([1, 2], pa.int8()),
+        id_col: batch[id_col].take(pa.array(edge_idx, pa.int64())),
+        part_col: batch[part_col].take(pa.array(edge_idx, pa.int64())),
+        "__ts": pa.array(ts[edge_idx], pa.int64()),
+        "session_no": pa.array(edge_cnt, pa.int64()),
+        "__blk": pa.array([int(ids[0])] * 2, pa.int64()),
+    })
+    return pa.concat_tables([main, edges])
+
+
+def sessionize(ds, part_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", gap_us: int = 6 * 3600 * 1_000_000):
+    """Gaps-and-islands sessionization: per ``part_col``, rows in (ts, id)
+    order belong to one session until a gap > ``gap_us`` starts the next.
+    -> Dataset (id_col, part_col, session_no) with session_no 1-based per
+    partition — the exact SQL-window semantics
+    (sum(new_flag) OVER (PARTITION BY part ORDER BY ts, id)).
+
+    Distributed shape (100 TB): ONE global range sort co-locates each
+    partition's order; the per-block pass is fully vectorized; only the
+    2-rows-per-block side channel reaches the driver, which walks blocks in
+    order carrying (partition, running session total, last ts) and emits an
+    additive patch per block whose first segment continues a neighbor —
+    the same O(#blocks) stitch as as_of_prev / the LSH candidate sort."""
+    mixed = (
+        ds.sort([part_col, ts_col, id_col])
+        .map_batches(lambda b: _block_sessions(b, part_col, ts_col, id_col, gap_us),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    main = mixed.filter(expr="kind == 0")
+    edges = mixed.filter(expr="kind != 0").to_pandas()  # 2 rows per block
+
+    patches: dict[int, tuple] = {}  # blk -> (first_part, delta)
+    if len(edges):
+        firsts = edges[edges["kind"] == 1].set_index("__blk")
+        lasts = edges[edges["kind"] == 2].set_index("__blk")
+        order = firsts.sort_values([part_col, "__ts", id_col], kind="stable").index
+        carry_part, carry_total, carry_ts = None, 0, 0
+        for blk in order:
+            f, l = firsts.loc[blk], lasts.loc[blk]
+            delta = 0
+            if carry_part is not None and f[part_col] == carry_part:
+                delta = carry_total
+                if f["__ts"] - carry_ts <= gap_us:
+                    delta -= 1  # block-first row continues the open session
+                if delta:
+                    patches[int(blk)] = (f[part_col], int(delta))
+            if l[part_col] == f[part_col]:
+                carry_total = int(l["session_no"]) + delta
+            else:
+                carry_total = int(l["session_no"])
+            carry_part, carry_ts = l[part_col], int(l["__ts"])
+
+    if patches:
+        pb = np.array(sorted(patches), dtype=np.int64)
+        pp = np.array([patches[int(k)][0] for k in pb], dtype=object)
+        pd_ = np.array([patches[int(k)][1] for k in pb], dtype=np.int64)
+
+        def apply_patch(b: pa.Table) -> pa.Table:
+            blks = b["__blk"].to_numpy(zero_copy_only=False)
+            parts = np.asarray(b[part_col].to_numpy(zero_copy_only=False), dtype=object)
+            sess = b["session_no"].to_numpy(zero_copy_only=False).copy()
+            pos = np.searchsorted(pb, blks)
+            pos_c = np.clip(pos, 0, len(pb) - 1)
+            hit = (pb[pos_c] == blks) & (pp[pos_c] == parts)
+            sess[hit] += pd_[pos_c[hit]]
+            return pa.table({id_col: b[id_col], part_col: b[part_col],
+                             "session_no": pa.array(sess, pa.int64())})
+
+        return main.map_batches(apply_patch, batch_format="pyarrow", zero_copy_batch=True)
+    return main.map_batches(
+        lambda b: b.select([id_col, part_col, "session_no"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -144,3 +144,81 @@ def test_exact_substring_spans_block_boundary_stitch(ray_session):
                for r in got.itertuples()}
     assert got_set == _oracle_spans(texts, L)
     assert got_set == {(1, 0, len(base)), (2, 0, len(base))}
+
+
+def test_decontaminate_planted(ray_session):
+    """Plant a benchmark passage inside some corpus docs: flagged docs are
+    exactly the planters + the benchmark doc itself; counts match the brute
+    per-offset substring check."""
+    import ray.data
+
+    from geotrellis_ray.stages.dedup import decontaminate
+
+    L = 20
+    secret = "the quick brown fox jumps over the lazy benchmark"
+    rng = np.random.default_rng(9)
+
+    def noise(n):
+        return "".join(rng.choice(list("abcdefgh "), n))
+
+    docs = []
+    for i in range(40):
+        if i == 0:
+            t = secret  # the benchmark doc itself
+        elif i in (3, 17):
+            t = noise(30) + secret[5:35] + noise(25)  # shares 30 chars
+        elif i == 25:
+            t = noise(10)  # shorter than L
+        else:
+            t = noise(80)
+        docs.append({"doc_id": i, "text": t})
+    tbl = pa.Table.from_pylist(docs)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    bench = ray.data.from_arrow(tbl.filter(pa.array([d["doc_id"] == 0 for d in docs])))
+    got = decontaminate(ds, bench, gram_len=L).to_pandas().set_index("doc_id").sort_index()
+
+    bench_grams = {secret[o:o + L] for o in range(len(secret) - L + 1)}
+    for d in docs:
+        t = d["text"]
+        n = sum(1 for o in range(max(0, len(t) - L + 1)) if t[o:o + L] in bench_grams)
+        assert got.loc[d["doc_id"], "n_contaminated_grams"] == n, d["doc_id"]
+        assert bool(got.loc[d["doc_id"], "contaminated"]) == (n > 0)
+    assert got["contaminated"].sum() == 3  # doc 0 + the two planters
+
+
+def test_stratified_sample_deterministic_and_rate(ray_session):
+    """Keep set == the brute per-row hash check; repeated runs identical;
+    achieved rates near the configured basis points."""
+    import ray.data
+
+    from geotrellis_ray.stages.sample import mix32, stratified_sample
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.array(["a", "b", "c"])[ids % 3]
+    rates = {"a": 1000, "b": 5000, "c": 9000}
+    tbl = pa.table({"doc_id": ids, "grp": grp})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got1 = stratified_sample(ds, "grp", rates, "doc_id").to_pandas()
+    got2 = stratified_sample(ds, "grp", rates, "doc_id").to_pandas()
+    pd.testing.assert_frame_equal(got1.sort_values("doc_id").reset_index(drop=True),
+                                  got2.sort_values("doc_id").reset_index(drop=True))
+    keep = (mix32(ids) % np.uint64(10000)).astype(np.int64) < np.array([rates[g] for g in grp])
+    exp_ids = ids[keep]
+    np.testing.assert_array_equal(np.sort(got1["doc_id"].to_numpy()), exp_ids)
+    for g, bp in rates.items():
+        achieved = (got1["grp"] == g).sum() / (n / 3)
+        assert abs(achieved - bp / 10000) < 0.03, (g, achieved)
+
+
+def test_mix32_matches_duckdb_sql():
+    from geotrellis_ray.stages.sample import mix32, sql_mix32
+
+    ids = np.array([0, 1, 7, 12345, 987654321, 2**31], dtype=np.int64)
+    con = duckdb.connect()
+    sql = sql_mix32("v")
+    exp = con.execute(
+        f"SELECT {sql} FROM (SELECT unnest([0,1,7,12345,987654321,2147483648]) AS v)"
+    ).fetchnumpy()
+    got = mix32(ids).astype(np.int64)
+    np.testing.assert_array_equal(got, list(exp.values())[0].astype(np.int64))

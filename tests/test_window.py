@@ -191,3 +191,52 @@ def test_duplicated_spans_hash_and_text_agree(ray_session):
     # duplication is duplicated training text too); doc 3 is too short for
     # any span and doc 4 only shares base-prefix spans whose min_doc is 0
     assert set(by_text["min_doc"]) <= {0, 2}
+
+
+def _sessions_oracle(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Plain-pandas gaps-and-islands: per user in (ts, id) order, session_no
+    = 1 + count of gaps > gap_us before the row."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+    out = []
+    for uid, g in df.groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        out.append(pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                                 "user_id": uid,
+                                 "session_no": np.cumsum(new)}))
+    return pd.concat(out).sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7, 40])
+def test_sessionize_matches_pandas(ray_session, n_blocks):
+    """Adversarial block splits: few users x many events so nearly every
+    block boundary cuts a user's stream (the driver-stitch path), including
+    boundaries inside an open session (delta-1 patch) and at real gaps."""
+    from geotrellis_ray.stages.window import sessionize
+
+    rng = np.random.default_rng(42 + n_blocks)
+    n = 400
+    gap_us = 1000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 3, n),
+        # gaps cluster right around the threshold so both patch branches fire
+        "ts": None,
+    })
+    steps = rng.choice([1, 500, 999, 1000, 1001, 5000], size=n)
+    df["ts"] = df.groupby("user_id").cumcount() * 0  # placeholder
+    for uid in range(3):
+        m = df["user_id"] == uid
+        df.loc[m, "ts"] = np.cumsum(steps[m.to_numpy()])
+    df["ts"] = df["ts"].astype(np.int64)
+
+    tbl = pa.table({"event_id": df["event_id"], "user_id": df["user_id"],
+                    "ts": pa.array(df["ts"], pa.timestamp("us"))})
+    ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+    got = sessionize(ds, "user_id", "ts", "event_id", gap_us=gap_us).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = _sessions_oracle(df, gap_us)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "session_no"]].astype(np.int64),
+        exp.astype(np.int64))
