@@ -1,0 +1,246 @@
+"""Conic and polar map projections: Lambert Conformal Conic (2SP), Albers
+Equal-Area Conic, and Polar Stereographic (variant B) on any supported
+ellipsoid — the remaining national/continental grids of the reference's
+proj4 surface (ref:proj4/src/main/scala/geotrellis/proj4/, L:unverified —
+/root/reference empty at survey time; VERDICT r02 "what's missing" #4).
+
+From-spec implementations of the published ellipsoidal formulas
+(J. P. Snyder, *Map Projections — A Working Manual*, USGS PP 1395, 1987,
+pp. 98–110 and 160–163; EPSG Guidance Note 7-2 for the polar variant-B
+conventions). Fully vectorized numpy; forward/inverse each a handful of
+transcendental kernels per batch.
+
+Named CRSs registered in stages/reproject.py:
+- ``epsg:2154``  RGF93 / Lambert-93 (LCC 2SP on GRS80)
+- ``epsg:5070``  NAD83 / CONUS Albers (GRS80; NAD83≈WGS84 here, no shift)
+- ``epsg:3031``  WGS84 / Antarctic Polar Stereographic (variant B)
+- ``epsg:3413``  WGS84 / NSIDC Sea Ice Polar Stereographic North
+plus generic ``lcc:...`` / ``aea:...`` / ``stere:...`` parameter names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .utm import ELLIPSOIDS
+
+_HALF_PI = np.pi / 2.0
+
+
+def _wrap_lon(deg):
+    return (np.asarray(deg) + 180.0) % 360.0 - 180.0
+
+
+def _e_from(rf: float) -> float:
+    f = 1.0 / rf
+    return float(np.sqrt(f * (2.0 - f)))
+
+
+def _m(phi, e):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+
+def _t(phi, e):
+    # Snyder 15-9: conformal-latitude auxiliary
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _phi_from_t(t, e, iters: int = 12):
+    # Snyder 7-9: fixed-point inversion of _t (converges quadratically-ish;
+    # 12 rounds reaches float64 everywhere off the poles)
+    phi = _HALF_PI - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = _HALF_PI - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return phi
+
+
+def _q(phi, e):
+    # Snyder 3-12: authalic-latitude auxiliary
+    s = np.sin(phi)
+    es = e * s
+    return (1.0 - e * e) * (s / (1.0 - es * es) - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
+
+
+class LambertConformalConic:
+    """Snyder pp. 104–110, ellipsoidal 2SP form."""
+
+    def __init__(self, a: float, rf: float, lat0: float, lon0: float,
+                 sp1: float, sp2: float, fe: float, fn: float):
+        self.a, self.rf = a, rf
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = fe, fn
+        e = _e_from(rf)
+        self.e = e
+        p0, p1, p2 = np.radians([lat0, sp1, sp2])
+        m1, m2 = _m(p1, e), _m(p2, e)
+        t0, t1, t2 = _t(p0, e), _t(p1, e), _t(p2, e)
+        self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))) \
+            if sp1 != sp2 else float(np.sin(p1))
+        self.F = float(m1 / (self.n * t1 ** self.n))
+        self.rho0 = float(a * self.F * t0 ** self.n)
+
+    def forward(self, lat, lon):
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = self.a * self.F * _t(lat, self.e) ** self.n
+        th = self.n * (lon - self.lon0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        sign = np.sign(self.n)
+        rho = sign * np.hypot(dx, dy)
+        th = np.arctan2(sign * dx, sign * dy)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        lat = _phi_from_t(t, self.e)
+        return np.degrees(lat), _wrap_lon(np.degrees(th / self.n + self.lon0))
+
+
+class AlbersEqualArea:
+    """Snyder pp. 98–103, ellipsoidal 2SP form."""
+
+    def __init__(self, a: float, rf: float, lat0: float, lon0: float,
+                 sp1: float, sp2: float, fe: float, fn: float):
+        self.a, self.rf = a, rf
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = fe, fn
+        e = _e_from(rf)
+        self.e = e
+        p0, p1, p2 = np.radians([lat0, sp1, sp2])
+        m1, m2 = _m(p1, e), _m(p2, e)
+        q0, q1, q2 = _q(p0, e), _q(p1, e), _q(p2, e)
+        self.n = float((m1 * m1 - m2 * m2) / (q2 - q1)) if sp1 != sp2 else float(np.sin(p1))
+        self.C = float(m1 * m1 + self.n * q1)
+        self.rho0 = float(a * np.sqrt(self.C - self.n * q0) / self.n)
+
+    def forward(self, lat, lon):
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = self.a * np.sqrt(self.C - self.n * _q(lat, self.e)) / self.n
+        th = self.n * (lon - self.lon0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y, iters: int = 15):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        sign = np.sign(self.n)
+        rho = sign * np.hypot(dx, dy)
+        th = np.arctan2(sign * dx, sign * dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        e = self.e
+        # Snyder 3-16 iteration for the latitude from its authalic auxiliary
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(iters):
+            s = np.sin(phi)
+            es = e * s
+            one = 1.0 - es * es
+            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+                q / (1.0 - e * e) - s / one + np.log((1.0 - es) / (1.0 + es)) / (2.0 * e))
+        return np.degrees(phi), _wrap_lon(np.degrees(th / self.n + self.lon0))
+
+
+class PolarStereographic:
+    """EPSG 9829 "Polar Stereographic (variant B)": a standard parallel
+    (latF, where scale is true) defines the implied k0; north or south
+    aspect by the sign of latF. EPSG Guidance Note 7-2 formulas."""
+
+    def __init__(self, a: float, rf: float, lat_ts: float, lon0: float,
+                 fe: float, fn: float):
+        self.a, self.rf = a, rf
+        self.south = lat_ts < 0
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = fe, fn
+        e = _e_from(rf)
+        self.e = e
+        pf = np.radians(abs(lat_ts))
+        self.mf = float(_m(pf, e))
+        self.tf = float(_t(pf, e))
+
+    def _t_signed(self, lat):
+        # north aspect uses _t(lat); south aspect mirrors the hemisphere
+        return _t(-lat if self.south else lat, self.e)
+
+    def forward(self, lat, lon):
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = self.a * self.mf * self._t_signed(lat) / self.tf
+        dlon = lon - self.lon0
+        x = self.fe + rho * np.sin(dlon)
+        y = self.fn + (rho * np.cos(dlon) if self.south else -rho * np.cos(dlon))
+        return x, y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = np.asarray(y, dtype=np.float64) - self.fn
+        rho = np.hypot(dx, dy)
+        t = rho * self.tf / (self.a * self.mf)
+        phi = _phi_from_t(t, self.e)
+        if self.south:
+            lat = -np.degrees(phi)
+            lon = np.degrees(self.lon0 + np.arctan2(dx, dy))
+        else:
+            lat = np.degrees(phi)
+            lon = np.degrees(self.lon0 + np.arctan2(dx, -dy))
+        return lat, _wrap_lon(lon)
+
+
+# --- named CRSs and parameterized parsing ------------------------------------
+
+def lambert93() -> LambertConformalConic:
+    """EPSG:2154 RGF93 / Lambert-93 (RGF93 ≈ WGS84 at this precision)."""
+    a, rf = ELLIPSOIDS["grs80"]
+    return LambertConformalConic(a, rf, 46.5, 3.0, 44.0, 49.0, 700_000.0, 6_600_000.0)
+
+
+def conus_albers() -> AlbersEqualArea:
+    """EPSG:5070 NAD83 / CONUS Albers (NAD83 ≈ WGS84 at this precision)."""
+    a, rf = ELLIPSOIDS["grs80"]
+    return AlbersEqualArea(a, rf, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+
+
+def antarctic_ps() -> PolarStereographic:
+    """EPSG:3031 WGS84 / Antarctic Polar Stereographic."""
+    a, rf = ELLIPSOIDS["wgs84"]
+    return PolarStereographic(a, rf, -71.0, 0.0, 0.0, 0.0)
+
+
+def nsidc_north_ps() -> PolarStereographic:
+    """EPSG:3413 WGS84 / NSIDC Sea Ice Polar Stereographic North."""
+    a, rf = ELLIPSOIDS["wgs84"]
+    return PolarStereographic(a, rf, 70.0, -45.0, 0.0, 0.0)
+
+
+NAMED = {
+    "epsg:2154": lambert93,
+    "epsg:5070": conus_albers,
+    "epsg:3031": antarctic_ps,
+    "epsg:3413": nsidc_north_ps,
+}
+
+
+def parse_conic_crs(name: str):
+    """Generic parameter names (angles in degrees, default ellipsoid wgs84):
+    - ``lcc:<lat0>,<lon0>,<sp1>,<sp2>,<fe>,<fn>[,<ellps>]``
+    - ``aea:<lat0>,<lon0>,<sp1>,<sp2>,<fe>,<fn>[,<ellps>]``
+    - ``stere:<lat_ts>,<lon0>,<fe>,<fn>[,<ellps>]``"""
+    kind, _, rest = name.partition(":")
+    parts = [p.strip() for p in rest.split(",")]
+    n_num = {"lcc": 6, "aea": 6, "stere": 4}.get(kind)
+    if n_num is None:
+        raise ValueError(f"not a conic/polar crs name: {name!r}")
+    if len(parts) not in (n_num, n_num + 1):
+        raise ValueError(f"{kind} crs needs {n_num} or {n_num + 1} fields: {name!r}")
+    ellps = parts[n_num].lower() if len(parts) == n_num + 1 else "wgs84"
+    if ellps not in ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {ellps!r} (have {sorted(ELLIPSOIDS)})")
+    a, rf = ELLIPSOIDS[ellps]
+    nums = [float(p) for p in parts[:n_num]]
+    if kind == "lcc":
+        return LambertConformalConic(a, rf, *nums)
+    if kind == "aea":
+        return AlbersEqualArea(a, rf, *nums)
+    return PolarStereographic(a, rf, *nums)

@@ -2403,6 +2403,38 @@ def q_reproject_osgb(sf_dir: str):
     return out.select_columns(["event_id", "x", "y"])
 
 
+def q_reproject_conic(sf_dir: str):
+    """Vector reproject through the round-3 conic/polar grids
+    (core/conic.py): each event goes to Lambert-93 (EPSG:2154, LCC 2SP),
+    CONUS Albers (EPSG:5070, equal-area) and Antarctic Polar Stereographic
+    (EPSG:3031) after a deterministic squeeze into each grid's domain.
+    Rows-only; exactness is pytest-verified (EPSG GN7-2 worked example,
+    conformality / equal-area numeric oracles, 1e-9-deg round-trips)."""
+    from .stages.reproject import reproject_points_batch
+
+    def project_all(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        u = (lat + 90.0) / 180.0
+        v = (lon + 180.0) / 360.0
+        out = {"event_id": b["event_id"]}
+        for tag, crs, la, lo in [
+            ("l93", "epsg:2154", 41.0 + u * 10.0, -4.0 + v * 11.0),
+            ("aea", "epsg:5070", 25.0 + u * 24.0, -124.0 + v * 57.0),
+            ("aps", "epsg:3031", -85.0 + u * 25.0, -180.0 + v * 360.0),
+        ]:
+            t = pa.table({"lat": pa.array(la, pa.float64()),
+                          "lon": pa.array(lo, pa.float64())})
+            p = reproject_points_batch(t, "latlng", crs)
+            out[f"x_{tag}"] = p["x"]
+            out[f"y_{tag}"] = p["y"]
+        return pa.table(out)
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(project_all, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_vector_tiles_mvt(sf_dir: str):
     """Real Mapbox Vector Tile output (protobuf, core/mvt.py): per-tile
     feature count + decoded-byte self-check columns (rows-only; wire-level
@@ -2531,6 +2563,7 @@ def build_queries() -> dict:
         "q_reproject_points": q_reproject_points,
         "q_reproject_utm": q_reproject_utm,
         "q_reproject_osgb": q_reproject_osgb,
+        "q_reproject_conic": q_reproject_conic,
     }
     sql_checked = build_oracle_sql()
     ordered = {k: v for k, v in all_queries.items() if k in sql_checked}

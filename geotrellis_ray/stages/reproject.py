@@ -45,7 +45,26 @@ def _to_latlng(crs: str, xs, ys):
         from ..core.utm import parse_tmerc_crs
 
         return parse_tmerc_crs(crs).inverse(xs, ys)
+    if crs in _conic_named() or crs.split(":")[0] in ("lcc", "aea", "stere"):
+        lat, lon = _conic(crs).inverse(xs, ys)
+        return lat, lon
     raise ValueError(f"unsupported crs {crs!r}")
+
+
+def _conic_named():
+    from ..core.conic import NAMED
+
+    return NAMED
+
+
+def _conic(crs: str):
+    """Conic/polar projections (core/conic.py): named EPSG grids or generic
+    lcc:/aea:/stere: parameter strings."""
+    from ..core.conic import NAMED, parse_conic_crs
+
+    if crs in NAMED:
+        return NAMED[crs]()
+    return parse_conic_crs(crs)
 
 
 def _from_latlng(crs: str, lat, lon):
@@ -68,6 +87,8 @@ def _from_latlng(crs: str, lat, lon):
 
         tm = parse_tmerc_crs(crs)
         return tm.forward(lat, lon)
+    if crs in _conic_named() or crs.split(":")[0] in ("lcc", "aea", "stere"):
+        return _conic(crs).forward(lat, lon)
     raise ValueError(f"unsupported crs {crs!r}")
 
 

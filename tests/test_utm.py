@@ -149,3 +149,152 @@ def test_reproject_batch_osgb(ray_session):
     back = reproject_points_batch(
         pa.table({"lon": out["x"], "lat": out["y"]}), "epsg:27700", "latlng")
     np.testing.assert_allclose(back["y"].to_numpy(), [51.4779, 55.95], atol=1e-7)
+
+
+# --- conic / polar projections (core/conic.py, round 3) ----------------------
+
+def _MN(lat_deg, a, rf):
+    """Meridional and prime-vertical curvature radii (the ground metric the
+    numeric distortion oracles compare against)."""
+    f = 1.0 / rf
+    e2 = f * (2 - f)
+    s = np.sin(np.radians(lat_deg))
+    W = np.sqrt(1 - e2 * s * s)
+    return a * (1 - e2) / W**3, a / W
+
+
+def _jacobian(proj, lat, lon, d=1e-6):
+    x0, y0 = proj.forward(lat, lon)
+    xla, yla = proj.forward(lat + d, lon)
+    xlo, ylo = proj.forward(lat, lon + d)
+    return (np.array([xla - x0, yla - y0]) / np.radians(d),
+            np.array([xlo - x0, ylo - y0]) / np.radians(d))
+
+
+def test_polar_stereographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Polar Stereographic variant B example
+    (Australian Antarctic / EPSG:3032): lat -75, lon 120E ->
+    E 7255380.79, N 7053389.56."""
+    from geotrellis_ray.core.conic import PolarStereographic
+    from geotrellis_ray.core.utm import ELLIPSOIDS
+
+    a, rf = ELLIPSOIDS["wgs84"]
+    ps = PolarStereographic(a, rf, -71.0, 70.0, 6_000_000.0, 6_000_000.0)
+    E, N = ps.forward(-75.0, 120.0)
+    assert abs(E - 7255380.79) < 0.01 and abs(N - 7053389.56) < 0.01
+    lat, lon = ps.inverse(E, N)
+    assert abs(lat + 75.0) < 1e-9 and abs(lon - 120.0) < 1e-9
+
+
+def test_lambert93_invariants():
+    from geotrellis_ray.core.conic import lambert93
+
+    l93 = lambert93()
+    x, y = l93.forward(46.5, 3.0)
+    assert abs(x - 700_000) < 1e-6 and abs(y - 6_600_000) < 1e-6
+    # well-known Paris coordinate (IGN): ~ (652469.02, 6862035.26)
+    x, y = l93.forward(48.8566, 2.3522)
+    assert abs(x - 652469.02) < 0.5 and abs(y - 6862035.26) < 0.5
+
+
+@pytest.mark.parametrize("latlon", [(42.0, -1.0), (46.5, 3.0), (49.0, 7.5), (55.0, 2.0)])
+def test_lcc_conformal_numeric(latlon):
+    """Independent oracle: a conformal projection has direction-independent
+    local scale — the image of the (meridian, parallel) frame is orthogonal
+    with equal per-ground-length scale; on the standard parallels that scale
+    is 1."""
+    from geotrellis_ray.core.conic import lambert93
+    from geotrellis_ray.core.utm import ELLIPSOIDS
+
+    lat, lon = latlon
+    proj = lambert93()
+    Jla, Jlo = _jacobian(proj, lat, lon)
+    M, N = _MN(lat, *ELLIPSOIDS["grs80"])
+    h = np.linalg.norm(Jla) / M
+    k = np.linalg.norm(Jlo) / (N * np.cos(np.radians(lat)))
+    assert abs(h - k) < 1e-5 * k
+    assert abs(np.dot(Jla, Jlo)) < 1e-4 * np.linalg.norm(Jla) * np.linalg.norm(Jlo)
+    if lat in (44.0, 49.0):
+        assert abs(k - 1.0) < 1e-6
+
+
+def test_lcc_scale_unity_on_standard_parallels():
+    from geotrellis_ray.core.conic import lambert93
+    from geotrellis_ray.core.utm import ELLIPSOIDS
+
+    proj = lambert93()
+    for sp in (44.0, 49.0):
+        _, Jlo = _jacobian(proj, sp, 5.0)
+        _, N = _MN(sp, *ELLIPSOIDS["grs80"])
+        k = np.linalg.norm(Jlo) / (N * np.cos(np.radians(sp)))
+        assert abs(k - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("latlon", [(23.0, -96.0), (29.5, -110.0), (37.0, -96.0),
+                                    (45.5, -80.0), (48.0, -122.0)])
+def test_albers_equal_area_numeric(latlon):
+    """Independent oracle: |det J| must equal the ellipsoidal area element
+    M(lat) * N(lat) * cos(lat) everywhere (exact equal-area property)."""
+    from geotrellis_ray.core.conic import conus_albers
+    from geotrellis_ray.core.utm import ELLIPSOIDS
+
+    lat, lon = latlon
+    proj = conus_albers()
+    Jla, Jlo = _jacobian(proj, lat, lon, d=1e-5)
+    det = abs(Jla[0] * Jlo[1] - Jla[1] * Jlo[0])
+    M, N = _MN(lat, *ELLIPSOIDS["grs80"])
+    ground = M * N * np.cos(np.radians(lat))
+    assert abs(det / ground - 1.0) < 1e-4
+
+
+def test_polar_stereo_scale_true_at_standard_parallel():
+    from geotrellis_ray.core.conic import antarctic_ps, nsidc_north_ps
+    from geotrellis_ray.core.utm import ELLIPSOIDS
+
+    for proj, sp in ((antarctic_ps(), -71.0), (nsidc_north_ps(), 70.0)):
+        _, Jlo = _jacobian(proj, sp, 30.0)
+        _, N = _MN(sp, *ELLIPSOIDS["wgs84"])
+        k = np.linalg.norm(Jlo) / (N * np.cos(np.radians(sp)))
+        assert abs(k - 1.0) < 1e-6
+
+
+def test_conic_roundtrip_grids():
+    from geotrellis_ray.core.conic import antarctic_ps, conus_albers, lambert93, nsidc_north_ps
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (lambert93(), rng.uniform(30, 60, 400), rng.uniform(-10, 15, 400)),
+        (conus_albers(), rng.uniform(15, 55, 400), rng.uniform(-130, -60, 400)),
+        (antarctic_ps(), rng.uniform(-89.5, -50, 400), rng.uniform(-180, 180, 400)),
+        (nsidc_north_ps(), rng.uniform(50, 89.5, 400), rng.uniform(-180, 180, 400)),
+    ]
+    for proj, lat, lon in cases:
+        x, y = proj.forward(lat, lon)
+        la, lo = proj.inverse(x, y)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+
+
+def test_parse_conic_crs_and_reproject_batch():
+    import pyarrow as pa
+
+    from geotrellis_ray.core.conic import parse_conic_crs
+    from geotrellis_ray.stages.reproject import reproject_points_batch
+
+    # generic lcc: string == the named Lambert-93
+    p = parse_conic_crs("lcc:46.5,3,44,49,700000,6600000,grs80")
+    x, y = p.forward(48.8566, 2.3522)
+    assert abs(x - 652469.02) < 0.5
+    with pytest.raises(ValueError):
+        parse_conic_crs("lcc:1,2,3")
+    with pytest.raises(ValueError):
+        parse_conic_crs("stere:70,-45,0,0,marsoid")
+
+    b = pa.table({"lon": pa.array([2.3522], pa.float64()),
+                  "lat": pa.array([48.8566], pa.float64())})
+    out = reproject_points_batch(b, "latlng", "epsg:2154")
+    assert abs(out["x"][0].as_py() - 652469.02) < 0.5
+    assert abs(out["y"][0].as_py() - 6862035.26) < 0.5
+    back = reproject_points_batch(
+        pa.table({"lon": out["x"], "lat": out["y"]}), "epsg:2154", "latlng")
+    assert abs(back["x"][0].as_py() - 2.3522) < 1e-9
