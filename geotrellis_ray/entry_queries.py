@@ -2264,6 +2264,33 @@ def q_idw_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_kriging_toy(sf_dir: str):
+    """Ordinary Kriging surface (stages/interpolation.ordinary_kriging):
+    variogram FITTED from the sampled events (grid-search + weighted least
+    squares, driver-side on the small sample set), then the actor-pool
+    surface with the normal-equation inverse built once per actor. Per-tile
+    mean reported (rows-only; cell exactness is pytest-verified against a
+    per-cell linear-solve oracle)."""
+    from .stages.interpolation import ordinary_kriging
+    from .stages.layer_ops import batch_to_cube
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = ds.map_batches(_mod_filter("event_id", 211), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    pts = pts.rename(columns={"lon": "x", "lat": "y"})
+    surf = ordinary_kriging(pts, _kd_layout(), (0, 0, 3, 3), model="spherical")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cube = batch_to_cube(b)
+        means = np.nanmean(cube.reshape(cube.shape[0], -1), axis=1) if cube.size else np.array([])
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "mean_val": pa.array(means, pa.float64())})
+
+    return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/ann.semantic_dedup): distributed
     k-means (per-batch matmul partials, k*d floats to the driver/iter) then
@@ -2529,6 +2556,7 @@ def build_queries() -> dict:
         "q_region_group": q_region_group,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
+        "q_kriging_toy": q_kriging_toy,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,

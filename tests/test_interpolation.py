@@ -182,3 +182,81 @@ def test_region_group_distributed_vs_whole_array(ray_session):
     sizes = region_sizes(region_group(ds, LAYOUT)).to_pandas()
     oc = Counter(oracle[m].tolist())
     assert sorted(sizes["n_cells"].tolist()) == sorted(oc.values())
+
+
+def test_kriging_brute_cell_oracle(ray_session):
+    """Actor-pool OK surface == an independent per-cell linear solve (the
+    textbook system, np.linalg.solve per cell, no shared factorization)."""
+    from geotrellis_ray.stages.interpolation import ordinary_kriging, variogram_model
+
+    rng = np.random.default_rng(7)
+    k = 18
+    samples = pd.DataFrame({"x": rng.uniform(2, 62, k), "y": rng.uniform(2, 62, k),
+                            "value": rng.normal(20, 5, k)})
+    params = (0.5, 12.0, 30.0)
+    out = ordinary_kriging(samples, LAYOUT, (0, 0, 3, 3), "spherical", params).to_pandas()
+    assert len(out) == 16
+    got = _stitch(out)
+    gam = variogram_model("spherical")
+    xs, ys, vals = (samples[c].to_numpy() for c in ("x", "y", "value"))
+    d = np.hypot(xs[:, None] - xs[None, :], ys[:, None] - ys[None, :])
+    K = np.empty((k + 1, k + 1))
+    K[:k, :k] = gam(d, *params)
+    K[k, :] = 1.0
+    K[:, k] = 1.0
+    K[k, k] = 0.0
+    for r, c in [(0, 0), (17, 33), (63, 63), (40, 9), (5, 60)]:
+        cx, cy = c + 0.5, 64 - r - 0.5
+        b = np.r_[gam(np.hypot(xs - cx, ys - cy), *params), 1.0]
+        w = np.linalg.solve(K, b)
+        assert np.isclose(got[r, c], w[:k] @ vals, rtol=1e-8), (r, c)
+
+
+def test_kriging_exact_at_samples_and_unbiased(ray_session):
+    """nugget=0 -> OK interpolates exactly at sample locations; a constant
+    field is reproduced EXACTLY everywhere (weights sum to 1)."""
+    from geotrellis_ray.stages.interpolation import ordinary_kriging
+
+    samples = pd.DataFrame({
+        "x": [8.5, 40.5, 20.5, 55.5], "y": [63.5, 30.5, 10.5, 50.5],
+        "value": [5.0, -3.0, 12.0, 7.5]})
+    out = ordinary_kriging(samples, LAYOUT, (0, 0, 3, 3),
+                           "exponential", (0.0, 4.0, 25.0)).to_pandas()
+    got = _stitch(out)
+    assert np.isclose(got[0, 8], 5.0, atol=1e-8)     # (8.5, 63.5)
+    assert np.isclose(got[33, 40], -3.0, atol=1e-8)  # (40.5, 30.5)
+    const = samples.assign(value=9.25)
+    got_c = _stitch(ordinary_kriging(const, LAYOUT, (0, 0, 3, 3),
+                                     "spherical", (1.0, 3.0, 20.0)).to_pandas())
+    np.testing.assert_allclose(got_c, 9.25, atol=1e-8)
+
+
+def test_fit_variogram_recovers_known_model():
+    """Empirical bins generated EXACTLY from a spherical model (values
+    constructed so pair semivariances average to the model curve are not
+    available analytically -> instead check the fit reproduces a synthetic
+    empirical curve): feed a sample set whose variogram fit must achieve
+    the same SSE-optimal (nugget, psill) for the best range, and round-trip
+    the model functions themselves."""
+    from geotrellis_ray.stages.interpolation import (empirical_variogram,
+                                                     fit_variogram, variogram_model)
+
+    gam = variogram_model("spherical")
+    assert gam(np.array([0.0]), 2.0, 5.0, 10.0)[0] == 0.0          # gamma(0)=0
+    assert np.isclose(gam(np.array([10.0]), 2.0, 5.0, 10.0)[0], 7.0)   # sill at range
+    assert np.isclose(gam(np.array([99.0]), 2.0, 5.0, 10.0)[0], 7.0)   # flat beyond
+
+    rng = np.random.default_rng(2)
+    n = 80
+    xs, ys = rng.uniform(0, 100, n), rng.uniform(0, 100, n)
+    vals = np.sin(xs / 15.0) * 8 + np.cos(ys / 12.0) * 5 + rng.normal(0, 0.3, n)
+    df = pd.DataFrame({"x": xs, "y": ys, "value": vals})
+    c0, c1, a = fit_variogram(df, model="spherical")
+    assert c0 >= 0 and c1 > 0 and a > 0
+    h, emp, cnt = empirical_variogram(xs, ys, vals)
+    fitted = gam(h, c0, c1, a)
+    # the fitted curve must beat the trivial flat-mean model on weighted SSE
+    sse_fit = float((cnt * (emp - fitted) ** 2).sum())
+    mean_g = float((emp * cnt).sum() / cnt.sum())
+    sse_flat = float((cnt * (emp - mean_g) ** 2).sum())
+    assert sse_fit < sse_flat * 0.8
