@@ -15,6 +15,8 @@ Named CRSs registered in stages/reproject.py:
 - ``epsg:5070``  NAD83 / CONUS Albers (GRS80; NAD83≈WGS84 here, no shift)
 - ``epsg:3031``  WGS84 / Antarctic Polar Stereographic (variant B)
 - ``epsg:3413``  WGS84 / NSIDC Sea Ice Polar Stereographic North
+- ``epsg:3035``  ETRS89-extended / LAEA Europe (Lambert Azimuthal EA)
+- ``sinusoidal`` the MODIS sinusoidal grid (authalic sphere)
 plus generic ``lcc:...`` / ``aea:...`` / ``stere:...`` parameter names.
 """
 
@@ -244,3 +246,101 @@ def parse_conic_crs(name: str):
     if kind == "aea":
         return AlbersEqualArea(a, rf, *nums)
     return PolarStereographic(a, rf, *nums)
+
+
+class LambertAzimuthalEqualArea:
+    """Snyder pp. 187–190, ellipsoidal oblique LAEA (the EPSG:3035 European
+    grid projection). Works on the authalic sphere via beta = asin(q/qp)."""
+
+    def __init__(self, a: float, rf: float, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.a, self.rf = a, rf
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = fe, fn
+        e = _e_from(rf)
+        self.e = e
+        self.qp = float(_q(_HALF_PI, e))
+        p0 = np.radians(lat0)
+        q1 = float(_q(p0, e))
+        self.beta1 = float(np.arcsin(q1 / self.qp))
+        self.Rq = a * np.sqrt(self.qp / 2.0)
+        m1 = float(_m(p0, e))
+        self.D = a * m1 / (self.Rq * np.cos(self.beta1))
+
+    def forward(self, lat, lon):
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        beta = np.arcsin(np.clip(_q(lat, self.e) / self.qp, -1.0, 1.0))
+        dl = lon - self.lon0
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        denom = 1.0 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(dl)
+        B = self.Rq * np.sqrt(2.0 / denom)
+        x = self.fe + B * self.D * np.cos(beta) * np.sin(dl)
+        y = self.fn + (B / self.D) * (cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(dl))
+        return x, y
+
+    def inverse(self, x, y, iters: int = 15):
+        dx = (np.asarray(x, dtype=np.float64) - self.fe) / self.D
+        dy = (np.asarray(y, dtype=np.float64) - self.fn) * self.D
+        rho = np.hypot(dx, dy)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sb1, cb1 = np.sin(self.beta1), np.cos(self.beta1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sin_beta = np.where(
+                rho > 0,
+                np.cos(ce) * sb1 + dy * np.sin(ce) * cb1 / np.where(rho > 0, rho, 1.0),
+                sb1)
+            lon = self.lon0 + np.arctan2(
+                dx * np.sin(ce),
+                np.where(rho > 0, rho * cb1 * np.cos(ce) - dy * sb1 * np.sin(ce), 1.0))
+        q = np.clip(sin_beta, -1.0, 1.0) * self.qp
+        e = self.e
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(iters):  # same authalic-latitude iteration as Albers
+            s = np.sin(phi)
+            es = e * s
+            one = 1.0 - es * es
+            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+                q / (1.0 - e * e) - s / one + np.log((1.0 - es) / (1.0 + es)) / (2.0 * e))
+        return np.degrees(phi), _wrap_lon(np.degrees(lon))
+
+
+class Sinusoidal:
+    """Spherical sinusoidal on the authalic radius — the MODIS grid
+    projection (equal-area, pseudocylindrical): x = R*dlon*cos(lat),
+    y = R*lat."""
+
+    R_MODIS = 6371007.181  # authalic sphere radius used by the MODIS grid
+
+    def __init__(self, radius: float = R_MODIS, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0):
+        self.R = radius
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lat, lon):
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        return (self.fe + self.R * (lon - self.lon0) * np.cos(lat),
+                self.fn + self.R * lat)
+
+    def inverse(self, x, y):
+        lat = (np.asarray(y, dtype=np.float64) - self.fn) / self.R
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lon = self.lon0 + (np.asarray(x, dtype=np.float64) - self.fe) / (self.R * np.cos(lat))
+        return np.degrees(lat), _wrap_lon(np.degrees(lon))
+
+
+def laea_europe() -> LambertAzimuthalEqualArea:
+    """EPSG:3035 ETRS89-extended / LAEA Europe (ETRS89 ≈ WGS84 here)."""
+    a, rf = ELLIPSOIDS["grs80"]
+    return LambertAzimuthalEqualArea(a, rf, 52.0, 10.0, 4_321_000.0, 3_210_000.0)
+
+
+def modis_sinusoidal() -> Sinusoidal:
+    """The MODIS sinusoidal grid (SR-ORG:6974 family)."""
+    return Sinusoidal()
+
+
+NAMED["epsg:3035"] = laea_europe
+NAMED["sinusoidal"] = modis_sinusoidal

@@ -2264,6 +2264,23 @@ def q_idw_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct counts (stages/stats.approx_distinct): one ~4 KB
+    sketch per block, tree-merged; the data never shuffles. Rows-only (the
+    estimate is approximate by design; merge exactness + 5%-error bounds are
+    pytest-verified); exact distinct counts reported alongside for scale
+    reference via the SAME partial-combine shape."""
+    from .stages.stats import approx_distinct
+
+    ests = {}
+    for table, col in (("events", "user_id"), ("documents", "source")):
+        ests[f"{table}.{col}"] = approx_distinct(_read(sf_dir, table, [col]), col)
+    rows = [{"column": k, "approx_distinct": float(v)} for k, v in sorted(ests.items())]
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
 def q_kriging_toy(sf_dir: str):
     """Ordinary Kriging surface (stages/interpolation.ordinary_kriging):
     variogram FITTED from the sampled events (grid-search + weighted least
@@ -2557,6 +2574,7 @@ def build_queries() -> dict:
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
         "q_kriging_toy": q_kriging_toy,
+        "q_approx_distinct": q_approx_distinct,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,

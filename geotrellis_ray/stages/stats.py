@@ -135,3 +135,22 @@ def zonal_histogram(joined_ds, zone_col: str, value_col: str):
         return pd.DataFrame({zone_col: [g[zone_col].iloc[0]], "histogram": [json.dumps(h.to_dict())]})
 
     return joined_ds.groupby(zone_col).map_groups(per_zone, batch_format="pandas")
+
+
+def approx_distinct(ds, value_col: str, p: int = 12) -> float:
+    """COUNT(DISTINCT) at corpus scale: HyperLogLog (core/sketch.py) — one
+    ~4 KB register sketch per block (map_batches partial), one distributed
+    tree-merge round, tiny driver merge. Error ~1.04/sqrt(2^p) (~1.6% at the
+    default p=12); the data itself never shuffles."""
+    import json
+
+    from ..core.sketch import HyperLogLog
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p).update(_values_from_batch(batch, value_col))
+        return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _tree_merge_sketches(sketches, lambda: HyperLogLog(p),
+                                  HyperLogLog.from_dict)
+    return merged.estimate()

@@ -431,3 +431,59 @@ def test_partial_groupby_single_falls_back_on_large_key_set(ray_session, monkeyp
                             final="single")
             .to_pandas().sort_values("k").reset_index(drop=True))
     np.testing.assert_array_equal(got2["s"].to_numpy(), got["s"].to_numpy())
+
+
+def test_hyperloglog_exact_properties():
+    """Vectorized rank == Python int.bit_length (adversarial >2^53 values),
+    merge(A,B) register-identical to sketch(A ∪ B), dict round-trip."""
+    import numpy as np
+
+    from geotrellis_ray.core.sketch import HyperLogLog, _bit_length_u64
+
+    vals = np.array([0, 1, 2, (1 << 53) - 1, 1 << 53, (1 << 53) + 1,
+                     (1 << 60) - 1, 1 << 60, (1 << 63) + 12345, (1 << 64) - 1],
+                    dtype=np.uint64)
+    assert _bit_length_u64(vals).tolist() == [int(v).bit_length() for v in vals.tolist()]
+
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.update(np.arange(0, 60_000, dtype=np.int64))
+    b.update(np.arange(40_000, 120_000, dtype=np.int64))
+    u = HyperLogLog(12).update(np.arange(0, 120_000, dtype=np.int64))
+    a.merge(b)
+    np.testing.assert_array_equal(a.reg, u.reg)
+    back = HyperLogLog.from_dict(u.to_dict())
+    np.testing.assert_array_equal(back.reg, u.reg)
+
+
+def test_hyperloglog_accuracy_bounds():
+    import numpy as np
+
+    from geotrellis_ray.core.sketch import HyperLogLog
+
+    for n in (100, 5_000, 200_000):
+        est = HyperLogLog(12).update(np.arange(n, dtype=np.int64)).estimate()
+        assert abs(est - n) / n < 0.05, (n, est)
+    # string values route through the pandas C hasher
+    doms = np.array([f"dom{i % 500}.example" for i in range(30_000)], dtype=object)
+    est = HyperLogLog(12).update(doms).estimate()
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_approx_distinct_distributed(ray_session):
+    """Dataset-level HLL == the single-sketch estimate (sketch merging is
+    exact), and within 5% of the true distinct count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.sketch import HyperLogLog
+    from geotrellis_ray.stages.stats import approx_distinct
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 50_000, 300_000)  # ~49.9k distinct
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(16)
+    est = approx_distinct(ds, "v", p=12)
+    single = HyperLogLog(12).update(vals).estimate()
+    assert est == single  # distributed merge is lossless
+    true = len(np.unique(vals))
+    assert abs(est - true) / true < 0.05

@@ -298,3 +298,50 @@ def test_parse_conic_crs_and_reproject_batch():
     back = reproject_points_batch(
         pa.table({"lon": out["x"], "lat": out["y"]}), "epsg:2154", "latlng")
     assert abs(back["x"][0].as_py() - 2.3522) < 1e-9
+
+
+def test_laea_europe_invariants():
+    """EPSG:3035: origin maps to FE/FN; NUMERIC equal-area oracle
+    (|det J| == M*N*cos(lat)) across the European domain; round-trip."""
+    from geotrellis_ray.core.conic import laea_europe
+    from geotrellis_ray.core.utm import ELLIPSOIDS
+
+    p = laea_europe()
+    x, y = p.forward(52.0, 10.0)
+    assert abs(x - 4_321_000) < 1e-6 and abs(y - 3_210_000) < 1e-6
+    for lat, lon in [(35.0, -10.0), (45.0, 10.0), (60.0, 25.0), (70.0, 30.0)]:
+        Jla, Jlo = _jacobian(p, lat, lon, d=1e-5)
+        det = abs(Jla[0] * Jlo[1] - Jla[1] * Jlo[0])
+        M, N = _MN(lat, *ELLIPSOIDS["grs80"])
+        assert abs(det / (M * N * np.cos(np.radians(lat))) - 1.0) < 1e-4, (lat, lon)
+    rng = np.random.default_rng(8)
+    lat = rng.uniform(30, 72, 300)
+    lon = rng.uniform(-25, 45, 300)
+    la, lo = p.inverse(*p.forward(lat, lon))
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+
+
+def test_sinusoidal_modis_invariants():
+    """Equal-area on its sphere (|det J| == R^2 cos(lat)), equator scale true,
+    exact round-trip; the MODIS tile-grid corner (-20015109.354, 10007554.677)
+    is the projection of (lat 90, lon -180) halved per axis convention:
+    check the published grid constant x_max = pi * R."""
+    from geotrellis_ray.core.conic import Sinusoidal, modis_sinusoidal
+
+    p = modis_sinusoidal()
+    R = Sinusoidal.R_MODIS
+    # the well-known MODIS grid half-width constant
+    assert abs(np.pi * R - 20015109.354) < 0.5
+    x, y = p.forward(0.0, 0.0)
+    assert x == 0.0 and y == 0.0
+    for lat, lon in [(0.0, 10.0), (40.0, -60.0), (-70.0, 120.0)]:
+        Jla, Jlo = _jacobian(p, lat, lon, d=1e-6)
+        det = abs(Jla[0] * Jlo[1] - Jla[1] * Jlo[0])
+        assert abs(det / (R * R * np.cos(np.radians(lat))) - 1.0) < 1e-5
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(-85, 85, 300)
+    lon = rng.uniform(-179, 179, 300)
+    la, lo = p.inverse(*p.forward(lat, lon))
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
