@@ -2308,6 +2308,41 @@ def q_kriging_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_tin_toy(sf_dir: str):
+    """Delaunay TIN surface (core/delaunay.py + stages/interpolation
+    .tin_interpolation): triangulate the sampled events, rasterize the
+    barycentric-linear surface per tile. Per-tile mean reported (rows-only;
+    the Delaunay empty-circumcircle property, hull-area identity and exact
+    affine reproduction are pytest-verified)."""
+    from .stages.interpolation import tin_interpolation
+    from .stages.layer_ops import batch_to_cube
+    from .stages.sample import mix32
+
+    # derive_coords_batch's lattice coords are affinely dependent (a thin
+    # sliver hull — useless for a TIN); scatter with the full integer mix
+    def scatter(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = mix32(ids).astype(np.float64) / 4294967296.0
+        h2 = mix32(ids + 777).astype(np.float64) / 4294967296.0
+        return pa.table({"event_id": b["event_id"], "value": b["value"],
+                         "x": pa.array(-180.0 + h1 * 360.0, pa.float64()),
+                         "y": pa.array(-85.0 + h2 * 170.0, pa.float64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = ds.map_batches(_mod_filter("event_id", 37), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    surf = tin_interpolation(pts, _kd_layout(), (0, 0, 3, 3))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cube = batch_to_cube(b)
+        means = np.nanmean(cube.reshape(cube.shape[0], -1), axis=1) if cube.size else np.array([])
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "mean_val": pa.array(means, pa.float64())})
+
+    return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/ann.semantic_dedup): distributed
     k-means (per-batch matmul partials, k*d floats to the driver/iter) then
@@ -2575,6 +2610,7 @@ def build_queries() -> dict:
         "q_idw_toy": q_idw_toy,
         "q_kriging_toy": q_kriging_toy,
         "q_approx_distinct": q_approx_distinct,
+        "q_tin_toy": q_tin_toy,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,

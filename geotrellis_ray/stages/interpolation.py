@@ -414,3 +414,36 @@ def ordinary_kriging(points, layout: LayoutDefinition, key_bounds,
     return keys.map_batches(
         _KrigingSurface, fn_constructor_args=(ref, layout, model, params),
         batch_format="pyarrow", concurrency=_pool(concurrency), batch_size=16)
+
+
+# --- Delaunay TIN surface (round 3) ------------------------------------------
+
+class _TinSurface(_SampleSurface):
+    """Delaunay TIN (core/delaunay.py) built ONCE per actor from the
+    broadcast sample set; each tile interpolates its cell centers through
+    the grid-indexed barycentric query. NaN outside the convex hull."""
+
+    def __init__(self, samples_ref, layout):
+        super().__init__(samples_ref, layout)
+        from ..core.delaunay import TIN
+
+        self.tin = TIN(self.xs, self.ys, self.vals)
+
+    def tile_values(self, extent) -> np.ndarray:
+        tc = self.layout.tile_layout.tile_cols
+        tr = self.layout.tile_layout.tile_rows
+        gx, gy = cell_centers(extent, tc, tr)
+        return self.tin.interpolate(gx.ravel(), gy.ravel()).reshape(tr, tc)
+
+
+def tin_interpolation(points, layout: LayoutDefinition, key_bounds,
+                      x_col: str = "x", y_col: str = "y",
+                      value_col: str = "value", concurrency: int = 4):
+    """DelaunayRasterizer equivalent: triangulate the samples, rasterize the
+    linear TIN surface over the key_bounds tile grid. Same broadcast-samples
+    actor-pool shape as IDW/Kriging."""
+    ref = _put_samples(points, x_col, y_col, value_col)
+    keys = _keys_dataset(layout, key_bounds)
+    return keys.map_batches(
+        _TinSurface, fn_constructor_args=(ref, layout),
+        batch_format="pyarrow", concurrency=_pool(concurrency), batch_size=16)

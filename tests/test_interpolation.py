@@ -260,3 +260,73 @@ def test_fit_variogram_recovers_known_model():
     mean_g = float((emp * cnt).sum() / cnt.sum())
     sse_flat = float((cnt * (emp - mean_g) ** 2).sum())
     assert sse_fit < sse_flat * 0.8
+
+
+def test_delaunay_property_and_hull_area():
+    """The Delaunay condition IS the oracle: no sample strictly inside any
+    triangle's circumcircle; triangles tile the convex hull exactly (area
+    identity). Includes a regular grid (cocircular degeneracies)."""
+    from geotrellis_ray.core.delaunay import _circum, delaunay
+
+    def hull_area(pts):
+        pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+        def half(P):
+            h = []
+            for p in P:
+                while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+
+        H = np.array(half(pts)[:-1] + half(pts[::-1])[:-1])
+        x, y = H[:, 0], H[:, 1]
+        return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    rng = np.random.default_rng(1)
+    gx, gy = np.meshgrid(np.arange(5.0), np.arange(4.0))
+    cases = [
+        (rng.uniform(0, 100, 200), rng.uniform(0, 100, 200)),
+        (gx.ravel(), gy.ravel()),  # grid: every 4-point cell is cocircular
+    ]
+    for xs, ys in cases:
+        tri = delaunay(xs, ys)
+        ux, uy, r2 = _circum(xs, ys, tri)
+        for i in range(len(tri)):
+            d2 = (xs - ux[i]) ** 2 + (ys - uy[i]) ** 2
+            inside = d2 < r2[i] * (1 - 1e-5)  # 1e-7-span jitter bounds the slack
+            inside[tri[i]] = False
+            assert not inside.any(), f"in-circle violation at triangle {i}"
+        a = np.stack([xs[tri[:, 0]], ys[tri[:, 0]]], 1)
+        b = np.stack([xs[tri[:, 1]], ys[tri[:, 1]]], 1)
+        c = np.stack([xs[tri[:, 2]], ys[tri[:, 2]]], 1)
+        tarea = 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])).sum()
+        assert np.isclose(tarea, hull_area(np.stack([xs, ys], 1)))
+
+
+def test_tin_affine_reproduction_and_surface(ray_session):
+    """A TIN reproduces any affine field EXACTLY inside the hull (linear
+    interpolation over a triangulation of exact samples), and is exact at
+    the sample points; the distributed surface matches a direct TIN query."""
+    from geotrellis_ray.core.delaunay import TIN
+    from geotrellis_ray.stages.interpolation import tin_interpolation
+
+    rng = np.random.default_rng(6)
+    n = 120
+    samples = pd.DataFrame({"x": rng.uniform(0, 64, n), "y": rng.uniform(0, 64, n)})
+    samples["value"] = 3.0 * samples["x"] + 2.0 * samples["y"] + 1.0
+    out = tin_interpolation(samples, LAYOUT, (0, 0, 3, 3)).to_pandas()
+    got = _stitch(out)
+    rows, cols = got.shape
+    cy, cx = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    wx = cx + 0.5
+    wy = 64 - cy - 0.5
+    exp = 3.0 * wx + 2.0 * wy + 1.0
+    inh = ~np.isnan(got)
+    assert inh.mean() > 0.5
+    np.testing.assert_allclose(got[inh], exp[inh], atol=1e-9)
+    # NaN exactly where a direct TIN query says outside-hull
+    tin = TIN(samples["x"], samples["y"], samples["value"])
+    direct = tin.interpolate(wx.ravel(), wy.ravel()).reshape(rows, cols)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(direct))
