@@ -104,3 +104,68 @@ class HyperLogLog:
     def from_dict(cls, d: dict) -> "HyperLogLog":
         reg = np.frombuffer(base64.b64decode(d["reg"]), dtype=np.uint8).copy()
         return cls(p=int(d["p"]), registers=reg)
+
+
+class TopKSketch:
+    """Misra–Gries / "frequent" heavy-hitters sketch with batched decrements
+    (Misra & Gries 1982; mergeability per Agarwal et al. 2012): at most
+    ``capacity`` tracked keys; every estimate satisfies
+    true − N/(capacity+1) <= est <= true. When the stream's distinct count
+    never exceeds ``capacity`` no decrement ever fires and counts are EXACT.
+
+    Batch update is fully vectorized: pandas groupby-sum of the incoming
+    keys, concat with the tracked table, then one batched decrement (drop
+    the overflow by subtracting the (capacity+1)-th largest count)."""
+
+    def __init__(self, capacity: int = 2048, keys=None, counts=None):
+        self.capacity = int(capacity)
+        self.keys = np.asarray(keys if keys is not None else [], dtype=object)
+        self.counts = np.asarray(counts if counts is not None else [], dtype=np.int64)
+        self.decremented = 0  # total per-key decrement applied so far
+
+    def _reduce(self, keys, counts):
+        import pandas as pd
+
+        s = pd.Series(counts, index=keys).groupby(level=0).sum()
+        keys = s.index.to_numpy(dtype=object)
+        counts = s.to_numpy(dtype=np.int64)
+        if len(keys) > self.capacity:
+            # batched Misra-Gries decrement: one subtraction evicts the tail
+            d = int(np.partition(counts, -(self.capacity + 1))[-(self.capacity + 1)])
+            counts = counts - d
+            keep = counts > 0
+            keys, counts = keys[keep], counts[keep]
+            self.decremented += d
+        self.keys, self.counts = keys, counts
+
+    def update(self, values) -> "TopKSketch":
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return self
+        import pandas as pd
+
+        vc = pd.Series(values).value_counts()
+        self._reduce(np.concatenate([self.keys, vc.index.to_numpy(dtype=object)]),
+                     np.concatenate([self.counts, vc.to_numpy(dtype=np.int64)]))
+        return self
+
+    def merge(self, other: "TopKSketch") -> "TopKSketch":
+        self.decremented += other.decremented
+        self._reduce(np.concatenate([self.keys, other.keys]),
+                     np.concatenate([self.counts, other.counts]))
+        return self
+
+    def top(self, k: int) -> list[tuple]:
+        order = np.lexsort((self.keys.astype(str), -self.counts))[:k]
+        return [(self.keys[i], int(self.counts[i])) for i in order]
+
+    def to_dict(self) -> dict:
+        return {"capacity": self.capacity, "decremented": self.decremented,
+                "keys": [str(k) for k in self.keys],
+                "counts": self.counts.tolist()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TopKSketch":
+        out = cls(capacity=int(d["capacity"]), keys=d["keys"], counts=d["counts"])
+        out.decremented = int(d.get("decremented", 0))
+        return out

@@ -666,6 +666,40 @@ SQL_DECONTAMINATE = """
 """
 
 
+def q_top_terms_sketch(sf_dir: str):
+    """Corpus top-20 terms via the Misra-Gries heavy-hitters sketch
+    (stages/stats.approx_top_k): bounded-size sketch per block, tree merge,
+    then an exact re-count of only the candidate keys — exact whenever every
+    true top key's frequency exceeds N/(capacity+1) (stopword frequencies
+    beat that bound by orders of magnitude). Terms tokenized by the same
+    rule as the TF-IDF oracle. SQL-checked."""
+    from .stages.stats import approx_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = ds.map_batches(_raw_terms_batch, batch_format="pyarrow", zero_copy_batch=True)
+    top = approx_top_k(terms, "term", k=20, capacity=2048)
+    return pd.DataFrame(top, columns=["term", "n"])
+
+
+def _raw_terms_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), 2))
+    return pa.table({"term": flat})
+
+
+SQL_TOP_TERMS = """
+    WITH t AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+        FROM documents
+    )
+    SELECT term, count(*) AS n FROM t
+    GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 def q_doc_quality(sf_dir: str):
     from .functions.text_analysis import quality_score_batch
 
@@ -1134,6 +1168,22 @@ def q_ann_index_ivf(sf_dir: str):
         build_ann_index(ds, path, kind="ivf", n_centroids=16)
     out = ann_query_index(path, _embedding_queries(sf_dir), k=5, nprobe=6)
     return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_ann_pq_embeddings(sf_dir: str):
+    """Product-quantization ANN (stages/ann.pq_train/pq_encode/pq_search
+    _rerank — Jégou et al. 2011): codebooks trained on a driver-side sample,
+    vectors compressed d*4 bytes -> m bytes, ADC scan over the codes, exact
+    re-rank of only the bounded candidate set. Rows-only (approx candidates;
+    the ADC==||q-decode||^2 identity and rerank-vs-brute overlap are
+    pytest-verified)."""
+    from .stages.ann import pq_search_rerank, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.stack(ds.limit(2048).to_pandas()["embedding"].to_numpy()).astype(np.float32)
+    books = pq_train(sample, m=8, ksub=min(64, len(sample)))
+    out = pq_search_rerank(ds, _embedding_queries(sf_dir), books, k=5, k_cand=100)
+    return out[["query_id", "rank", "vec_id"]]
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -2578,6 +2628,7 @@ def build_queries() -> dict:
         "q_line_stats": q_line_stats,
         "q_pii_redact": q_pii_redact,
         "q_domain_stats": q_domain_stats,
+        "q_top_terms_sketch": q_top_terms_sketch,
         "q_stratified_sample": q_stratified_sample,
         "q_sessionize_events": q_sessionize_events,
         "q_decontaminate": q_decontaminate,
@@ -2603,6 +2654,7 @@ def build_queries() -> dict:
         "q_ann_lsh_embeddings": q_ann_lsh_embeddings,
         "q_ann_ivf_embeddings": q_ann_ivf_embeddings,
         "q_ann_index_ivf": q_ann_index_ivf,
+        "q_ann_pq_embeddings": q_ann_pq_embeddings,
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_kernel_density": q_kernel_density,
         "q_region_group": q_region_group,
@@ -2673,6 +2725,7 @@ def build_oracle_sql() -> dict:
         "q_line_stats": SQL_LINE_STATS,
         "q_pii_redact": _sql_pii(),
         "q_domain_stats": _sql_domain_stats(),
+        "q_top_terms_sketch": SQL_TOP_TERMS,
         "q_stratified_sample": _sql_stratified_sample(),
         "q_sessionize_events": SQL_SESSIONIZE,
         "q_decontaminate": SQL_DECONTAMINATE,

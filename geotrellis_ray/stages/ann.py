@@ -333,3 +333,166 @@ def semantic_dedup(ds, threshold: float = 0.97, n_centroids: int = 16,
 
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pandas")
+
+
+# --- Product Quantization (round 3) ------------------------------------------
+
+def _lloyd_euclid(sample: np.ndarray, k: int, iters: int = 15, seed: int = 5) -> np.ndarray:
+    """Plain Euclidean Lloyd on a driver-side sample (PQ codebooks are
+    trained on a sample by construction — Jégou et al. 2011)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cents = sample[np.sort(rng.choice(len(sample), size=k, replace=False))].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = sample[mask].mean(axis=0)
+    return cents.astype(np.float32)
+
+
+def pq_train(sample: np.ndarray, m: int = 8, ksub: int = 256,
+             iters: int = 15, seed: int = 5) -> np.ndarray:
+    """(n, d) sample -> (m, ksub, d/m) PQ codebooks: independent Euclidean
+    k-means per subspace (the classical product quantizer, Jégou/Douze/
+    Schmid 2011 — public method, from-spec)."""
+    sample = np.asarray(sample, dtype=np.float32)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by {m} subspaces")
+    dsub = d // m
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub), dtype=np.float32)
+    for j in range(m):
+        books[j] = _lloyd_euclid(sample[:, j * dsub:(j + 1) * dsub], ksub,
+                                 iters, seed + j)
+    return books
+
+
+def pq_encode_matrix(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8/uint16 codes: per-subspace nearest centroid via
+    the ||x||^2 - 2x.c + ||c||^2 expansion (one matmul per subspace)."""
+    m, ksub, dsub = books.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m), dtype=np.uint16 if ksub > 256 else np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub].astype(np.float32)
+        c = books[j]
+        d = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    m, ksub, dsub = books.shape
+    out = np.empty((codes.shape[0], m * dsub), dtype=np.float32)
+    for j in range(m):
+        out[:, j * dsub:(j + 1) * dsub] = books[j][codes[:, j].astype(np.int64)]
+    return out
+
+
+def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """-> Dataset (id_col, codes fixed_size_list<uint8>[m]): each vector
+    compressed d*4 bytes -> m bytes (the 100-TB memory lever: a billion
+    64-d float32 vectors = 256 GB raw, 8 GB PQ-coded)."""
+    import ray
+
+    ref = ray.put(books)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        codes = pq_encode_matrix(_batch_matrix(batch, emb_col), bks)
+        flat = pa.array(codes.ravel(), pa.uint8())
+        return pa.table({
+            id_col: batch[id_col],
+            "codes": pa.FixedSizeListArray.from_arrays(flat, codes.shape[1]),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_search(codes_ds, queries: np.ndarray, books: np.ndarray, k: int = 5,
+              id_col: str = "vec_id"):
+    """ADC search over PQ codes: per query a (m, ksub) lookup table of
+    subspace distances, per batch m vectorized gathers + partial top-k;
+    only k rows per (query, block) shuffle. ADC(q, codes) is EXACTLY
+    ||q - decode(codes)||^2 (the identity the tests assert).
+    -> Dataset (query_id, rank, id_col, adc_dist)."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float32)
+    m, ksub, dsub = books.shape
+    lut = np.empty((len(q), m, ksub), dtype=np.float64)
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        diff = qs[:, None, :] - books[j][None, :, :]
+        lut[:, j, :] = (diff.astype(np.float64) ** 2).sum(axis=2)
+    lut_ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        arr = batch["codes"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        codes = arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), m)
+        dist = np.zeros((lt.shape[0], codes.shape[0]))
+        for j in range(m):
+            dist += lt[:, j, :][:, codes[:, j].astype(np.int64)]
+        kk = min(k, dist.shape[1])
+        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        out_q = np.repeat(np.arange(lt.shape[0], dtype=np.int64), kk)
+        out_i = part.ravel()
+        out_d = np.take_along_axis(dist, part, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: batch[id_col].take(pa.array(out_i, pa.int64())),
+            "adc_dist": pa.array(out_d, pa.float64()),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_dist", id_col], ascending=[True, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        codes_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def pq_search_rerank(ds, queries: np.ndarray, books: np.ndarray, k: int = 5,
+                     k_cand: int = 100, id_col: str = "vec_id",
+                     emb_col: str = "embedding"):
+    """The standard PQ pipeline (coarse ADC scan -> exact re-rank): ADC over
+    the compressed codes yields k_cand candidates per query; only those
+    candidates' ORIGINAL vectors (nq x k_cand rows, bounded) are pulled and
+    re-ranked exactly. -> pandas (query_id, rank, id_col, dist)."""
+    q = np.asarray(queries, dtype=np.float64)
+    codes = pq_encode(ds, books, id_col, emb_col)
+    cand = pq_search(codes, q, books, k=k_cand, id_col=id_col).to_pandas()
+    cand_ids = np.sort(np.unique(cand[id_col].to_numpy()))
+
+    def pull(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cand_ids, ids), 0, len(cand_ids) - 1)
+        keep = cand_ids[pos] == ids
+        return batch.filter(pa.array(keep))
+
+    # candidate-sized driver pull by contract (nq * k_cand rows)
+    sub = ds.map_batches(pull, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    emb = np.stack(sub[emb_col].to_numpy()).astype(np.float64)
+    ids = sub[id_col].to_numpy()
+    order_ids = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qi, grp in cand.groupby("query_id"):
+        gi = np.array([order_ids[int(v)] for v in grp[id_col]], dtype=np.int64)
+        d = ((q[int(qi)][None, :] - emb[gi]) ** 2).sum(axis=1)
+        top = np.lexsort((ids[gi], d))[:k]
+        for r, t in enumerate(top, 1):
+            rows.append((int(qi), r, int(ids[gi[t]]), float(d[t])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "dist"])

@@ -154,3 +154,43 @@ def approx_distinct(ds, value_col: str, p: int = 12) -> float:
     merged = _tree_merge_sketches(sketches, lambda: HyperLogLog(p),
                                   HyperLogLog.from_dict)
     return merged.estimate()
+
+
+def approx_top_k(ds, value_col: str, k: int = 10, capacity: int = 2048,
+                 exact_recount: bool = True):
+    """Heavy hitters at corpus scale: Misra-Gries sketch per block (bounded
+    ``capacity`` keys regardless of stream size), tree-merged; optionally a
+    second streaming pass re-counts ONLY the candidate keys exactly
+    (broadcast filter + partial_groupby over a candidate-sized stream), so
+    the result is exact whenever every true top-k key stays in the sketch
+    (guaranteed when its frequency exceeds N/(capacity+1)).
+    -> list[(key, count)] sorted by count desc, key asc."""
+    import json
+
+    from ..core.sketch import TopKSketch
+    from .agg import partial_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = TopKSketch(capacity).update(_values_from_batch(batch, value_col))
+        return pa.table({"sketch": pa.array([json.dumps(s.to_dict())], pa.string())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _tree_merge_sketches(sketches, lambda: TopKSketch(capacity),
+                                  TopKSketch.from_dict)
+    cand = [key for key, _ in merged.top(max(k * 4, k + 8))]
+    if not exact_recount:
+        return merged.top(k)
+    cand_arr = np.sort(np.asarray(cand, dtype=object))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(_values_from_batch(batch, value_col), dtype=object)
+        pos = np.searchsorted(cand_arr, vals.astype(str))
+        pos_c = np.clip(pos, 0, len(cand_arr) - 1)
+        keep = cand_arr[pos_c] == vals
+        return pa.table({value_col: pa.array(vals[keep])})
+
+    counts = partial_groupby(
+        ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True),
+        [value_col], [(value_col, "count", "n")])
+    df = counts.to_pandas().sort_values(["n", value_col], ascending=[False, True])
+    return [(row[value_col], int(row["n"])) for _, row in df.head(k).iterrows()]

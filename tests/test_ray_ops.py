@@ -487,3 +487,124 @@ def test_approx_distinct_distributed(ray_session):
     assert est == single  # distributed merge is lossless
     true = len(np.unique(vals))
     assert abs(est - true) / true < 0.05
+
+
+def test_topk_sketch_bounds_and_merge():
+    """Misra-Gries guarantees: true - N/(cap+1) - decremented <= est <= true;
+    merged sketches obey the (doubled) bound; exact when distinct <= cap."""
+    import collections
+
+    import numpy as np
+
+    from geotrellis_ray.core.sketch import TopKSketch
+
+    rng = np.random.default_rng(0)
+    vals = rng.zipf(1.3, 150_000)
+    vals = vals[vals < 100_000].astype(str)
+    s = TopKSketch(512)
+    for i in range(0, len(vals), 10_000):
+        s.update(vals[i:i + 10_000])
+    true = collections.Counter(vals)
+    est = dict(zip(s.keys, s.counts))
+    eps = len(vals) / (s.capacity + 1)
+    for key, t in true.most_common(20):
+        e = est.get(key, 0)
+        assert t - eps <= e <= t, (key, t, e)
+    a, b = TopKSketch(512), TopKSketch(512)
+    a.update(vals[:len(vals) // 2])
+    b.update(vals[len(vals) // 2:])
+    a.merge(b)
+    esta = dict(zip(a.keys, a.counts))
+    for key, t in true.most_common(10):
+        assert t - 2 * eps <= esta.get(key, 0) <= t
+    # exact regime: distinct <= capacity -> no decrement, exact counts
+    small = np.array(["a", "b", "a", "c", "b", "a"], dtype=object)
+    se = TopKSketch(16).update(small)
+    assert se.decremented == 0
+    assert dict(zip(se.keys, se.counts)) == {"a": 3, "b": 2, "c": 1}
+    rt = TopKSketch.from_dict(se.to_dict())
+    assert se.top(3) == rt.top(3)
+
+
+def test_approx_top_k_distributed_exact_recount(ray_session):
+    """Sketch candidates + exact re-count == the true top-k on Zipf data."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.stats import approx_top_k
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.5, 100_000)
+    vals = vals[vals < 10_000].astype(str)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(12)
+    got = approx_top_k(ds, "v", k=10, capacity=512)
+    true = collections.Counter(vals)
+    exp = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(k, c) for k, c in exp]
+
+
+def test_pq_adc_identity_and_reconstruction():
+    """ADC(q, codes) == ||q - decode(codes)||^2 EXACTLY (the PQ invariant);
+    finer quantizers reconstruct better."""
+    import numpy as np
+
+    from geotrellis_ray.stages.ann import pq_decode, pq_encode_matrix, pq_train
+
+    rng = np.random.default_rng(0)
+    cents = rng.normal(0, 5, (12, 64)).astype(np.float32)
+    data = (cents[rng.integers(0, 12, 2000)] + rng.normal(0, 0.4, (2000, 64))).astype(np.float32)
+    books = pq_train(data[:1000], m=8, ksub=64)
+    codes = pq_encode_matrix(data, books)
+    recd = pq_decode(codes, books)
+    q = rng.normal(0, 5, (4, 64)).astype(np.float32)
+    m, ksub, dsub = books.shape
+    lut = np.empty((4, m, ksub))
+    for j in range(m):
+        diff = q[:, j * dsub:(j + 1) * dsub][:, None, :] - books[j][None]
+        lut[:, j, :] = (diff.astype(np.float64) ** 2).sum(axis=2)
+    adc = np.zeros((4, len(codes)))
+    for j in range(m):
+        adc += lut[:, j, :][:, codes[:, j].astype(int)]
+    exact = ((q[:, None, :].astype(np.float64) - recd[None].astype(np.float64)) ** 2).sum(axis=2)
+    np.testing.assert_allclose(adc, exact, rtol=1e-5, atol=1e-3)
+    err8 = np.linalg.norm(data - recd, axis=1).mean()
+    books16 = pq_train(data[:1000], m=16, ksub=64)
+    rec16 = pq_decode(pq_encode_matrix(data, books16), books16)
+    err16 = np.linalg.norm(data - rec16, axis=1).mean()
+    assert err16 < err8  # finer product quantizer -> lower distortion
+
+
+def test_pq_search_rerank_matches_brute(ray_session):
+    """ADC candidates + exact re-rank vs numpy brute top-k: high overlap,
+    and every returned distance is the EXACT squared distance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.ann import pq_search_rerank, pq_train
+
+    rng = np.random.default_rng(1)
+    cents = rng.normal(0, 5, (10, 32)).astype(np.float32)
+    data = (cents[rng.integers(0, 10, 2500)] + rng.normal(0, 0.4, (2500, 32))).astype(np.float32)
+    books = pq_train(data[:1200], m=8, ksub=64)
+    q = data[rng.integers(0, 2500, 5)] + rng.normal(0, 0.05, (5, 32)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(2500, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(data.ravel(), pa.float32()), 32),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = pq_search_rerank(ds, q, books, k=5, k_cand=300)
+    brute = ((q[:, None, :].astype(np.float64) - data[None].astype(np.float64)) ** 2).sum(axis=2)
+    overlap = 0.0
+    for qi in range(5):
+        g = got[got["query_id"] == qi].sort_values("rank")
+        true5 = set(np.argsort(brute[qi])[:5].tolist())
+        overlap += len(true5 & set(g["vec_id"].tolist())) / 5
+        # exact distances for whatever was returned
+        for _, row in g.iterrows():
+            assert abs(row["dist"] - brute[qi][int(row["vec_id"])]) < 1e-6
+    assert overlap / 5 >= 0.8, overlap / 5
