@@ -1754,6 +1754,54 @@ SQL_OVERLAY_GENERAL = """
 """
 
 
+def q_buffer_geoms(sf_dir: str):
+    """Geometry buffer (core/buffer.py Minkowski construction via
+    stages/overlay.py:buffer_features): 96 deterministic axis-aligned rects,
+    per-row distance — dilate (two radii, rounded-rect result) and erode
+    (sharp shrunk rect, incl. vanish past the inradius). SQL-checked: the
+    dilated area is the exact rounded-rect closed form w*h + 2*(w+h)*r +
+    ngon_area(r) with the same 32-gon disc DuckDB can state as
+    16*r^2*sin(pi/16); erosion is (w-2|r|)*(h-2|r|) clamped at 0. Both sides
+    round to 6 decimals (float-ulp tolerance, values are irrational)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .core.wkb import encode_polygon
+    from .stages.overlay import buffer_features
+
+    rows = []
+    for i in range(96):
+        w, h = 2.0 + (i % 8), 1.0 + (i % 5)
+        x0, y0 = (i % 12) * 30.0 - 180.0, (i // 12) * 20.0 - 80.0
+        r = (0.5, 0.25, -0.6)[i % 3]
+        ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+        rows.append({"polygon_id": i, "dist": r, "wkb": encode_polygon([ring])})
+    tab = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("polygon_id", pa.int64()), ("dist", pa.float64()), ("wkb", pa.binary())]))
+    out = buffer_features(ray.data.from_arrow(tab), dist_col="dist", quad_segs=8)
+    return out.map_batches(
+        lambda b: pa.table({"polygon_id": b["polygon_id"],
+                            "buf_area": pc.round(b["buf_area"], 6)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BUFFER = """
+    WITH t AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               2.0 + CAST(i % 8 AS DOUBLE) AS w,
+               1.0 + CAST(i % 5 AS DOUBLE) AS h,
+               CASE i % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 0.25 ELSE -0.6 END AS r
+        FROM range(0, 96) t(i)
+    )
+    SELECT polygon_id,
+           round(CASE
+               WHEN r >= 0 THEN w*h + 2.0*(w+h)*r + 16.0*r*r*sin(pi()/16.0)
+               WHEN w + 2.0*r > 0 AND h + 2.0*r > 0 THEN (w + 2.0*r) * (h + 2.0*r)
+               ELSE 0.0 END, 6) AS buf_area
+    FROM t
+"""
+
+
 def q_range_join(sf_dir: str):
     """Bucketed interval join (1-D PBSM, stages/join.py:range_join): event
     values x 64 overlapping deterministic intervals [i*12.5, i*12.5+20),
@@ -2683,6 +2731,7 @@ def build_queries() -> dict:
         "q_semi_anti_join": q_semi_anti_join,
         "q_overlay_rects": q_overlay_rects,
         "q_overlay_general": q_overlay_general,
+        "q_buffer_geoms": q_buffer_geoms,
         "q_layer_algebra_toy": q_layer_algebra_toy,
         "q_buffer_focal_toy": q_buffer_focal_toy,
         "q_merge_layers_toy": q_merge_layers_toy,
@@ -2748,6 +2797,7 @@ def build_oracle_sql() -> dict:
         "q_semi_anti_join": SQL_SEMI_ANTI,
         "q_overlay_rects": SQL_OVERLAY,
         "q_overlay_general": SQL_OVERLAY_GENERAL,
+        "q_buffer_geoms": SQL_BUFFER,
         "q_kernel_density": SQL_KERNEL_DENSITY,
         "q_region_group": SQL_REGION_GROUP,
         "q_euclidean_distance": SQL_EUCLID,

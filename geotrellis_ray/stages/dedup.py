@@ -780,3 +780,137 @@ def decontaminate(ds, bench_ds, gram_len: int = 50, id_col: str = "doc_id",
         })
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- paragraph-level exact dedup (round 3) -----------------------------------
+
+_PARA_IDX_BITS = 20  # packed = doc_id << 20 | chunk_idx; docs stay < 2^43
+
+
+def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
+                    text_col: str = "text", key: str = "text"):
+    """C4/RefinedWeb-style paragraph-level exact dedup: split every doc into
+    fixed ``words_per_para``-word paragraphs, keep only the globally FIRST
+    occurrence of each paragraph (ordered by (doc, position)), and reassemble
+    each doc from its surviving paragraphs. Docs that lose every paragraph
+    drop out. -> Dataset (id_col, text_dedup).
+
+    (The reference engine has no text ops; this is the LLM-training-data
+    counterpart of its dedup family — same keep-first-by-key semantics as
+    dedup_exact, one level below the document.)
+
+    Scale shape (the shuffles carry SLIM rows; doc text ships exactly twice —
+    once into the paragraph explode, once into the final reassembly join):
+    1. explode docs -> (paragraph, packed) rows, vectorized per chunk index
+       (pc.split_pattern + list_slice + binary_join — no Python row loop);
+       ``key="hash"`` swaps the paragraph text for a 64-bit hash so the wide
+       groupby/join carry 16 B/row at 100 TB (2^-64 collision risk);
+       ``key="text"`` keeps exact semantics (SQL-checkable).
+    2. winner per paragraph = min(packed) via partial_groupby (map-side
+       combine; shuffle final — paragraph cardinality is unbounded).
+    3. hash-join winners back to the slim row stream; kept = packed == win.
+    4. ONE range sort of the kept (packed)-only rows, per-block per-doc
+       kept-index assembly (idx list as a csv string — primitive columns
+       survive every Ray join/pandas path), block-edge docs stitched on the
+       driver (O(#blocks) rows, same pattern as exact_substring_spans).
+    5. inner hash-join (doc_id, kept csv) x the original docs (text ships
+       once per doc), then a vectorized-ish re-split + take + join per row.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from .agg import partial_groupby
+
+    pcol = "para" if key == "text" else "ph"
+    idx_mask = (1 << _PARA_IDX_BITS) - 1
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern(texts, " ")
+        nwords = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        nchunks = -(-nwords // words_per_para)  # ceil; empty text -> 1 word -> 1 chunk
+        parts = []
+        for i in range(int(nchunks.max()) if len(nchunks) else 0):
+            keep = nchunks > i
+            mask = pa.array(keep)
+            sl = pc.binary_join(
+                pc.list_slice(words.filter(mask), i * words_per_para,
+                              (i + 1) * words_per_para), " ")
+            packed = (ids[keep] << _PARA_IDX_BITS) | i
+            col = sl if key == "text" else pa.array(
+                _gram_hash64(sl, 0), pa.int64())
+            parts.append(pa.table({pcol: col,
+                                   "packed": pa.array(packed, pa.int64())}))
+        if not parts:
+            return pa.table({pcol: pa.array([], pa.string() if key == "text" else pa.int64()),
+                             "packed": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    chunks = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    winners = partial_groupby(chunks, [pcol], [("packed", "min", "win")])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus // 2))
+    kept = chunks.join(winners, join_type="inner", on=(pcol,),
+                       num_partitions=nparts)
+    kept = kept.filter(expr="packed == win").select_columns(["packed"])
+
+    sorted_kept = kept.sort("packed")
+
+    def block_assemble(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             id_col: pa.array([], pa.int64()),
+                             "kept_csv": pa.array([], pa.string())})
+        packed = b["packed"].to_numpy(zero_copy_only=False)
+        ids = packed >> _PARA_IDX_BITS
+        idxs = packed & idx_mask
+        brk = np.nonzero(ids[1:] != ids[:-1])[0]
+        starts = np.r_[0, brk + 1]
+        ends = np.r_[brk + 1, n]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = 1
+        kind[-1] = 1  # edge docs may continue in neighbor blocks
+        csvs = [",".join(map(str, idxs[s:e])) for s, e in zip(starts, ends)]
+        return pa.table({"kind": pa.array(kind, pa.int8()),
+                         id_col: pa.array(ids[starts], pa.int64()),
+                         "kept_csv": pa.array(csvs, pa.string())})
+
+    lists = sorted_kept.map_batches(block_assemble, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    inner = lists.filter(expr="kind == 0").drop_columns(["kind"])
+    edge = lists.filter(expr="kind == 1").to_pandas()  # <= 2 rows per block
+    if len(edge):
+        # rows arrive sorted within each block; order blocks by first idx
+        edge["first_idx"] = edge["kept_csv"].str.split(",").str[0].astype(np.int64)
+        edge = edge.sort_values([id_col, "first_idx"], kind="stable")
+        merged: dict[int, list[str]] = {}
+        for did, csv in zip(edge[id_col].to_numpy(), edge["kept_csv"]):
+            merged.setdefault(int(did), []).append(csv)
+        stitched = pa.table({
+            id_col: pa.array(list(merged), pa.int64()),
+            "kept_csv": pa.array([",".join(v) for v in merged.values()], pa.string()),
+        })
+        inner = inner.union(rd.from_arrow(stitched))
+
+    docs = ds.select_columns([id_col, text_col])
+    joined = inner.join(docs, join_type="inner", on=(id_col,),
+                        num_partitions=nparts)
+
+    def reassemble(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        csvs = b["kept_csv"].to_pylist()
+        out = []
+        for t, csv in zip(texts, csvs):
+            w = t.split(" ")
+            out.append(" ".join(
+                " ".join(w[i * words_per_para:(i + 1) * words_per_para])
+                for i in (int(x) for x in csv.split(","))))
+        return pa.table({id_col: b[id_col], "text_dedup": pa.array(out, pa.string())})
+
+    return joined.map_batches(reassemble, batch_format="pyarrow",
+                              zero_copy_batch=True)

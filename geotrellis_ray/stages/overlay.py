@@ -172,3 +172,49 @@ def overlay_general(left_ds, right_table: pa.Table, op: str = "intersection",
                                         id_col=id_col, right_id_col=right_id_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# --- buffer ------------------------------------------------------------------
+
+
+def buffer_batch(batch: pa.Table, dist: float | None = None,
+                 quad_segs: int = 8, wkb_col: str = "wkb",
+                 dist_col: str | None = None) -> pa.Table:
+    """Buffer every geometry in a batch (core/buffer.py Minkowski construction).
+
+    ``dist`` applies one distance to all rows; ``dist_col`` takes a per-row
+    distance column instead (negative = erode). Output keeps all non-wkb
+    columns and replaces ``wkb_col`` with the buffered geometry (null when
+    the result is empty, e.g. erosion past the inradius), adding ``buf_area``
+    (signed shoelace area of the result, 0 for null)."""
+    from ..core.buffer import buffer_geom
+    from ..core.polyclip import geom_polygons, rings_signed_area
+
+    dists = (batch[dist_col].to_numpy(zero_copy_only=False)
+             if dist_col else None)
+    wkbs, areas = [], []
+    for i, buf in enumerate(batch[wkb_col].to_pylist()):
+        d = float(dists[i]) if dists is not None else float(dist)
+        res = buffer_geom(wkb.decode(buf), d, quad_segs=quad_segs)
+        if res is None:
+            wkbs.append(None)
+            areas.append(0.0)
+        else:
+            wkbs.append(wkb.encode(res))
+            areas.append(float(rings_signed_area(geom_polygons(res))))
+    keep = {name: batch[name] for name in batch.column_names if name != wkb_col}
+    keep[wkb_col] = pa.array(wkbs, pa.binary())
+    keep["buf_area"] = pa.array(areas, pa.float64())
+    return pa.table(keep)
+
+
+def buffer_features(ds, dist: float | None = None, quad_segs: int = 8,
+                    wkb_col: str = "wkb", dist_col: str | None = None):
+    """Distributed geometry buffer: per-row independent, no shuffle. Points,
+    lines and polygons dilate; polygons also erode (negative distance).
+    ref:vector geometry.buffer (JTS BufferOp delegate), L:unverified."""
+    return ds.map_batches(
+        lambda b: buffer_batch(b, dist=dist, quad_segs=quad_segs,
+                               wkb_col=wkb_col, dist_col=dist_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
