@@ -377,6 +377,36 @@ SQL_DEDUP_EXACT = """
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4/RefinedWeb-style paragraph-level exact dedup
+    (stages/dedup.py:paragraph_dedup): 12-word paragraphs, keep the globally
+    first occurrence by (doc, position), reassemble each doc. SQL-checked —
+    DuckDB reproduces the split/keep-first/reassemble exactly via list
+    slicing + row_number."""
+    from .stages.dedup import paragraph_dedup
+
+    return paragraph_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           words_per_para=12)
+
+
+SQL_PARAGRAPH_DEDUP = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(w[(CAST(i AS INT)*12+1):((CAST(i AS INT)+1)*12)], ' ') AS para
+        FROM words,
+             LATERAL (SELECT unnest(range(0, CAST(ceil(len(w)/12.0) AS BIGINT))) AS i) t
+    ),
+    keep AS (
+        SELECT doc_id, chunk_idx, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id, string_agg(para, ' ' ORDER BY chunk_idx) AS text_dedup
+    FROM keep WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def q_duplicated_spans(sf_dir: str):
     """Chunk-based exact-substring duplication detector (stages/dedup.py:
     duplicated_spans — the windowed approximation of suffix-array training-
@@ -2668,6 +2698,7 @@ def build_queries() -> dict:
         "q_exact_quantiles": q_exact_quantiles,
         "q_events_hourly": q_events_hourly,
         "q_dedup_docs_exact": q_dedup_docs_exact,
+        "q_paragraph_dedup": q_paragraph_dedup,
         "q_duplicated_spans": q_duplicated_spans,
         "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
@@ -2766,6 +2797,7 @@ def build_oracle_sql() -> dict:
         "q_exact_quantiles": SQL_EXACT_QUANTILES,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
+        "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,

@@ -841,8 +841,12 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
                 pc.list_slice(words.filter(mask), i * words_per_para,
                               (i + 1) * words_per_para), " ")
             packed = (ids[keep] << _PARA_IDX_BITS) | i
-            col = sl if key == "text" else pa.array(
-                _gram_hash64(sl, 0), pa.int64())
+            if key == "text":
+                col = sl
+            else:  # variable-length rows: pandas' cython string hasher
+                col = pa.array(pd.util.hash_array(
+                    np.asarray(sl.to_pylist(), dtype=object)).view(np.int64),
+                    pa.int64())
             parts.append(pa.table({pcol: col,
                                    "packed": pa.array(packed, pa.int64())}))
         if not parts:
