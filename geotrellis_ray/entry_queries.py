@@ -2333,6 +2333,54 @@ SQL_REGION_GROUP = """
 """
 
 
+def q_vectorize(sf_dir: str):
+    """Vectorize (stages/vectorize.py — raster regions -> polygons): the
+    same 48x48 hash grid as q_region_group is labeled, every region's
+    boundary is traced into a Polygon-with-holes, and the polygon AREA is
+    reported per region (cell size 1, so a correct trace makes the polygon
+    area exactly the region's cell count — holes subtracted). SQL-checked
+    against the recursive transitive-closure oracle's region sizes: a
+    value-level check of ring assembly, saddle handling and hole signs."""
+    import ray
+
+    from .core.layout import Extent, LayoutDefinition, TileLayout
+    from .stages.regiongroup import region_group, region_stats
+    from .stages.vectorize import vectorize
+
+    lay = LayoutDefinition(Extent(0, 0, 48, 48), TileLayout(3, 3, 16, 16))
+    labeled = region_group(_hash_grid_layer(3, 16), lay).materialize()
+    ids = region_stats(labeled, lay, keep_label=True).select_columns(
+        ["label", "region_cell"])
+    polys = vectorize(labeled, lay).select_columns(["lab", "area"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    out = polys.join(ids, join_type="inner", on=("lab",), right_on=("label",),
+                     num_partitions=max(2, min(8, cpus // 2)))
+    return out.select_columns(["region_cell", "area"])
+
+
+SQL_VECTORIZE = """
+    WITH RECURSIVE grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 3 AS val,
+               y * 48 + x AS id
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    lab AS (
+        SELECT x, y, val, id AS lab FROM grid
+        UNION
+        SELECT g.x, g.y, g.val, l.lab
+        FROM lab l
+        JOIN grid g ON g.val = l.val
+         AND ((abs(g.x - l.x) = 1 AND g.y = l.y)
+           OR (abs(g.y - l.y) = 1 AND g.x = l.x))
+        WHERE l.lab < g.y * 48 + g.x
+    ),
+    comp AS (SELECT x, y, min(lab) AS region FROM lab GROUP BY x, y)
+    SELECT region AS region_cell, CAST(count(*) AS DOUBLE) AS area
+    FROM comp GROUP BY region
+"""
+
+
 def q_euclidean_distance(sf_dir: str):
     """EuclideanDistanceTile (stages/interpolation.euclidean_distance):
     per-cell distance to the nearest of ~samples (events subsampled
@@ -2737,6 +2785,7 @@ def build_queries() -> dict:
         "q_embedding_near_dups": q_embedding_near_dups,
         "q_kernel_density": q_kernel_density,
         "q_region_group": q_region_group,
+        "q_vectorize": q_vectorize,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
         "q_kriging_toy": q_kriging_toy,
@@ -2832,6 +2881,7 @@ def build_oracle_sql() -> dict:
         "q_buffer_geoms": SQL_BUFFER,
         "q_kernel_density": SQL_KERNEL_DENSITY,
         "q_region_group": SQL_REGION_GROUP,
+        "q_vectorize": SQL_VECTORIZE,
         "q_euclidean_distance": SQL_EUCLID,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check

@@ -254,12 +254,14 @@ def region_sizes(labeled_ds):
     return partial_groupby(per_tile, ["label"], [("n_cells", "sum", "n_cells")])
 
 
-def region_stats(labeled_ds, layout):
+def region_stats(labeled_ds, layout, keep_label: bool = False):
     """(region_cell, n_cells) per region, where region_cell is the region's
     MINIMUM global cell index (row-major over the whole layout) — a
     label-free canonical region id, so results are comparable against any
     other labeling (e.g. a SQL transitive-closure oracle). Same
-    partial_groupby shape as region_sizes."""
+    partial_groupby shape as region_sizes. ``keep_label`` retains the
+    internal label column (for joining back to other per-label outputs,
+    e.g. vectorize)."""
     from .agg import partial_groupby
 
     tl = layout.tile_layout
@@ -298,4 +300,6 @@ def region_stats(labeled_ds, layout):
     merged = partial_groupby(per_tile, ["label"],
                              [("n_cells", "sum", "n_cells"),
                               ("min_cell", "min", "region_cell")])
+    if keep_label:
+        return merged
     return merged.drop_columns(["label"])
