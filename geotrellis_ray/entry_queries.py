@@ -2274,9 +2274,9 @@ SQL_KERNEL_DENSITY = f"""
 """
 
 
-def _hash_grid_layer(n_tiles: int = 3, tile: int = 16):
+def _hash_grid_layer(n_tiles: int = 3, tile: int = 16, mod: int = 3):
     """Deterministic SQL-expressible categorical raster:
-    val(x, y) = (x * 2654435761 + y * 40503) % 3 over an
+    val(x, y) = (x * 2654435761 + y * 40503) % mod over an
     (n_tiles*tile)^2 grid, cut into tiles."""
     import ray.data
 
@@ -2288,12 +2288,77 @@ def _hash_grid_layer(n_tiles: int = 3, tile: int = 16):
         for kc in range(n_tiles):
             gy = kr * tile + np.arange(tile)[:, None]
             gx = kc * tile + np.arange(tile)[None, :]
-            a = ((gx * 2654435761 + gy * 40503) % 3).astype(np.float64)
+            a = ((gx * 2654435761 + gy * 40503) % mod).astype(np.float64)
             cells, cols, trows, ct = encode_tile(a)
             rows.append({"key_col": kc, "key_row": kr, "sfc": int(_z(kc, kr)),
                          "cells": cells, "cols": cols, "rows": trows,
                          "cell_type": ct})
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def q_equalize(sf_dir: str):
+    """Histogram equalization over a distributed layer
+    (stages/enhance.py:equalize_layer): global value CDF via one slim
+    aggregate, broadcast remap per tile. SQL-checked — the mapping
+    T(v) = lo + floor((cdf(v)-cdf(lo))*(hi-lo)/(N-cdf(lo))) is exact
+    integer arithmetic DuckDB reproduces with a window cumsum."""
+    from .stages.enhance import equalize_layer
+
+    eq = equalize_layer(_hash_grid_layer(3, 16, mod=251))
+    return _explode_tiles_to_cells(eq, value_cast="int64", drop_zero=False)
+
+
+SQL_EQUALIZE = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    stats AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM grid),
+    cum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v) AS cdf
+        FROM (SELECT v, count(*) AS cnt FROM grid GROUP BY v)
+    ),
+    c0 AS (SELECT cdf AS cdf_lo FROM cum ORDER BY v LIMIT 1)
+    SELECT g.x AS cell_x, g.y AS cell_y,
+           CAST(s.lo + floor((m.cdf - c.cdf_lo) * (s.hi - s.lo)
+                             / (s.n - c.cdf_lo)) AS BIGINT) AS density
+    FROM grid g JOIN cum m ON g.v = m.v, stats s, c0 c
+"""
+
+
+def q_sigmoidal(sf_dir: str):
+    """Sigmoidal contrast stretch (stages/enhance.py:sigmoidal_contrast,
+    alpha=0.5 beta=6): layer min/max aggregate + shuffle-free per-cell
+    remap. SQL-checked — the closed-form transform is reproduced in DuckDB
+    with exp(); both sides round to 9 decimals (pure scalar math, no
+    summation-order hazards)."""
+    import pyarrow.compute as pc
+
+    from .stages.enhance import sigmoidal_contrast
+
+    sg = sigmoidal_contrast(_hash_grid_layer(3, 16, mod=251),
+                            alpha=0.5, beta=6.0)
+    out = _explode_tiles_to_cells(sg, value_cast="float64", drop_zero=False)
+    return out.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "density": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SIGMOIDAL = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    stats AS (SELECT min(v) AS lo, max(v) AS hi FROM grid)
+    SELECT x AS cell_x, y AS cell_y,
+           round(lo + (hi - lo)
+                 * ((1.0/(1.0 + exp(6.0*(0.5 - (v - lo)/(hi - lo)))) - 1.0/(1.0 + exp(6.0*0.5)))
+                    / (1.0/(1.0 + exp(6.0*(0.5 - 1.0))) - 1.0/(1.0 + exp(6.0*0.5)))), 9) AS density
+    FROM grid, stats
+"""
 
 
 def q_region_group(sf_dir: str):
@@ -2786,6 +2851,8 @@ def build_queries() -> dict:
         "q_kernel_density": q_kernel_density,
         "q_region_group": q_region_group,
         "q_vectorize": q_vectorize,
+        "q_equalize": q_equalize,
+        "q_sigmoidal": q_sigmoidal,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
         "q_kriging_toy": q_kriging_toy,
@@ -2882,6 +2949,8 @@ def build_oracle_sql() -> dict:
         "q_kernel_density": SQL_KERNEL_DENSITY,
         "q_region_group": SQL_REGION_GROUP,
         "q_vectorize": SQL_VECTORIZE,
+        "q_equalize": SQL_EQUALIZE,
+        "q_sigmoidal": SQL_SIGMOIDAL,
         "q_euclidean_distance": SQL_EUCLID,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
