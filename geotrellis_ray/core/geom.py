@@ -247,8 +247,11 @@ def line_length(coords: np.ndarray) -> float:
     return float(np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1)).sum())
 
 
-def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain; returns hull ring CCW, not closed."""
+def convex_hull(points: np.ndarray, include_collinear: bool = False) -> np.ndarray:
+    """Andrew monotone chain; returns hull ring CCW, not closed.
+    ``include_collinear`` keeps points lying ON hull edges (needed when the
+    hull must be exactly the set of non-interior points, e.g. as a
+    mergeable partial in a distributed hull)."""
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     if len(pts) <= 2:
         return pts
@@ -257,14 +260,24 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     def half(seq):
         out: list[np.ndarray] = []
         for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
-                out.pop()
+            while len(out) >= 2:
+                c = np.cross(out[-1] - out[-2], p - out[-2])
+                if c < 0 or (c <= 0 and not include_collinear):
+                    out.pop()
+                else:
+                    break
             out.append(p)
         return out
 
     lower = half(pts)
     upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    if include_collinear and len(ring):
+        # collinear runs at the x-extremes can enter both chains; drop
+        # repeats but keep ring order
+        _vals, idx = np.unique(ring, axis=0, return_index=True)
+        ring = ring[np.sort(idx)]
+    return ring
 
 
 def bbox_intersects(a, b) -> bool:

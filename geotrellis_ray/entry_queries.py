@@ -2296,6 +2296,41 @@ def _hash_grid_layer(n_tiles: int = 3, tile: int = 16, mod: int = 3):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
+def q_convex_hull(sf_dir: str):
+    """Distributed convex hull (stages/overlay.py:convex_hull_stage):
+    per-block monotone chain + exact single-block merge of the tiny partial
+    hulls, over the ~events/211 subsample. SQL-checked with the O(n^3)
+    supporting-line characterization: p is on the hull boundary iff some
+    other point q has EVERY remaining point left of (or on) the line p->q.
+    Collinear edge points are INCLUDED on both sides — the derived
+    coordinates contain exact arithmetic-progression collinear runs, and
+    only the boundary-point (not strict-vertex) set is block-mergeable."""
+    from .stages.overlay import convex_hull_stage
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(_mod_filter("event_id", 211), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return convex_hull_stage(pts, x_col="lon", y_col="lat")
+
+
+SQL_CONVEX_HULL = f"""
+    WITH pts AS (
+        SELECT lon, lat FROM ({SQL_COORDS}) WHERE event_id % 211 = 0
+    )
+    SELECT DISTINCT p.lon, p.lat
+    FROM pts p JOIN pts q ON (p.lon != q.lon OR p.lat != q.lat)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts r
+        WHERE (r.lon != p.lon OR r.lat != p.lat)
+          AND (r.lon != q.lon OR r.lat != q.lat)
+          AND (q.lon - p.lon) * (r.lat - p.lat)
+            - (q.lat - p.lat) * (r.lon - p.lon) < 0
+    )
+"""
+
+
 def q_equalize(sf_dir: str):
     """Histogram equalization over a distributed layer
     (stages/enhance.py:equalize_layer): global value CDF via one slim
@@ -2853,6 +2888,7 @@ def build_queries() -> dict:
         "q_vectorize": q_vectorize,
         "q_equalize": q_equalize,
         "q_sigmoidal": q_sigmoidal,
+        "q_convex_hull": q_convex_hull,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
         "q_kriging_toy": q_kriging_toy,
@@ -2951,6 +2987,7 @@ def build_oracle_sql() -> dict:
         "q_vectorize": SQL_VECTORIZE,
         "q_equalize": SQL_EQUALIZE,
         "q_sigmoidal": SQL_SIGMOIDAL,
+        "q_convex_hull": SQL_CONVEX_HULL,
         "q_euclidean_distance": SQL_EUCLID,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check

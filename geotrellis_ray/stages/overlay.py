@@ -218,3 +218,40 @@ def buffer_features(ds, dist: float | None = None, quad_segs: int = 8,
                                wkb_col=wkb_col, dist_col=dist_col),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# --- convex hull -------------------------------------------------------------
+
+
+def convex_hull_stage(ds, x_col: str = "x", y_col: str = "y"):
+    """Distributed convex hull of a point Dataset (GeoTrellis geometry
+    convexHull, JTS delegate — ref:vector GeometryMethods, L:unverified).
+
+    Exactness: hull(union of hulls) = hull(all points), so each block
+    reduces to its own monotone-chain hull (vectorized numpy in, O(k) out)
+    and the final merge re-runs the chain over the concatenated partial
+    hulls. Partial hulls are tiny (expected O(n^(1/3)) vertices for random
+    points, O(log n) for many distributions), so the single-block final is
+    safe at any corpus size — the wide stage ships only hull vertices.
+    Returns the boundary points as (x, y) rows, CCW order. Collinear points
+    ON hull edges are KEPT (include_collinear): every global-boundary point
+    is on its own block hull's boundary, so the two-level reduce computes
+    exactly the set of non-interior points — well-defined regardless of how
+    blocks split collinear runs."""
+    from ..core.geom import convex_hull
+
+    def block_hull(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({x_col: pa.array([], pa.float64()),
+                             y_col: pa.array([], pa.float64())})
+        pts = np.column_stack([b[x_col].to_numpy(zero_copy_only=False),
+                               b[y_col].to_numpy(zero_copy_only=False)])
+        h = convex_hull(pts, include_collinear=True)
+        return pa.table({x_col: pa.array(h[:, 0], pa.float64()),
+                         y_col: pa.array(h[:, 1], pa.float64())})
+
+    partial = ds.map_batches(block_hull, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partial.repartition(1).map_batches(
+        block_hull, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
