@@ -2362,6 +2362,51 @@ SQL_EQUALIZE = """
 """
 
 
+def q_match_histogram(sf_dir: str):
+    """Histogram matching (stages/enhance.py:match_histogram): remap the
+    mod-251 hash grid so its value distribution follows the mod-17 hash
+    grid's. SQL-checked bit-exact — the transfer rule
+    T(v) = min{t : cdf_tgt(t)*N_src >= cdf_src(v)*N_tgt} is pure integer
+    arithmetic (cross-multiplied, no float division anywhere)."""
+    from .stages.enhance import match_histogram
+
+    out = match_histogram(_hash_grid_layer(3, 16, mod=251),
+                          _hash_grid_layer(3, 16, mod=17))
+    return _explode_tiles_to_cells(out, value_cast="int64", drop_zero=False)
+
+
+SQL_MATCH_HISTOGRAM = """
+    WITH src AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    tgt AS (
+        SELECT (x * 2654435761 + y * 40503) % 17 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    scum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v) AS c
+        FROM (SELECT v, count(*) AS cnt FROM src GROUP BY v)
+    ),
+    tcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v) AS c
+        FROM (SELECT v, count(*) AS cnt FROM tgt GROUP BY v)
+    ),
+    ns AS (SELECT count(*) AS n FROM src),
+    nt AS (SELECT count(*) AS n FROM tgt),
+    xfer AS (
+        SELECT s.v AS v, min(t.v) AS tv
+        FROM scum s, tcum t, ns, nt
+        WHERE t.c * ns.n >= s.c * nt.n
+        GROUP BY s.v
+    )
+    SELECT g.x AS cell_x, g.y AS cell_y, CAST(x.tv AS BIGINT) AS density
+    FROM src g JOIN xfer x ON g.v = x.v
+"""
+
+
 def q_sigmoidal(sf_dir: str):
     """Sigmoidal contrast stretch (stages/enhance.py:sigmoidal_contrast,
     alpha=0.5 beta=6): layer min/max aggregate + shuffle-free per-cell
@@ -2888,6 +2933,7 @@ def build_queries() -> dict:
         "q_vectorize": q_vectorize,
         "q_equalize": q_equalize,
         "q_sigmoidal": q_sigmoidal,
+        "q_match_histogram": q_match_histogram,
         "q_convex_hull": q_convex_hull,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
@@ -2987,6 +3033,7 @@ def build_oracle_sql() -> dict:
         "q_vectorize": SQL_VECTORIZE,
         "q_equalize": SQL_EQUALIZE,
         "q_sigmoidal": SQL_SIGMOIDAL,
+        "q_match_histogram": SQL_MATCH_HISTOGRAM,
         "q_convex_hull": SQL_CONVEX_HULL,
         "q_euclidean_distance": SQL_EUCLID,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,

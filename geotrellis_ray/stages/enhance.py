@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["equalize_layer", "sigmoidal_contrast"]
+__all__ = ["equalize_layer", "sigmoidal_contrast", "match_histogram"]
 
 _MAX_DISTINCT = 1 << 22  # driver-collect guard: int rasters are <= 2^16 anyway
 
@@ -93,6 +93,90 @@ def equalize_layer(ds):
             r = a.copy()
             idx = np.searchsorted(v_sorted, a[m], side="right") - 1
             r[m] = lo + np.floor((cdf[idx] - c0) * (hi - lo) / (n - c0))
+            out.append(r.tobytes())
+        return _replace_cells(batch, out)
+
+    return ds.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _value_cdf(ds) -> tuple[np.ndarray, np.ndarray]:
+    """ONE slim distributed aggregate -> (sorted distinct values, cumulative
+    counts) for a whole tile layer. Same FastMap shape as equalize_layer."""
+    from .agg import partial_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vs, cs = [], []
+        for _i, a in _tile_iter(batch):
+            v, c = np.unique(a[~np.isnan(a)], return_counts=True)
+            vs.append(v)
+            cs.append(c.astype(np.int64))
+        if not vs:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"v": pa.array(np.concatenate(vs), pa.float64()),
+                         "c": pa.array(np.concatenate(cs), pa.int64())})
+
+    hist = partial_groupby(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], [("c", "sum", "c")],
+    ).take_all()
+    if len(hist) > _MAX_DISTINCT:
+        raise ValueError(
+            f"_value_cdf: {len(hist)} distinct values exceeds the exact-CDF "
+            f"guard ({_MAX_DISTINCT}); quantize or bin the layer first")
+    vals = np.array([r["v"] for r in hist], dtype=np.float64)
+    cnts = np.array([r["c"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    return vals[order], np.cumsum(cnts[order])
+
+
+def match_histogram(ds, target):
+    """Histogram matching / specification (GeoTrellis HistogramMatching,
+    ref:raster/src/main/scala/geotrellis/raster/matching/HistogramMatching.scala,
+    L:unverified — /root/reference empty): remap the layer so its value
+    distribution follows the TARGET layer's. Integer-exact inverse-CDF rule:
+
+        T(v) = min { t in target values :
+                     cdf_tgt(t) / N_tgt  >=  cdf_src(v) / N_src }
+
+    evaluated with CROSS-MULTIPLIED integer comparison
+    (cdf_tgt(t) * N_src >= cdf_src(v) * N_src_tgt) so there is no float
+    division anywhere — DuckDB reproduces it bit-exact. Always well-defined:
+    cdf_src(v)/N_src <= 1 = cdf_tgt(max)/N_tgt.
+
+    Scale shape: TWO slim value-count aggregates (each ships only distinct
+    (value, count) rows, guarded by _MAX_DISTINCT), both mapping tables
+    broadcast once via ray.put; every tile remaps locally with two
+    searchsorted calls — no shuffle touches tile payloads. Cross products
+    must fit uint64 (each side's cell count < ~4.2e9); above that the layer
+    should be quantized first (guard raises)."""
+    import ray
+
+    src_vals, src_cum = _value_cdf(ds)
+    tgt_vals, tgt_cum = _value_cdf(target)
+    if not len(src_vals) or not len(tgt_vals):
+        return ds
+    n_src, n_tgt = int(src_cum[-1]), int(tgt_cum[-1])
+    if n_src * n_tgt >= (1 << 64):
+        raise ValueError("match_histogram: cdf cross products overflow uint64; "
+                         "quantize the layers first")
+    # precompute the full source-value -> target-value transfer table once:
+    # for each distinct source value, the first target index whose scaled
+    # cdf reaches the scaled source cdf.
+    j = np.searchsorted(tgt_cum.astype(np.uint64) * np.uint64(n_src),
+                        src_cum.astype(np.uint64) * np.uint64(n_tgt),
+                        side="left")
+    transfer = tgt_vals[np.minimum(j, len(tgt_vals) - 1)]
+    ref = ray.put((src_vals, transfer))
+
+    def remap(batch: pa.Table) -> pa.Table:
+        v_sorted, tr = ray.get(ref)
+        out = []
+        for _i, a in _tile_iter(batch):
+            m = ~np.isnan(a)
+            r = a.copy()
+            idx = np.searchsorted(v_sorted, a[m], side="right") - 1
+            r[m] = tr[np.maximum(idx, 0)]
             out.append(r.tobytes())
         return _replace_cells(batch, out)
 

@@ -60,6 +60,53 @@ def test_equalize_constant_layer_passthrough(ray_session):
     np.testing.assert_array_equal(got, g)
 
 
+def _brute_match(g, t):
+    """Per-cell inverse-CDF histogram matching with exact rational compare."""
+    from fractions import Fraction
+
+    sv, sc = np.unique(g[~np.isnan(g)], return_counts=True)
+    scum = np.cumsum(sc)
+    tv, tc = np.unique(t[~np.isnan(t)], return_counts=True)
+    tcum = np.cumsum(tc)
+    n_s, n_t = int(scum[-1]), int(tcum[-1])
+    out = g.copy()
+    it = np.nditer(g, flags=["multi_index"])
+    for x in it:
+        if np.isnan(x):
+            continue
+        p = Fraction(int(scum[np.searchsorted(sv, float(x), side="right") - 1]), n_s)
+        for j in range(len(tv)):
+            if Fraction(int(tcum[j]), n_t) >= p:
+                out[it.multi_index] = tv[j]
+                break
+    return out
+
+
+def test_match_histogram_brute(ray_session):
+    from geotrellis_ray.stages.enhance import match_histogram
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 40, (16, 16)).astype(np.float64)
+    g[0, :2] = np.nan
+    t = (rng.integers(0, 9, (8, 8)) ** 2).astype(np.float64)  # skewed target
+    got = _mosaic(match_histogram(_layer(g, 8), _layer(t, 8)).take_all(), 16, 16, 8)
+    expect = _brute_match(g, t)
+    m = ~np.isnan(g)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(expect))
+    np.testing.assert_array_equal(got[m], expect[m])
+    # every output value is drawn from the target's value set
+    assert set(np.unique(got[m])) <= set(np.unique(t))
+
+
+def test_match_histogram_self_identity(ray_session):
+    from geotrellis_ray.stages.enhance import match_histogram
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(5, 25, (8, 8)).astype(np.float64)
+    got = _mosaic(match_histogram(_layer(g, 8), _layer(g, 8)).take_all(), 8, 8, 8)
+    np.testing.assert_array_equal(got, g)
+
+
 def test_sigmoidal_matches_brute(ray_session):
     from geotrellis_ray.stages.enhance import sigmoidal_contrast
 
