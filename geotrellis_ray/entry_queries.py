@@ -2362,6 +2362,88 @@ SQL_EQUALIZE = """
 """
 
 
+def q_morans_global(sf_dir: str):
+    """Global Moran's I (stages/autocorr.py:morans_i_global) over the
+    mod-251 hash grid with queen (8-neighbor) weights: one slim moments
+    aggregate + one buffer_tiles collar exchange; four scalars per block to
+    the driver. SQL-checked — DuckDB recomputes the statistic with a
+    neighbor self-join; the single O(1)-magnitude result rounds to 9
+    decimals on both sides (summation order differs, value agrees to
+    ~1e-15 relative)."""
+    import pandas as pd
+
+    from .stages.autocorr import morans_i_global
+
+    r = morans_i_global(_hash_grid_layer(3, 16, mod=251))
+    return pd.DataFrame([{"morans_i": round(r["morans_i"], 9),
+                          "w_pairs": int(r["w_pairs"]),
+                          "n_cells": int(r["n_cells"])}])
+
+
+SQL_MORANS_GLOBAL = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    stats AS (SELECT sum(v) / count(*) AS mu, count(*) AS n,
+                     sum(v * v) AS s2, sum(v) AS s FROM grid),
+    nbr AS (
+        SELECT a.x, a.y, a.v, sum(b.v - st.mu) AS sz, count(*) AS w
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+         AND NOT (a.x = b.x AND a.y = b.y), stats st
+        GROUP BY a.x, a.y, a.v
+    )
+    SELECT round((st.n / sum(nb.w)) * sum((nb.v - st.mu) * nb.sz)
+                 / (st.s2 - st.n * st.mu * st.mu), 9) AS morans_i,
+           CAST(sum(nb.w) AS BIGINT) AS w_pairs,
+           st.n AS n_cells
+    FROM nbr nb, stats st
+    GROUP BY st.n, st.s2, st.mu
+"""
+
+
+def q_morans_local(sf_dir: str):
+    """Local (Anselin) Moran's I per cell (stages/autocorr.py:
+    morans_i_local) — same collar-exchange frame, per-cell
+    I_i = z_i * S_i / m2 emitted as a new tile layer, exploded to
+    (cell_x, cell_y, local_i) rows, rounded to 9 decimals for the SQL
+    compare (per-cell values are O(10))."""
+    import pyarrow.compute as pc
+
+    from .stages.autocorr import morans_i_local
+
+    out = morans_i_local(_hash_grid_layer(3, 16, mod=251))
+    cells = _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+    return cells.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "local_i": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MORANS_LOCAL = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    stats AS (SELECT sum(v) / count(*) AS mu, count(*) AS n,
+                     sum(v * v) AS s2, sum(v) AS s FROM grid),
+    m2 AS (SELECT (s2 - n * mu * mu) / n AS m2 FROM stats),
+    nbr AS (
+        SELECT a.x, a.y, a.v, sum(b.v - st.mu) AS sz
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+         AND NOT (a.x = b.x AND a.y = b.y), stats st
+        GROUP BY a.x, a.y, a.v
+    )
+    SELECT nb.x AS cell_x, nb.y AS cell_y,
+           round((nb.v - st.mu) * nb.sz / m2.m2, 9) AS local_i
+    FROM nbr nb, stats st, m2
+"""
+
+
 def q_match_histogram(sf_dir: str):
     """Histogram matching (stages/enhance.py:match_histogram): remap the
     mod-251 hash grid so its value distribution follows the mod-17 hash
@@ -2934,6 +3016,8 @@ def build_queries() -> dict:
         "q_equalize": q_equalize,
         "q_sigmoidal": q_sigmoidal,
         "q_match_histogram": q_match_histogram,
+        "q_morans_global": q_morans_global,
+        "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
@@ -3034,6 +3118,8 @@ def build_oracle_sql() -> dict:
         "q_equalize": SQL_EQUALIZE,
         "q_sigmoidal": SQL_SIGMOIDAL,
         "q_match_histogram": SQL_MATCH_HISTOGRAM,
+        "q_morans_global": SQL_MORANS_GLOBAL,
+        "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,
         "q_euclidean_distance": SQL_EUCLID,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
