@@ -2362,6 +2362,114 @@ SQL_EQUALIZE = """
 """
 
 
+def derive_urls_batch(b: pa.Table) -> pa.Table:
+    """Deterministic messy URL per doc_id (vectorized pandas str concat),
+    exercising every canonicalization rule: uppercase scheme/host, www.,
+    default ports, tracking params, fragments, trailing slashes. The SQL
+    twin is SQL_URLS; doc_ids sharing (scheme parity, host, page, query)
+    collide after canonicalization."""
+    import pandas as pd
+
+    d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def s(arr):
+        return pd.Series(arr, dtype="object")
+
+    scheme = s(np.where(d % 2 == 0, "HTTP", "https"))
+    www = s(np.where(d % 3 == 0, "www.", ""))
+    hostb = s(np.where(d % 7 == 0, "EXAMPLE", "example"))
+    hostn = s((d % 20).astype(str))
+    port = s(np.where(d % 5 == 0, np.where(d % 2 == 0, ":80", ":443"), ""))
+    page = s((d % 50).astype(str))
+    slash = s(np.where(d % 4 == 0, "/", ""))
+    q1 = s(np.where(d % 3 != 1, "&a=", "")) + s(np.where(d % 3 != 1, (d % 6).astype(str), ""))
+    q2 = s(np.where(d % 2 == 0, "&utm_source=feed", ""))
+    q3 = s(np.where(d % 5 == 1, "&fbclid=x", "")) + s(np.where(d % 5 == 1, d.astype(str), ""))
+    query = (q1 + q2 + q3).str.replace(r"^&", "?", regex=True)
+    frag = s(np.where(d % 6 == 0, "#sec", ""))
+    url = (scheme + "://" + www + hostb + hostn + ".com" + port
+           + "/Page/" + page + slash + query + frag)
+    return pa.table({"doc_id": b["doc_id"], "url": pa.array(url, pa.string())})
+
+
+SQL_URLS = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+           || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN 'EXAMPLE' ELSE 'example' END)
+           || (doc_id % 20) || '.com'
+           || (CASE WHEN doc_id % 5 = 0
+                    THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                    ELSE '' END)
+           || '/Page/' || (doc_id % 50)
+           || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+           || regexp_replace(
+                  (CASE WHEN doc_id % 3 <> 1 THEN '&a=' || (doc_id % 6) ELSE '' END)
+                  || (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 1 THEN '&fbclid=x' || doc_id ELSE '' END),
+                  '^&', '?')
+           || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+    FROM documents
+"""
+
+SQL_CANONICAL = f"""
+    WITH raw AS ({SQL_URLS}),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id,
+           lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS head,
+           regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+           FROM s1),
+    s3 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(head,
+               '^(http://[^:]*):80$', '\\1'),
+               '^(https://[^:]*):443$', '\\1'),
+               '^(https?://)www\\.', '\\1') || rest AS u FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(u, '\\?', '&') || '&' AS u FROM s3),
+    s5 AS (SELECT doc_id,
+           regexp_replace(u, '(utm_[^=&]*|fbclid|gclid)=[^&]*&', '', 'g') AS u
+           FROM s4),
+    s6 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(u, '&+$', ''), '&', '?') AS u FROM s5),
+    s7 AS (SELECT doc_id, regexp_replace(u, '/+\\?', '?') AS u FROM s6)
+    SELECT doc_id, regexp_replace(u, '/+$', '') AS canonical_url FROM s7
+"""
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (functions/url_ops.py:canonicalize_urls): pure
+    RE2 kernel chain over a derived messy-URL column (uppercase
+    scheme/host, www., default ports, utm_/fbclid/gclid params, fragments,
+    trailing slashes). SQL-checked bit-exact string-for-string — DuckDB
+    runs the identical regex chain."""
+    from .functions.url_ops import canonicalize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    urls = ds.map_batches(derive_urls_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return urls.map_batches(
+        lambda b: canonicalize_batch(b, "url").drop_columns(["url"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup rollup (functions/url_ops.py:url_dedup):
+    map-side canonicalize + slim (canonical, id) shuffle, groupby with
+    count + keep-first min(doc_id). SQL-checked."""
+    from .functions.url_ops import url_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    urls = ds.map_batches(derive_urls_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return url_dedup(urls, "url", "doc_id")
+
+
+SQL_URL_DEDUP = f"""
+    SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS first_doc
+    FROM ({SQL_CANONICAL})
+    GROUP BY canonical_url
+"""
+
+
 def q_morans_global(sf_dir: str):
     """Global Moran's I (stages/autocorr.py:morans_i_global) over the
     mod-251 hash grid with queen (8-neighbor) weights: one slim moments
@@ -3016,6 +3124,8 @@ def build_queries() -> dict:
         "q_equalize": q_equalize,
         "q_sigmoidal": q_sigmoidal,
         "q_match_histogram": q_match_histogram,
+        "q_url_canonical": q_url_canonical,
+        "q_url_dedup": q_url_dedup,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
@@ -3118,6 +3228,8 @@ def build_oracle_sql() -> dict:
         "q_equalize": SQL_EQUALIZE,
         "q_sigmoidal": SQL_SIGMOIDAL,
         "q_match_histogram": SQL_MATCH_HISTOGRAM,
+        "q_url_canonical": SQL_CANONICAL,
+        "q_url_dedup": SQL_URL_DEDUP,
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,
