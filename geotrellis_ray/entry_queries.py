@@ -2362,6 +2362,34 @@ SQL_EQUALIZE = """
 """
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Cross-corpus exact dedup with a Bloom prefilter
+    (stages/dedup.py:bloom_dedup): new corpus = even doc_ids, reference =
+    doc_ids % 3 == 0; keep new docs whose text is absent from the
+    reference. The Bloom filter (10 bits/key, built distributed, OR
+    tree-merged, broadcast once) proves most docs absent with zero shuffle;
+    only Bloom positives take the slim exact-verify join, so the result is
+    EXACT — SQL-checked against a plain NOT EXISTS text anti-join."""
+    from .stages.dedup import bloom_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    new = docs.map_batches(_mod_filter("doc_id", 2), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ref = docs.map_batches(_mod_filter("doc_id", 3), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return bloom_dedup(new, ref, "doc_id", "text").select_columns(["doc_id"])
+
+
+SQL_BLOOM_DEDUP = """
+    SELECT n.doc_id FROM documents n
+    WHERE n.doc_id % 2 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents r
+        WHERE r.doc_id % 3 = 0 AND r.text = n.text
+    )
+"""
+
+
 def derive_urls_batch(b: pa.Table) -> pa.Table:
     """Deterministic messy URL per doc_id (vectorized pandas str concat),
     exercising every canonicalization rule: uppercase scheme/host, www.,
@@ -3126,6 +3154,7 @@ def build_queries() -> dict:
         "q_match_histogram": q_match_histogram,
         "q_url_canonical": q_url_canonical,
         "q_url_dedup": q_url_dedup,
+        "q_bloom_dedup": q_bloom_dedup,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
@@ -3230,6 +3259,7 @@ def build_oracle_sql() -> dict:
         "q_match_histogram": SQL_MATCH_HISTOGRAM,
         "q_url_canonical": SQL_CANONICAL,
         "q_url_dedup": SQL_URL_DEDUP,
+        "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,

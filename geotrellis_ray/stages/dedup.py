@@ -918,3 +918,115 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
 
     return joined.map_batches(reassemble, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def build_bloom(hash_ds, n_hint: int, bits_per_key: int = 10, k: int = 7,
+                hash_col: str = "content_hash"):
+    """Distributed Bloom-filter build over a slim uint64 hash column: one
+    partial filter per block, lossless OR tree-merge (batch sized so a merge
+    task holds <= ~256 MB of partials), tiny final OR on the driver. The
+    filter is n_hint-sized up front so partials share one geometry."""
+    from ..core.bloom import BloomFilter, bloom_size_bits
+
+    m = bloom_size_bits(max(1, n_hint), bits_per_key)
+    nbytes = m >> 3
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter(m, k)
+        f.add_many(b[hash_col].to_numpy(zero_copy_only=False))
+        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+
+    def remerge(b: pa.Table) -> pa.Table:
+        f = BloomFilter(m, k)
+        for raw in b["bloom"].to_pylist():
+            f.merge(BloomFilter.from_bytes(m, k, raw))
+        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+
+    tree_batch = max(2, (256 << 20) // max(1, nbytes))
+    partials = hash_ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    merged = partials.map_batches(remerge, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=tree_batch)
+    out = BloomFilter(m, k)
+    for row in merged.take_all():
+        out.merge(BloomFilter.from_bytes(m, k, row["bloom"]))
+    return out
+
+
+def bloom_dedup(new_ds, ref_ds, id_col: str = "doc_id", text_col: str = "text",
+                bits_per_key: int = 10, k: int = 7):
+    """Cross-corpus exact dedup with a Bloom prefilter: keep the new-corpus
+    docs whose text does NOT appear in the reference corpus.
+
+    Scale shape — the reason this beats a plain anti join at 100 TB:
+    1. reference texts hash to slim uint64 rows; a Bloom filter (10
+       bits/key, ~1% fp) is built DISTRIBUTED (build_bloom: per-block
+       partials + OR tree-merge) and broadcast once via ray.put — MBs per
+       worker instead of shuffling the new corpus against the full
+       reference key set.
+    2. every new doc probes the filter locally inside map_batches. Bloom
+       negatives (the overwhelming majority when corpora barely overlap)
+       are PROVEN absent (no false negatives) and pass through with zero
+       shuffle.
+    3. only Bloom positives (~overlap + 1% fp) enter the exact verify: a
+       slim left_outer hash join against the DISTINCT reference hashes —
+       candidate-volume, not corpus-volume. False positives are removed
+       here, so the result is exact (64-bit content-hash equality, the
+       same contract as dedup_exact).
+
+    Returns the surviving (id_col, content_hash) rows. Hashes travel as
+    int64 (bit-reinterpreted sha256 prefix) — Ray's shuffle machinery
+    round-trips uint64 >= 2^63 through Python objects."""
+    from .agg import partial_groupby
+
+    def hash_i64(b: pa.Table) -> pa.Table:
+        hs = content_hash_batch(b, text_col)["content_hash"]
+        i64 = hs.to_numpy(zero_copy_only=False).view(np.int64)
+        return b.append_column("content_hash_i64", pa.array(i64, pa.int64()))
+
+    ref_hashes = partial_groupby(
+        ref_ds.map_batches(hash_i64, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .select_columns(["content_hash_i64"]),
+        ["content_hash_i64"], [("content_hash_i64", "count", "n")],
+        final="shuffle",
+    ).select_columns(["content_hash_i64"])
+    ref_hashes = ref_hashes.materialize()
+    bloom = build_bloom(ref_hashes, n_hint=ref_hashes.count(),
+                        bits_per_key=bits_per_key, k=k,
+                        hash_col="content_hash_i64")
+
+    import ray
+
+    from ..core.bloom import BloomFilter
+
+    ref = ray.put((bloom.m, bloom.k, bloom.to_bytes()))
+
+    def probe(b: pa.Table) -> pa.Table:
+        m, kk, raw = ray.get(ref)
+        f = BloomFilter.from_bytes(m, kk, raw)
+        b = hash_i64(b).select([id_col, "content_hash_i64"])
+        hit = f.contains_many(
+            b["content_hash_i64"].to_numpy(zero_copy_only=False))
+        return b.append_column("bloom_hit", pa.array(hit, pa.bool_()))
+
+    probed = new_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    import pyarrow.compute as pc
+
+    clear = probed.map_batches(
+        lambda b: b.filter(pc.invert(b["bloom_hit"])).drop_columns(["bloom_hit"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cand = probed.map_batches(
+        lambda b: b.filter(b["bloom_hit"]).drop_columns(["bloom_hit"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    marked = ref_hashes.map_batches(
+        lambda b: b.append_column("in_ref", pa.array(np.ones(b.num_rows, bool))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    verified = cand.join(marked, join_type="left_outer",
+                         on=("content_hash_i64",),
+                         num_partitions=_join_partitions())
+    survivors = verified.map_batches(
+        lambda b: b.filter(pc.is_null(b["in_ref"])).drop_columns(["in_ref"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return clear.union(survivors)
