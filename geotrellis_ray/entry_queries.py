@@ -2362,6 +2362,68 @@ SQL_EQUALIZE = """
 """
 
 
+def q_focal_mean_grid(sf_dir: str):
+    """Focal mean with the Square(1) window ACROSS tile boundaries
+    (stages/layer_ops.py:focal_op via buffer_tiles collar exchange), over
+    the mod-251 hash grid. SQL-checked bit-exact — window sums of integer
+    values are exact in float64, and the single division s/n is the same
+    IEEE op in DuckDB."""
+    from .stages.layer_ops import focal_op
+
+    out = focal_op(_hash_grid_layer(3, 16, mod=251), "mean", margin=1)
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_FOCAL_MEAN = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    nb AS (
+        SELECT a.x, a.y, sum(b.v) AS s, count(*) AS n
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+        GROUP BY a.x, a.y
+    )
+    SELECT x AS cell_x, y AS cell_y,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS density
+    FROM nb
+"""
+
+
+def q_focal_stddev_grid(sf_dir: str):
+    """Focal population stddev (NEW focal_op mode, integral-image s/s2
+    windows) across tile boundaries. SQL-checked bit-exact: the operand
+    order sqrt(max(s2/n - (s/n)^2, 0)) is part of the spec, and every
+    intermediate is an exact integer in float64."""
+    from .stages.layer_ops import focal_op
+
+    out = focal_op(_hash_grid_layer(3, 16, mod=251), "stddev", margin=1)
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_FOCAL_STDDEV = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    nb AS (
+        SELECT a.x, a.y, sum(b.v) AS s, count(*) AS n, sum(b.v * b.v) AS s2
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+        GROUP BY a.x, a.y
+    )
+    SELECT x AS cell_x, y AS cell_y,
+           sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+           AS density
+    FROM nb
+"""
+
+
 def q_bloom_dedup(sf_dir: str):
     """Cross-corpus exact dedup with a Bloom prefilter
     (stages/dedup.py:bloom_dedup): new corpus = even doc_ids, reference =
@@ -3155,6 +3217,8 @@ def build_queries() -> dict:
         "q_url_canonical": q_url_canonical,
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
+        "q_focal_mean_grid": q_focal_mean_grid,
+        "q_focal_stddev_grid": q_focal_stddev_grid,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
@@ -3260,6 +3324,8 @@ def build_oracle_sql() -> dict:
         "q_url_canonical": SQL_CANONICAL,
         "q_url_dedup": SQL_URL_DEDUP,
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
+        "q_focal_mean_grid": SQL_FOCAL_MEAN,
+        "q_focal_stddev_grid": SQL_FOCAL_STDDEV,
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,

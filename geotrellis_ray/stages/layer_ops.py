@@ -280,7 +280,7 @@ def focal_op(ds, op: str = "mean", margin: int = 1):
             return batch
         cube = batch_to_cube(batch)  # (n, R+2m, C+2m)
         center_def = ~np.isnan(cube[:, m:-m, m:-m])
-        if op in ("mean", "sum"):
+        if op in ("mean", "sum", "stddev"):
             vals = np.nan_to_num(cube, nan=0.0)
             cnt = (~np.isnan(cube)).astype(np.float64)
 
@@ -292,7 +292,15 @@ def focal_op(ds, op: str = "mean", margin: int = 1):
             s = win(vals)
             n = win(cnt)
             with np.errstate(invalid="ignore", divide="ignore"):
-                out = np.where((n > 0) & center_def, s / n if op == "mean" else s, np.nan)
+                if op == "stddev":
+                    # population sd; the exact operand order (s2/n - (s/n)^2)
+                    # is part of the spec so the DuckDB oracle reproduces it
+                    # bit-for-bit on integer-valued layers
+                    s2 = win(vals * vals)
+                    var = np.maximum(s2 / n - (s / n) ** 2, 0.0)
+                    out = np.where((n > 0) & center_def, np.sqrt(var), np.nan)
+                else:
+                    out = np.where((n > 0) & center_def, s / n if op == "mean" else s, np.nan)
         else:
             # shift-stack: (k*k, n, R, C) views of the buffered frame
             R = cube.shape[1] - 2 * m

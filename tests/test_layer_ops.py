@@ -140,7 +140,8 @@ def test_layer_mask(ray_session):
 
 
 @pytest.mark.parametrize("op,npfn", [("sum", np.nansum), ("min", np.nanmin),
-                                     ("max", np.nanmax), ("median", np.nanmedian)])
+                                     ("max", np.nanmax), ("median", np.nanmedian),
+                                     ("stddev", np.nanstd)])
 def test_focal_ops_match_bruteforce(ray_session, op, npfn):
     from geotrellis_ray.stages.layer_ops import focal_op
 
