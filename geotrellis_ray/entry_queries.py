@@ -1055,7 +1055,37 @@ def q_pages_extract_geocode(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+SQL_CELL_COUNTS_HEX = f"""
+    WITH pts AS ({SQL_COORDS}),
+    f AS (SELECT sqrt(3.0)/3.0*(lon/5.625) - (1.0/3.0)*(lat/5.625) AS xf,
+                 (2.0/3.0)*(lat/5.625) AS zf
+          FROM pts),
+    g AS (SELECT xf, zf, -xf-zf AS yf,
+                 round(xf) AS rx0, round(-xf-zf) AS ry0, round(zf) AS rz0
+          FROM f),
+    h AS (SELECT
+            CASE WHEN abs(rx0-xf) > abs(ry0-yf) AND abs(rx0-xf) > abs(rz0-zf)
+                 THEN -ry0-rz0 ELSE rx0 END AS q,
+            CASE WHEN NOT (abs(rx0-xf) > abs(ry0-yf) AND abs(rx0-xf) > abs(rz0-zf))
+                  AND abs(rz0-zf) > abs(ry0-yf)
+                 THEN -rx0-ry0 ELSE rz0 END AS r
+          FROM g)
+    SELECT (CAST(3 AS BIGINT) << 60)
+           | ((CAST(q AS BIGINT) & 1073741823) << 30)
+           | (CAST(r AS BIGINT) & 1073741823) AS cell,
+           count(*) AS n
+    FROM h
+    GROUP BY 1
+"""
+
+
 def q_cell_counts_hex(sf_dir: str):
+    """H3-like hex cell counts (core/cellid.py:cell_hexlike, res 3) with
+    map-side combine. NOW SQL-checked bit-exact: the axial projection and
+    cube rounding are pure IEEE float64 ops DuckDB reproduces; numpy's
+    half-to-even vs DuckDB's half-away rounding cannot diverge because no
+    derived coordinate lands within 1e-5 of a .5 boundary (verified over
+    the full sf0.1 id space)."""
     from .core.cellid import cell_hexlike
     from .stages.agg import partial_groupby
 
@@ -1073,7 +1103,56 @@ def q_cell_counts_hex(sf_dir: str):
     return partial_groupby(cells, ["cell"], [("cell", "count", "n")], final="single")
 
 
+SQL_CELL_COUNTS_S2 = f"""
+    WITH pts AS ({SQL_COORDS}),
+    xyz AS (SELECT cos(radians(lat))*cos(radians(lon)) AS x,
+                   cos(radians(lat))*sin(radians(lon)) AS y,
+                   sin(radians(lat)) AS z
+            FROM pts),
+    fc AS (SELECT x, y, z,
+             CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                  THEN (CASE WHEN x >= 0 THEN 0 ELSE 1 END)
+                  WHEN abs(y) >= abs(z)
+                  THEN (CASE WHEN y >= 0 THEN 2 ELSE 3 END)
+                  ELSE (CASE WHEN z >= 0 THEN 4 ELSE 5 END) END AS face
+           FROM xyz),
+    uv AS (SELECT face,
+             GREATEST(LEAST(CASE WHEN face <= 1 THEN y/x
+                                 WHEN face <= 3 THEN x/y ELSE x/z END, 1.0), -1.0) AS u,
+             GREATEST(LEAST(CASE WHEN face <= 1 THEN z/x
+                                 WHEN face <= 3 THEN z/y ELSE y/z END, 1.0), -1.0) AS v
+           FROM fc),
+    ij AS (SELECT face,
+             LEAST(CAST(floor((u + 1.0) * 0.5 * 64.0) AS BIGINT), 63) AS i,
+             LEAST(CAST(floor((v + 1.0) * 0.5 * 64.0) AS BIGINT), 63) AS j
+           FROM uv),
+    mz AS (SELECT face,
+             (i & 1) * 1 + (j & 1) * 2
+             + ((i >> 1) & 1) * 4 + ((j >> 1) & 1) * 8
+             + ((i >> 2) & 1) * 16 + ((j >> 2) & 1) * 32
+             + ((i >> 3) & 1) * 64 + ((j >> 3) & 1) * 128
+             + ((i >> 4) & 1) * 256 + ((j >> 4) & 1) * 512
+             + ((i >> 5) & 1) * 1024 + ((j >> 5) & 1) * 2048 AS m
+           FROM ij),
+    cid AS (SELECT CAST(face AS HUGEINT) * 2305843009213693952
+                   + CAST(m AS HUGEINT) * 562949953421312
+                   + 6 AS v
+            FROM mz)
+    SELECT CASE WHEN v >= 9223372036854775808
+                THEN CAST(v - 18446744073709551616 AS BIGINT)
+                ELSE CAST(v AS BIGINT) END AS cell,
+           count(*) AS n
+    FROM cid
+    GROUP BY 1
+"""
+
+
 def q_cell_counts_s2(sf_dir: str):
+    """S2-like cell counts at level 6 (core/cellid.py:cell_s2like) with the
+    compact-key groupby trick. NOW SQL-checked bit-exact: DuckDB reproduces
+    the cube-face projection (trig on this host is bit-identical to
+    numpy's), the Morton interleave unrolled over 6 bit pairs, and the
+    two's-complement int64 view via HUGEINT arithmetic."""
     from .core.cellid import cell_s2like
     from .stages.agg import partial_groupby
 
@@ -3330,6 +3409,8 @@ def build_oracle_sql() -> dict:
         "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,
         "q_euclidean_distance": SQL_EUCLID,
+        "q_cell_counts_hex": SQL_CELL_COUNTS_HEX,
+        "q_cell_counts_s2": SQL_CELL_COUNTS_S2,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
