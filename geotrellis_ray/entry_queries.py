@@ -2441,6 +2441,83 @@ SQL_EQUALIZE = """
 """
 
 
+def q_terrain_slope_grid(sf_dir: str):
+    """Horn slope (stages/layer_ops.py:focal_slope) over the mod-251 hash
+    grid, cell size 30x30. SQL-checked round-9: the grid value is a closed
+    form of (x, y), so DuckDB computes all 8 Horn neighbors directly from
+    the formula (out-of-grid neighbors substitute the center value, exactly
+    the NaN-collar rule of _horn_gradients); only atan/hypot differ at the
+    last ulp, absorbed by rounding an O(1)-magnitude output to 9 dp."""
+    import pyarrow.compute as pc
+
+    from .stages.layer_ops import focal_slope
+
+    out = focal_slope(_hash_grid_layer(3, 16, mod=251), 30.0, 30.0)
+    cells = _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+    return cells.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "density": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_HORN = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    nb AS (
+        SELECT x, y, v,
+          CASE WHEN x-1 >= 0 AND y-1 >= 0 THEN CAST(((x-1) * 2654435761 + (y-1) * 40503) % 251 AS DOUBLE) ELSE v END AS tl,
+          CASE WHEN y-1 >= 0 THEN CAST((x * 2654435761 + (y-1) * 40503) % 251 AS DOUBLE) ELSE v END AS t,
+          CASE WHEN x+1 <= 47 AND y-1 >= 0 THEN CAST(((x+1) * 2654435761 + (y-1) * 40503) % 251 AS DOUBLE) ELSE v END AS tr,
+          CASE WHEN x-1 >= 0 THEN CAST(((x-1) * 2654435761 + y * 40503) % 251 AS DOUBLE) ELSE v END AS l,
+          CASE WHEN x+1 <= 47 THEN CAST(((x+1) * 2654435761 + y * 40503) % 251 AS DOUBLE) ELSE v END AS r,
+          CASE WHEN x-1 >= 0 AND y+1 <= 47 THEN CAST(((x-1) * 2654435761 + (y+1) * 40503) % 251 AS DOUBLE) ELSE v END AS bl,
+          CASE WHEN y+1 <= 47 THEN CAST((x * 2654435761 + (y+1) * 40503) % 251 AS DOUBLE) ELSE v END AS b,
+          CASE WHEN x+1 <= 47 AND y+1 <= 47 THEN CAST(((x+1) * 2654435761 + (y+1) * 40503) % 251 AS DOUBLE) ELSE v END AS br
+        FROM grid
+    ),
+    gr AS (
+        SELECT x, y,
+          ((tr + 2*r + br) - (tl + 2*l + bl)) / 240.0 AS zx,
+          ((tl + 2*t + tr) - (bl + 2*b + br)) / 240.0 AS zy
+        FROM nb
+    )
+"""
+
+SQL_TERRAIN_SLOPE = _SQL_HORN + """
+    SELECT x AS cell_x, y AS cell_y,
+           round(degrees(atan(sqrt(zx*zx + zy*zy))), 9) AS density
+    FROM gr
+"""
+
+
+def q_terrain_aspect_grid(sf_dir: str):
+    """Horn aspect (stages/layer_ops.py:focal_aspect; compass degrees,
+    0 = north, flat -> 0) over the hash grid — same SQL neighbor scheme as
+    q_terrain_slope_grid, round-9."""
+    import pyarrow.compute as pc
+
+    from .stages.layer_ops import focal_aspect
+
+    out = focal_aspect(_hash_grid_layer(3, 16, mod=251), 30.0, 30.0)
+    cells = _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+    return cells.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "density": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TERRAIN_ASPECT = _SQL_HORN + """
+    SELECT x AS cell_x, y AS cell_y,
+           round(CASE WHEN zx = 0 AND zy = 0 THEN 0.0
+                      ELSE ((degrees(atan2(-zx, zy)) + 360.0) % 360.0) END,
+                 9) AS density
+    FROM gr
+"""
+
+
 def q_focal_mean_grid(sf_dir: str):
     """Focal mean with the Square(1) window ACROSS tile boundaries
     (stages/layer_ops.py:focal_op via buffer_tiles collar exchange), over
@@ -3298,6 +3375,8 @@ def build_queries() -> dict:
         "q_bloom_dedup": q_bloom_dedup,
         "q_focal_mean_grid": q_focal_mean_grid,
         "q_focal_stddev_grid": q_focal_stddev_grid,
+        "q_terrain_slope_grid": q_terrain_slope_grid,
+        "q_terrain_aspect_grid": q_terrain_aspect_grid,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
@@ -3405,6 +3484,8 @@ def build_oracle_sql() -> dict:
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_focal_mean_grid": SQL_FOCAL_MEAN,
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,
+        "q_terrain_slope_grid": SQL_TERRAIN_SLOPE,
+        "q_terrain_aspect_grid": SQL_TERRAIN_ASPECT,
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,
