@@ -399,19 +399,20 @@ class SimHasher:
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(sh, pa.uint64())})
 
 
-def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
-                      concurrency=None):
-    """SimHash near-dup pairs: 4x16-bit band blocking (a pair within Hamming
-    distance 3 shares at least one of 4 bands), Hamming verify in-bucket."""
-    if concurrency is None:
-        concurrency = _default_pool()
-    sh = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-    )
+_BUCKET_ALLPAIRS_CAP = 2048  # all-pairs above this degrades to a sorted window
+
+
+def hamming_band_pairs(hash_ds, hash_col: str, id_col: str = "doc_id",
+                       max_hamming: int = 3):
+    """(id, 64-bit hash) rows -> near-dup pairs within ``max_hamming`` via
+    4x16-bit band blocking (a pair within Hamming distance 3 shares at least
+    one of 4 bands — pigeonhole), ALL-pairs Hamming verify in-bucket
+    (vectorized triu; buckets above _BUCKET_ALLPAIRS_CAP degrade to a
+    sorted-by-hash neighbor window of 64, documented approximation). Shared
+    by simhash text near-dups and dHash image near-dups."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        v = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(v)
         bands = np.empty((n, 4), dtype=np.uint64)
@@ -420,7 +421,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, 4)),
-                "simhash": pa.array(np.repeat(v, 4), pa.uint64()),
+                hash_col: pa.array(np.repeat(v, 4), pa.uint64()),
                 "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
                 "band_val": pa.array(bands.ravel(), pa.uint64()),
             }
@@ -431,13 +432,25 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         ids = g[id_col].to_numpy()
-        v = g["simhash"].to_numpy().astype(np.uint64)
-        ham = hamming64(v[:-1], v[1:])
+        v = g[hash_col].to_numpy().astype(np.uint64)
+        if len(g) <= _BUCKET_ALLPAIRS_CAP:
+            iu, ju = np.triu_indices(len(g), k=1)
+        else:
+            order = np.argsort(v, kind="stable")
+            ids, v = ids[order], v[order]
+            w = 64
+            iu = np.repeat(np.arange(len(v)), w)
+            ju = iu + np.tile(np.arange(1, w + 1), len(v))
+            keep_w = ju < len(v)
+            iu, ju = iu[keep_w], ju[keep_w]
+        ham = hamming64(v[iu], v[ju])
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "hamming": ham[keep]})
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[keep]})
 
     pairs = (
-        sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        hash_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -446,6 +459,21 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
     from .agg import partial_groupby
 
     return partial_groupby(pairs, ["id_a", "id_b"], [("hamming", "min", "hamming")])
+
+
+def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                      concurrency=None):
+    """SimHash near-dup pairs: 4x16-bit band blocking (a pair within Hamming
+    distance 3 shares at least one of 4 bands), ALL-pairs Hamming verify
+    in-bucket (a r03 fix: the r02 version verified only id-adjacent rows per
+    bucket and could miss a true pair separated by an unrelated doc)."""
+    if concurrency is None:
+        concurrency = _default_pool()
+    sh = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+    return hamming_band_pairs(sh, "simhash", id_col, max_hamming)
 
 
 def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 3) -> np.ndarray:

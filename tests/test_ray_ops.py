@@ -205,6 +205,27 @@ def test_simhash_near_dups(ray_session):
     assert {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)} == {(0, 1)}
 
 
+def test_hamming_band_pairs_nonadjacent_in_bucket(ray_session):
+    """r03 regression: a true near-dup pair separated inside its bucket by
+    an unrelated doc (id sorts between them, same band value) must still be
+    found — the r02 adjacent-only verify missed it."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.dedup import hamming_band_pairs
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # ids 1 and 3: hamming 1 (share bands 1..3). id 2 shares band 3
+        # (top 16 bits zero) but is ~32 bits away from both.
+        "h": pa.array(np.array([0, 0x0000FFFFFFFF0000, 1], np.uint64), pa.uint64()),
+    })
+    pairs = hamming_band_pairs(ray.data.from_arrow(tab), "h", "doc_id",
+                               max_hamming=3).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 3)}
+    assert pairs["hamming"].tolist() == [1]
+
+
 def test_ann_brute_force_vs_numpy(ray_session):
     import ray.data
 
