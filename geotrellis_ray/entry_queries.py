@@ -2580,6 +2580,39 @@ SQL_FOCAL_STDDEV = """
 """
 
 
+def q_image_near_dups(sf_dir: str):
+    """Image near-dup pairs (stages/multimodal.py:image_near_dups): REAL
+    BMP payloads synthesized per doc (structured gradient image shared by a
+    doc-id family + a tiny per-doc edit), actor-pool decode -> dHash ->
+    shared band-blocked all-pairs Hamming verify. Pixels never leave the
+    decode stage; only (id, dhash) shuffles. Rows-only (binary payloads are
+    not SQL-expressible); planted-pair exactness is pytest-verified against
+    a brute pairwise oracle (test_media)."""
+    from .core.media import encode_bmp
+    from .stages.multimodal import image_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(_mod_filter("doc_id", 5), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        yy, xx = np.mgrid[0:32, 0:32]
+        payloads = []
+        for d in b["doc_id"].to_pylist():
+            f = int(d) % 150
+            img = np.stack([(xx * (f % 7 + 2)) % 256, (yy * (f % 5 + 3)) % 256,
+                            ((xx + yy) * (f % 11 + 1)) % 256],
+                           axis=2).astype(np.uint8)
+            r, c = (int(d) // 150) % 28, (int(d) * 13) % 28
+            img[r:r + 2, c:c + 2] = 0  # tiny per-doc edit
+            payloads.append(encode_bmp(img))
+        return pa.table({"doc_id": b["doc_id"],
+                         "media": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return image_near_dups(media, max_hamming=3)
+
+
 def q_bloom_dedup(sf_dir: str):
     """Cross-corpus exact dedup with a Bloom prefilter
     (stages/dedup.py:bloom_dedup): new corpus = even doc_ids, reference =
@@ -3373,6 +3406,7 @@ def build_queries() -> dict:
         "q_url_canonical": q_url_canonical,
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
+        "q_image_near_dups": q_image_near_dups,
         "q_focal_mean_grid": q_focal_mean_grid,
         "q_focal_stddev_grid": q_focal_stddev_grid,
         "q_terrain_slope_grid": q_terrain_slope_grid,
@@ -3423,7 +3457,26 @@ def build_queries() -> dict:
         "q_reproject_conic": q_reproject_conic,
     }
     sql_checked = build_oracle_sql()
-    ordered = {k: v for k, v in all_queries.items() if k in sql_checked}
+    # The driver snapshot holds ~50 queries and there are now MORE SQL-checked
+    # queries than that, so within the SQL-checked block, queries the r02
+    # driver did NOT already hash-verify go first (the r02-green ones have an
+    # on-record pass; see CORRECTNESS_r02.json).
+    r02_green = {
+        "q1_pricing_summary", "q_filter_range", "q_join_customer_orders",
+        "q_join_customer_orders_broadcast", "q_join_nation_rollup",
+        "q_topk_orders", "q_grouped_topk", "q_exact_quantiles",
+        "q_events_hourly", "q_dedup_docs_exact", "q_duplicated_spans",
+        "q_doc_token_counts", "q_doc_bpe_tokens", "q_doc_quality",
+        "q_lang_stats", "q_tile_assign_events", "q_pip_rect_grid",
+        "q_knn_events", "q_knn_cell_pruned", "q_pyramid_counts",
+        "q_spatial_join_layers", "q_polygonal_summary", "q_spacetime_counts",
+        "q_pbsm_join", "q_layer_roundtrip_zorder", "q_layer_roundtrip_hilbert",
+        "q_events_sliding_window", "q_events_asof_prev",
+    }
+    ordered = {k: v for k, v in all_queries.items()
+               if k in sql_checked and k not in r02_green}
+    ordered.update({k: v for k, v in all_queries.items()
+                    if k in sql_checked and k in r02_green})
     ordered.update({k: v for k, v in all_queries.items() if k not in sql_checked})
     return ordered
 

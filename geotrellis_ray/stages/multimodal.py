@@ -140,3 +140,65 @@ class AudioFrameSampler:
             feats.append([float(np.sqrt((s**2).mean())) for s in seg])  # per-frame RMS
         out = batch.drop_columns([self.media_col])
         return out.append_column("audio_rms", pa.array(feats, pa.list_(pa.float32())))
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """Difference hash (dHash) of an RGB image: integer luma -> 8x9
+    box-average downsample (area pooling over floor-boundary boxes, fully
+    deterministic) -> 64 bits of horizontal gradient sign (bit r*8+c set iff
+    cell (r, c) < cell (r, c+1)). Near-identical images differ in a few
+    bits; the standard perceptual prefilter for image near-dup dedup."""
+    g = (img[:, :, 0].astype(np.int32) * 299
+         + img[:, :, 1].astype(np.int32) * 587
+         + img[:, :, 2].astype(np.int32) * 114) // 1000
+    H, W = g.shape
+    rb = (np.arange(9, dtype=np.int64) * H) // 8
+    cb = (np.arange(10, dtype=np.int64) * W) // 9
+    cs = np.pad(np.cumsum(np.cumsum(g, axis=0), axis=1), ((1, 0), (1, 0)))
+    box = (cs[rb[1:], :][:, cb[1:]] - cs[rb[:-1], :][:, cb[1:]]
+           - cs[rb[1:], :][:, cb[:-1]] + cs[rb[:-1], :][:, cb[:-1]])
+    area = ((rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :])
+    small = box / area
+    bits = (small[:, :-1] < small[:, 1:]).ravel()
+    return np.uint64(np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+
+
+class ImageDHasher:
+    """Actor-pool stage: binary image -> (id, 64-bit dHash). Same decode
+    contract as ImageDecoder (real BMP/PNG; fake=True for the deterministic
+    stand-in); payload projected away immediately."""
+
+    def __init__(self, fake: bool = False, media_col: str = "media",
+                 id_col: str = "doc_id"):
+        self._dec = ImageDecoder(fake=fake, media_col=media_col)
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = np.empty(batch.num_rows, np.uint64)
+        for i, payload in enumerate(batch[self.media_col].to_pylist()):
+            hs[i] = dhash64(self._dec._decode(payload))
+        return pa.table({self.id_col: batch[self.id_col],
+                         "dhash": pa.array(hs, pa.uint64())})
+
+
+def image_near_dups(ds, max_hamming: int = 3, media_col: str = "media",
+                    id_col: str = "doc_id", fake: bool = False,
+                    concurrency=None, batch_size: int = 64):
+    """Image near-dup pairs: actor-pool dHash (small batch_size — binary
+    payloads dominate block memory) then the shared 4x16-bit band blocking
+    + all-pairs Hamming verify (stages/dedup.py:hamming_band_pairs). Only
+    slim (id, dhash) rows ever shuffle; pixels never leave the decode
+    stage."""
+    from .dedup import _default_pool, hamming_band_pairs
+
+    if concurrency is None:
+        concurrency = _default_pool()
+    hashed = ds.map_batches(
+        ImageDHasher,
+        fn_constructor_kwargs={"fake": fake, "media_col": media_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+    )
+    return hamming_band_pairs(hashed, "dhash", id_col, max_hamming)

@@ -144,3 +144,67 @@ def test_image_decoder_on_error_skip(ray_session):
     assert out["decode_ok"].tolist() == [True, False, False]
     assert out["img_h"].tolist() == [4, -1, -1]
     assert len(out["img_feat"].iloc[1]) == 0 and len(out["img_feat"].iloc[0]) == 6
+
+
+def test_dhash_invariances():
+    """dHash: identical images -> distance 0; small perturbation -> small
+    distance; unrelated images -> large distance."""
+    import numpy as np
+
+    from geotrellis_ray.functions.hashing import hamming64
+    from geotrellis_ray.stages.multimodal import dhash64
+
+    rng = np.random.default_rng(6)
+    # smooth structured image (gradients survive pooling)
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = np.stack([(xx * 4) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256],
+                    axis=2).astype(np.uint8)
+    h0 = dhash64(base)
+    pert = base.copy()
+    pert[10:13, 20:23] = 0  # tiny local edit
+    h1 = dhash64(pert)
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    h2 = dhash64(noise.astype(np.uint8))
+    d01 = int(hamming64(np.array([h0]), np.array([h1]))[0])
+    d02 = int(hamming64(np.array([h0]), np.array([h2]))[0])
+    assert d01 <= 3
+    assert d02 > 10
+    assert dhash64(base) == h0  # deterministic
+    # scale invariance of the pooled gradient signature
+    big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert int(hamming64(np.array([h0]), np.array([dhash64(big)]))[0]) <= 3
+
+
+def test_image_near_dups_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_ray.core.media import encode_bmp
+    from geotrellis_ray.functions.hashing import hamming64
+    from geotrellis_ray.stages.multimodal import dhash64, image_near_dups
+
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:32, 0:32]
+    imgs = []
+    for i in range(12):
+        img = np.stack([(xx * (i + 2)) % 256, (yy * (i + 3)) % 256,
+                        ((xx + yy) * (i + 1)) % 256], axis=2).astype(np.uint8)
+        imgs.append(img)
+    # plant near-dups: 12 is a copy of 0 with a small edit, 13 copies 5
+    n0 = imgs[0].copy(); n0[4:6, 4:6] = 0; imgs.append(n0)
+    n5 = imgs[5].copy(); n5[20:22, 8:10] = 255; imgs.append(n5)
+    tab = pa.table({"doc_id": pa.array(range(len(imgs)), pa.int64()),
+                    "media": pa.array([encode_bmp(im) for im in imgs], pa.binary())})
+    got = image_near_dups(rd.from_arrow(tab).repartition(4),
+                          max_hamming=3).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    # brute oracle over all pairs
+    hs = np.array([dhash64(im) for im in imgs], np.uint64)
+    expect = set()
+    for i in range(len(imgs)):
+        for j in range(i + 1, len(imgs)):
+            if int(hamming64(hs[i:i+1], hs[j:j+1])[0]) <= 3:
+                expect.add((i, j))
+    assert {(0, 12), (5, 13)} <= expect  # the planted pairs are near-dups
+    assert got_pairs == expect
