@@ -2518,6 +2518,87 @@ SQL_TERRAIN_ASPECT = _SQL_HORN + """
 """
 
 
+def q_reclassify_grid(sf_dir: str):
+    """Reclassify (stages/layer_ops.py:layer_reclassify): class(v) = number
+    of breaks strictly below v, searchsorted per tile, no shuffle.
+    SQL-checked bit-exact (integer classes)."""
+    from .stages.layer_ops import layer_reclassify
+
+    out = layer_reclassify(_hash_grid_layer(3, 16, mod=251),
+                           [50.0, 120.0, 200.0])
+    return _explode_tiles_to_cells(out, value_cast="int64", drop_zero=False)
+
+
+SQL_RECLASSIFY = """
+    SELECT x AS cell_x, y AS cell_y,
+           (CASE WHEN v > 50 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > 120 THEN 1 ELSE 0 END)
+           + (CASE WHEN v > 200 THEN 1 ELSE 0 END) AS density
+    FROM (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    )
+"""
+
+
+def q_focal_mode_grid(sf_dir: str):
+    """Focal mode (NEW focal_op mode; window majority, ties -> smallest
+    value) across tile boundaries over the mod-7 hash grid (small
+    categorical range so real ties exercise the tie-break). SQL-checked
+    bit-exact via a count + ORDER BY c DESC, v ASC window."""
+    from .stages.layer_ops import focal_op
+
+    out = focal_op(_hash_grid_layer(3, 16, mod=7), "mode", margin=1)
+    return _explode_tiles_to_cells(out, value_cast="int64", drop_zero=False)
+
+
+SQL_FOCAL_MODE = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 7 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    nbrs AS (
+        SELECT a.x, a.y, b.v
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+    ),
+    cnt AS (SELECT x, y, v, count(*) AS c FROM nbrs GROUP BY x, y, v)
+    SELECT x AS cell_x, y AS cell_y, v AS density
+    FROM cnt
+    QUALIFY row_number() OVER (PARTITION BY x, y ORDER BY c DESC, v ASC) = 1
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (stages/sample.py:weighted_sample_topk, Efraimidis–Spirakis keys from
+    the SQL-reproducible mix32 hash, weight = n_chars): per-batch partial
+    top-k + tiny single-block final. SQL-checked — DuckDB computes the
+    identical ln(u)/w keys (bit-identical libm) and takes the same top 25."""
+    from .stages.sample import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample_topk(ds, "doc_id", "n_chars", 25)
+    return out.select_columns(["doc_id"])
+
+
+def _sql_weighted_sample() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ln((({sql_mix32('doc_id')}) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents
+    )
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT 25
+"""
+
+
 def q_focal_mean_grid(sf_dir: str):
     """Focal mean with the Square(1) window ACROSS tile boundaries
     (stages/layer_ops.py:focal_op via buffer_tiles collar exchange), over
@@ -3407,6 +3488,9 @@ def build_queries() -> dict:
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
+        "q_reclassify_grid": q_reclassify_grid,
+        "q_focal_mode_grid": q_focal_mode_grid,
+        "q_weighted_sample": q_weighted_sample,
         "q_focal_mean_grid": q_focal_mean_grid,
         "q_focal_stddev_grid": q_focal_stddev_grid,
         "q_terrain_slope_grid": q_terrain_slope_grid,
@@ -3539,6 +3623,9 @@ def build_oracle_sql() -> dict:
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,
         "q_terrain_slope_grid": SQL_TERRAIN_SLOPE,
         "q_terrain_aspect_grid": SQL_TERRAIN_ASPECT,
+        "q_reclassify_grid": SQL_RECLASSIFY,
+        "q_focal_mode_grid": SQL_FOCAL_MODE,
+        "q_weighted_sample": _sql_weighted_sample(),
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,
         "q_convex_hull": SQL_CONVEX_HULL,

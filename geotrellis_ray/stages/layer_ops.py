@@ -316,6 +316,22 @@ def focal_op(ds, op: str = "mean", margin: int = 1):
                     out = np.nanmax(stack, axis=0)
                 elif op == "median":
                     out = np.nanmedian(stack, axis=0)
+                elif op == "mode":
+                    # vectorized window mode, ties -> SMALLEST value (spec,
+                    # so the SQL oracle's ORDER BY c DESC, v ASC agrees).
+                    # sort puts NaN last; NaN counts stay 0 via != compare.
+                    s = np.sort(stack, axis=0)
+                    kk = s.shape[0]
+                    cnt = np.zeros_like(s)
+                    for a in range(kk):
+                        for bb in range(kk):
+                            cnt[a] += (s[a] == s[bb])
+                    best_c = np.zeros(s.shape[1:])
+                    out = np.full(s.shape[1:], np.nan)
+                    for a in range(kk):  # ascending values: first strict max wins
+                        take = cnt[a] > best_c
+                        out = np.where(take, s[a], out)
+                        best_c = np.maximum(best_c, cnt[a])
                 else:
                     raise ValueError(f"unknown focal op {op!r}")
             out = np.where(center_def, out, np.nan)
@@ -442,6 +458,27 @@ def layer_mask(ds, geom: dict, layout, invert: bool = False):
         for i in range(cube.shape[0]):
             ext = layout.key_to_extent(int(kc[i]), int(kr[i]))
             out[i] = mask_geom(cube[i], ext, geom, invert=invert)
+        return _tile_table(batch, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def layer_reclassify(ds, breaks):
+    """Reclassify a layer into integer classes by ascending break values
+    (GeoTrellis Tile.classify / BreakMap with LessThan semantics,
+    ref:raster/.../render/BreakMap.scala, L:unverified): class(v) = number
+    of breaks STRICTLY below v (so v <= breaks[0] -> 0, v > breaks[-1] ->
+    len(breaks)). Pure per-tile searchsorted, no shuffle; NoData stays
+    NoData. SQL-reproducible bit-exact (integer output)."""
+    br = np.asarray(sorted(breaks), dtype=np.float64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        out = np.searchsorted(br, cube.ravel(), side="left").astype(np.float64)
+        out = out.reshape(cube.shape)
+        out[np.isnan(cube)] = np.nan
         return _tile_table(batch, out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -66,3 +66,45 @@ def stratified_sample(ds, group_col: str, rates: dict, id_col: str,
         return b.filter(pa.array(keep))
 
     return ds.map_batches(keep_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): row i gets key ln(u_i) / w_i with u_i =
+    (mix32(id)+0.5) / 2^32 — the k LARGEST keys are the sample, each row's
+    inclusion probability proportional to its weight. Deterministic (same
+    id -> same u), so reruns agree and a SQL oracle can reproduce the
+    selection with the identical ln expression.
+
+    Scale shape: per-batch vectorized keys + partial top-k (argpartition),
+    then a single-block final merge of the tiny k-per-block partials —
+    exactly the grouped-top-k pattern, selection-volume never exceeds
+    k x #blocks."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], b[id_col].type),
+                             weight_col: pa.array([], b[weight_col].type),
+                             "es_key": pa.array([], pa.float64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (mix32(ids).astype(np.float64) + 0.5) / 4294967296.0
+        key = np.log(u) / w
+        if n > k:
+            top = np.argpartition(key, n - k)[n - k:]
+        else:
+            top = np.arange(n)
+        return pa.table({id_col: pa.array(ids[top], pa.int64()),
+                         weight_col: pa.array(w[top], pa.float64()),
+                         "es_key": pa.array(key[top], pa.float64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        key = b["es_key"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]  # key DESC, id ASC tie-break
+        return b.take(pa.array(np.sort(order)))
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.repartition(1).map_batches(final, batch_format="pyarrow",
+                                           zero_copy_batch=True, batch_size=None)

@@ -301,3 +301,47 @@ def test_layer_resample(ray_session):
     for k in KEYS:
         np.testing.assert_allclose(got[k], resample(tile_values(*k), 4, 4, "average"),
                                    equal_nan=True)
+
+
+def test_focal_mode_matches_bruteforce(ray_session):
+    """Focal mode (ties -> smallest value) vs a window brute oracle over a
+    small categorical mosaic with NoData."""
+    from collections import Counter
+
+    from geotrellis_ray.stages.layer_ops import focal_op
+
+    big = _mosaic(KEYS)
+    # quantize to a few categories so ties actually happen
+    bigq = np.where(np.isnan(big), np.nan, np.floor(big) % 4)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_ray.core.sfc import zorder as _z
+
+    T2 = big.shape[0] // 2
+    rows = []
+    for kr in range(2):
+        for kc in range(2):
+            t = bigq[kr * T2:(kr + 1) * T2, kc * T2:(kc + 1) * T2]
+            rows.append({"key_col": kc, "key_row": kr, "sfc": int(_z(kc, kr)),
+                         "cells": t.astype(np.float64).tobytes(), "cols": T2,
+                         "rows": T2, "cell_type": "float64"})
+    lay = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = {}
+    for r in focal_op(lay, "mode", margin=1).take_all():
+        out[(r["key_col"], r["key_row"])] = np.frombuffer(
+            r["cells"], dtype=np.float64).reshape(T2, T2)
+    pad = np.pad(bigq, 1, constant_values=np.nan)
+    exp = np.full_like(bigq, np.nan)
+    for i in range(bigq.shape[0]):
+        for j in range(bigq.shape[1]):
+            if np.isnan(bigq[i, j]):
+                continue
+            w = pad[i:i + 3, j:j + 3].ravel()
+            w = w[~np.isnan(w)]
+            cnt = Counter(w)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            exp[i, j] = best[0]
+    for (c, r), tile in out.items():
+        e = exp[r * T2:(r + 1) * T2, c * T2:(c + 1) * T2]
+        np.testing.assert_allclose(tile, e, equal_nan=True)

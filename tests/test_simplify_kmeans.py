@@ -125,3 +125,44 @@ def test_semantic_dedup_drops_planted_near_dups(ray_session):
         assert i in kept and (1000 + i) not in kept
     # non-duplicated vectors survive
     assert out["keep"].sum() == 90
+
+
+def test_weighted_sample_topk_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_ray.stages.sample import mix32, weighted_sample_topk
+
+    rng = np.random.default_rng(12)
+    ids = np.arange(1000, dtype=np.int64)
+    w = rng.integers(1, 500, 1000).astype(np.float64)
+    tab = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    got = weighted_sample_topk(rd.from_arrow(tab).repartition(7),
+                               "doc_id", "w", 30).to_pandas()
+    u = (mix32(ids).astype(np.float64) + 0.5) / 4294967296.0
+    key = np.log(u) / w
+    expect = ids[np.lexsort((ids, -key))[:30]]
+    assert sorted(got["doc_id"].tolist()) == sorted(expect.tolist())
+    # heavier rows are sampled more often: median weight of the sample
+    # exceeds the population median (probabilistic but deterministic here)
+    assert np.median(w[np.isin(ids, expect)]) > np.median(w)
+
+
+def test_weighted_sample_block_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_ray.stages.sample import weighted_sample_topk
+
+    ids = np.arange(200, dtype=np.int64)
+    w = (ids % 17 + 1).astype(np.float64)
+    tab = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    sel = None
+    for nblocks in (1, 9):
+        got = weighted_sample_topk(rd.from_arrow(tab).repartition(nblocks),
+                                   "doc_id", "w", 10).to_pandas()
+        cur = sorted(got["doc_id"].tolist())
+        assert sel is None or cur == sel
+        sel = cur
