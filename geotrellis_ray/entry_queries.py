@@ -2694,6 +2694,54 @@ def q_image_near_dups(sf_dir: str):
     return image_near_dups(media, max_hamming=3)
 
 
+def q_etl_pipeline(sf_dir: str):
+    """The composed GeoTrellis-style ETL as ONE JSON pipeline spec
+    (pipelines/spec.py:run_spec): synthesize GeoTiffs -> read.geotiffs ->
+    tile_to_layout -> pyramid.up_levels into a catalog -> render.png the
+    top level. Returns per-zoom tile counts + png byte total (rows-only;
+    exactness of every constituent stage is SQL/pytest-checked
+    elsewhere)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from .core.geotiff import encode_geotiff
+    from .core.layout import Extent
+    from .pipelines.spec import run_spec
+    from .sources.layer import read_layer
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        tifs = os.path.join(td, "tifs")
+        os.makedirs(tifs)
+        for gx in range(2):
+            for gy in range(2):
+                yy, xx = np.mgrid[0:16, 0:16]
+                arr = ((xx + 16 * gx) * 3 + (yy + 16 * gy) * 7 + 1).astype(np.float64)
+                ext = Extent(gx * 16.0, gy * 16.0, gx * 16.0 + 16, gy * 16.0 + 16)
+                with open(os.path.join(tifs, f"r{gx}{gy}.tif"), "wb") as f:
+                    f.write(encode_geotiff(ext, arr, epsg=4326, tile_size=None))
+        catalog = os.path.join(td, "catalog")
+        run_spec([
+            {"op": "read.geotiffs", "path": tifs},
+            {"op": "transform.tile_to_layout", "extent": [0.0, 0.0, 32.0, 32.0],
+             "tile_layout": [4, 4, 8, 8]},
+            {"op": "pyramid.up_levels", "catalog": catalog, "name": "etl",
+             "zoom": 2, "down_to": 0},
+        ])
+        rows = []
+        for z in (2, 1, 0):
+            lvl = read_layer(catalog, "etl", z)
+            pngs = run_spec([
+                {"op": "read.parquet", "path": os.path.join(catalog, "etl", str(z))},
+                {"op": "render.png", "breaks": [300.0, 600.0, 900.0],
+                 "colors": [[0, 0, 255, 255], [0, 255, 0, 255], [255, 0, 0, 255]]},
+            ]).take_all()
+            rows.append({"zoom": z, "n_tiles": lvl.count(),
+                         "png_bytes": int(sum(len(r["png"]) for r in pngs))})
+    return pd.DataFrame(rows)
+
+
 def q_bloom_dedup(sf_dir: str):
     """Cross-corpus exact dedup with a Bloom prefilter
     (stages/dedup.py:bloom_dedup): new corpus = even doc_ids, reference =
@@ -3488,6 +3536,7 @@ def build_queries() -> dict:
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
+        "q_etl_pipeline": q_etl_pipeline,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
         "q_weighted_sample": q_weighted_sample,

@@ -277,6 +277,29 @@ def _op_tile_to_layout(ds, extent, tile_layout):
     return tile_to_layout(ds, _layout_from_args(extent, tile_layout))
 
 
+def _op_render_png(ds, breaks, colors, nodata_color=(0, 0, 0, 0)):
+    """Tile layer -> (key_col, key_row, png:binary) via ColorMap. The last
+    mile of the GeoTrellis ETL (render a pyramid level to map tiles)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.raster import decode_tile
+    from ..core.render import ColorMap, render_tile_png
+
+    cm = ColorMap([float(b) for b in breaks],
+                  [tuple(c) for c in colors], tuple(nodata_color))
+
+    def fn(b: pa.Table) -> pa.Table:
+        pngs = []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            pngs.append(render_tile_png(t, cm))
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "png": pa.array(pngs, pa.binary())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _op_pyramid_up_levels(ds, catalog: str, name: str, zoom: int, down_to: int = 0):
     import ray.data
 
@@ -321,6 +344,7 @@ for _name, _fn in {
     "rasterize.features": _op_rasterize,
     "transform.clip_to_grid": _op_clip_to_grid,
     "pyramid.up_levels": _op_pyramid_up_levels,
+    "render.png": _op_render_png,
     "read.rasters": _op_read_rasters,
     "read.geotiffs": _op_read_geotiffs,
     "write.geotiffs": _op_write_geotiffs,

@@ -1,0 +1,78 @@
+"""End-to-end GeoTrellis-style ETL through the JSON pipeline spec:
+GeoTiff directory -> tile_to_layout -> pyramid write -> PNG render, all via
+run_spec — the composed ingest a reference user runs as `geotrellis ETL`."""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tif_dir(tmp_path):
+    from geotrellis_ray.core.geotiff import encode_geotiff
+    from geotrellis_ray.core.layout import Extent
+
+    rng = np.random.default_rng(77)
+    # 2x2 grid of 16x16 rasters covering extent (0,0)-(32,32)
+    for gx in range(2):
+        for gy in range(2):
+            arr = rng.uniform(0.0, 100.0, (16, 16))
+            ext = Extent(gx * 16.0, gy * 16.0, gx * 16.0 + 16.0, gy * 16.0 + 16.0)
+            (tmp_path / f"r{gx}{gy}.tif").write_bytes(
+                encode_geotiff(ext, arr, epsg=4326, compression="deflate",
+                               tile_size=None))
+    return str(tmp_path)
+
+
+def test_etl_spec_ingest_pyramid_render(ray_session, tif_dir, tmp_path):
+    from geotrellis_ray.core.media import decode_png
+    from geotrellis_ray.pipelines.spec import run_spec
+    from geotrellis_ray.sources.layer import read_layer
+
+    catalog = str(tmp_path / "catalog")
+    extent = [0.0, 0.0, 32.0, 32.0]
+    tl = [4, 4, 8, 8]  # 4x4 layout of 8x8 tiles at the base zoom (=2)
+
+    out = run_spec([
+        {"op": "read.geotiffs", "path": tif_dir},
+        {"op": "transform.tile_to_layout", "extent": extent, "tile_layout": tl},
+        {"op": "pyramid.up_levels", "catalog": catalog, "name": "etl",
+         "zoom": 2, "down_to": 0},
+    ])
+    # every pyramid level landed in the catalog with metadata
+    for z in (2, 1, 0):
+        p = os.path.join(catalog, "etl", str(z))
+        assert os.path.isdir(p) and os.path.exists(os.path.join(p, "_metadata.json"))
+
+    # base level: stitched mosaic == the source rasters re-read directly
+    base = read_layer(catalog, "etl", 2)
+    rows = base.take_all()
+    assert len(rows) == 16
+    mosaic = np.full((32, 32), np.nan)
+    for r in rows:
+        t = np.frombuffer(r["cells"], dtype=np.float64).reshape(8, 8)
+        mosaic[r["key_row"] * 8:(r["key_row"] + 1) * 8,
+               r["key_col"] * 8:(r["key_col"] + 1) * 8] = t
+    from geotrellis_ray.core.geotiff import decode_geotiff
+
+    src = np.full((32, 32), np.nan)
+    for gx in range(2):
+        for gy in range(2):
+            _ext, arr, _meta = decode_geotiff(
+                open(os.path.join(tif_dir, f"r{gx}{gy}.tif"), "rb").read())
+            # world y grows north; row 0 of the raster is the TOP (max y)
+            r0 = 32 - (gy * 16 + 16)
+            src[r0:r0 + 16, gx * 16:gx * 16 + 16] = arr
+    np.testing.assert_allclose(mosaic, src, atol=1e-6)
+
+    # render the coarsest level to PNG map tiles through the spec
+    tiles = run_spec([
+        {"op": "read.parquet",
+         "path": os.path.join(catalog, "etl", "0")},
+        {"op": "render.png", "breaks": [25.0, 50.0, 75.0, 100.0],
+         "colors": [[0, 0, 255, 255], [0, 255, 0, 255],
+                    [255, 255, 0, 255], [255, 0, 0, 255]]},
+    ]).take_all()
+    assert len(tiles) == 1
+    rgba = decode_png(tiles[0]["png"])
+    assert rgba.shape[2] >= 3 and rgba.shape[0] == rgba.shape[1]
