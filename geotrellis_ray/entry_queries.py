@@ -2694,6 +2694,33 @@ def q_image_near_dups(sf_dir: str):
     return image_near_dups(media, max_hamming=3)
 
 
+def q_script_stats(sf_dir: str):
+    """Unicode-script profile per doc
+    (functions/text_analysis.py:script_stats_batch): per-script RE2 counts
+    + fixed-priority dominant script. SQL-checked bit-exact — DuckDB's
+    regexp_extract_all over the same \\p{Script} classes."""
+    from .functions.text_analysis import script_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: script_stats_batch(b).drop_columns(["text"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
+SQL_SCRIPT_STATS = """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\p{Latin}')) AS n_latin,
+           len(regexp_extract_all(text, '\\p{Cyrillic}')) AS n_cyrillic,
+           len(regexp_extract_all(text, '\\p{Han}')) AS n_han,
+           len(regexp_extract_all(text, '[\\p{Hiragana}\\p{Katakana}]')) AS n_kana,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_kana THEN 'latin'
+                WHEN n_cyrillic >= n_han AND n_cyrillic >= n_kana THEN 'cyrillic'
+                WHEN n_han >= n_kana THEN 'han'
+                ELSE 'kana' END AS dominant_script
+    FROM documents
+"""
+
+
 def q_etl_pipeline(sf_dir: str):
     """The composed GeoTrellis-style ETL as ONE JSON pipeline spec
     (pipelines/spec.py:run_spec): synthesize GeoTiffs -> read.geotiffs ->
@@ -3537,6 +3564,7 @@ def build_queries() -> dict:
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
         "q_etl_pipeline": q_etl_pipeline,
+        "q_script_stats": q_script_stats,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
         "q_weighted_sample": q_weighted_sample,
@@ -3674,6 +3702,7 @@ def build_oracle_sql() -> dict:
         "q_terrain_aspect_grid": SQL_TERRAIN_ASPECT,
         "q_reclassify_grid": SQL_RECLASSIFY,
         "q_focal_mode_grid": SQL_FOCAL_MODE,
+        "q_script_stats": SQL_SCRIPT_STATS,
         "q_weighted_sample": _sql_weighted_sample(),
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,

@@ -298,3 +298,33 @@ def line_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "t
         "n_distinct_lines": pa.array(n_distinct, pa.int64()),
         "n_dup_lines": pa.array(n_lines - n_distinct, pa.int64()),
     })
+
+
+_SCRIPTS = [("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+            ("han", r"\p{Han}"), ("kana", r"[\p{Hiragana}\p{Katakana}]")]
+
+
+def script_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode-script profile per doc (the script-detection signal a
+    crawl pipeline gates langid with): per-script char counts via RE2
+    \\p{Script} classes (vectorized; DuckDB's regexp_extract_all counts the
+    identical sets, verified bit-exact) + dominant script with a fixed
+    priority tie-break (latin > cyrillic > han > kana — first max wins;
+    all-zero docs -> latin)."""
+    t = batch[text_col]
+    counts = {name: pc.count_substring_regex(t, pat).cast(pa.int64())
+              for name, pat in _SCRIPTS}
+    arrs = [counts[n].to_numpy(zero_copy_only=False) for n, _ in _SCRIPTS]
+    stack = np.stack(arrs)  # (4, n) in priority order
+    best = np.zeros(stack.shape[1], dtype=np.int64)
+    best_c = stack[0].copy()
+    for i in range(1, stack.shape[0]):
+        take = stack[i] > best_c
+        best = np.where(take, i, best)
+        best_c = np.maximum(best_c, stack[i])
+    names = np.array([n for n, _ in _SCRIPTS], dtype=object)
+    out = batch
+    for n, _ in _SCRIPTS:
+        out = out.append_column(f"n_{n}", counts[n])
+    return out.append_column("dominant_script",
+                             pa.array(names[best], pa.string()))

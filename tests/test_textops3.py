@@ -222,3 +222,22 @@ def test_mix32_matches_duckdb_sql():
     ).fetchnumpy()
     got = mix32(ids).astype(np.int64)
     np.testing.assert_array_equal(got, list(exp.values())[0].astype(np.int64))
+
+
+def test_script_stats_batch():
+    import pyarrow as pa
+
+    from geotrellis_ray.functions.text_analysis import script_stats_batch
+
+    tab = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["Hello мир 你好", "Привет мир", "日本語テキスト",
+                                      "只有中文内容", ""])})
+    out = script_stats_batch(tab)
+    assert out["n_latin"].to_pylist() == [5, 0, 0, 0, 0]
+    assert out["n_cyrillic"].to_pylist() == [3, 9, 0, 0, 0]
+    assert out["n_han"].to_pylist() == [2, 0, 3, 6, 0]
+    assert out["n_kana"].to_pylist() == [0, 0, 4, 0, 0]
+    # dominant: strict-max beats priority; ties fall back to the fixed
+    # order (all-zero doc -> latin)
+    assert out["dominant_script"].to_pylist() == [
+        "latin", "cyrillic", "kana", "han", "latin"]
