@@ -169,3 +169,70 @@ class TopKSketch:
         out = cls(capacity=int(d["capacity"]), keys=d["keys"], counts=d["counts"])
         out.decremented = int(d.get("decremented", 0))
         return out
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): fixed-size
+    mergeable frequency estimator — estimate(x) >= true_count(x) always
+    (one-sided error), overestimate <= eps * N with probability 1 - delta
+    for width = ceil(e / eps), depth = ceil(ln(1 / delta)). The 100-TB
+    companion to TopKSketch: Misra-Gries surfaces WHICH keys are heavy,
+    CMS answers point frequency queries for ANY key; both merge by simple
+    elementwise addition so per-block partials tree-combine losslessly.
+
+    Rows are salted splitmix64 hashes of the caller's 64-bit key hash;
+    all update/query paths are vectorized np.add.at / gather."""
+
+    def __init__(self, width: int = 2048, depth: int = 5,
+                 table: np.ndarray | None = None):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = (np.zeros((depth, width), np.int64)
+                      if table is None else table)
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for key hashes h."""
+        salts = (np.arange(1, self.depth + 1, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+        return np.stack([
+            (splitmix64(h ^ s) % np.uint64(self.width)).astype(np.int64)
+            for s in salts
+        ])
+
+    def update_hashes(self, h: np.ndarray,
+                      counts: np.ndarray | None = None) -> "CountMinSketch":
+        h = h.astype(np.uint64, copy=False)
+        c = (np.ones(len(h), np.int64) if counts is None
+             else counts.astype(np.int64))
+        cols = self._cols(h)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], c)
+        return self
+
+    def update(self, values) -> "CountMinSketch":
+        return self.update_hashes(hash_values(values))
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        cols = self._cols(h.astype(np.uint64, copy=False))
+        est = self.table[0][cols[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][cols[d]])
+        return est
+
+    def query(self, values) -> np.ndarray:
+        return self.query_hashes(hash_values(values))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def to_dict(self) -> dict:
+        return {"width": self.width, "depth": self.depth,
+                "table": base64.b64encode(
+                    self.table.astype("<i8").tobytes()).decode()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CountMinSketch":
+        t = np.frombuffer(base64.b64decode(d["table"]), "<i8").reshape(
+            d["depth"], d["width"]).copy()
+        return cls(d["width"], d["depth"], t)

@@ -2721,6 +2721,30 @@ SQL_SCRIPT_STATS = """
 """
 
 
+def q_approx_counts(sf_dir: str):
+    """Count-min-sketch point frequencies (stages/stats.py:approx_counts)
+    for the 20 corpus sources: per-block (5 x 2048) partial tables,
+    additive tree-merge, O(1) driver queries. SQL-checked against exact
+    GROUP BY counts — deterministic hashes + 20 keys in 2048 columns mean
+    the one-sided estimate is collision-free at this fixture (est ==
+    truth), which the driver compare proves every round."""
+    import pandas as pd
+
+    from .stages.stats import approx_counts
+
+    ds = _read(sf_dir, "documents", ["source"])
+    srcs = [f"src{i}" for i in range(20)]
+    est = approx_counts(ds, "source", srcs)
+    return pd.DataFrame({"source": srcs,
+                         "n_docs": [est[s] for s in srcs]}).sort_values(
+        "source").reset_index(drop=True)
+
+
+SQL_APPROX_COUNTS = """
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+"""
+
+
 def q_etl_pipeline(sf_dir: str):
     """The composed GeoTrellis-style ETL as ONE JSON pipeline spec
     (pipelines/spec.py:run_spec): synthesize GeoTiffs -> read.geotiffs ->
@@ -3029,6 +3053,30 @@ SQL_MATCH_HISTOGRAM = """
     )
     SELECT g.x AS cell_x, g.y AS cell_y, CAST(x.tv AS BIGINT) AS density
     FROM src g JOIN xfer x ON g.v = x.v
+"""
+
+
+def q_normalize_grid(sf_dir: str):
+    """Layer normalize/rescale to [0, 1000]
+    (stages/enhance.py:normalize_layer): one min/max aggregate +
+    shuffle-free linear remap. SQL-checked bit-exact (fixed operand
+    order, integer-valued inputs)."""
+    from .stages.enhance import normalize_layer
+
+    out = normalize_layer(_hash_grid_layer(3, 16, mod=251), 0.0, 1000.0)
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_NORMALIZE = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    st AS (SELECT min(v) AS lo, max(v) AS hi FROM grid)
+    SELECT x AS cell_x, y AS cell_y,
+           0.0 + (v - lo) * (1000.0 - 0.0) / (hi - lo) AS density
+    FROM grid, st
 """
 
 
@@ -3565,6 +3613,8 @@ def build_queries() -> dict:
         "q_image_near_dups": q_image_near_dups,
         "q_etl_pipeline": q_etl_pipeline,
         "q_script_stats": q_script_stats,
+        "q_normalize_grid": q_normalize_grid,
+        "q_approx_counts": q_approx_counts,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
         "q_weighted_sample": q_weighted_sample,
@@ -3703,6 +3753,8 @@ def build_oracle_sql() -> dict:
         "q_reclassify_grid": SQL_RECLASSIFY,
         "q_focal_mode_grid": SQL_FOCAL_MODE,
         "q_script_stats": SQL_SCRIPT_STATS,
+        "q_normalize_grid": SQL_NORMALIZE,
+        "q_approx_counts": SQL_APPROX_COUNTS,
         "q_weighted_sample": _sql_weighted_sample(),
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,

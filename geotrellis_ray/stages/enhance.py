@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["equalize_layer", "sigmoidal_contrast", "match_histogram"]
+__all__ = ["equalize_layer", "sigmoidal_contrast", "match_histogram",
+           "normalize_layer"]
 
 _MAX_DISTINCT = 1 << 22  # driver-collect guard: int rasters are <= 2^16 anyway
 
@@ -210,6 +211,31 @@ def sigmoidal_contrast(ds, alpha: float = 0.5, beta: float = 10.0):
             u = (a - lo) / (hi - lo)
             r = lo + (hi - lo) * (sig(u) - s0) / (s1 - s0)
             out.append(np.where(np.isnan(a), np.nan, r).tobytes())
+        return _replace_cells(batch, out)
+
+    return ds.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_layer(ds, new_min: float, new_max: float):
+    """Linear rescale of a whole layer to [new_min, new_max] (GeoTrellis
+    Tile.normalize / rescale, ref:raster/.../NormalizeMethods.scala,
+    L:unverified): T(v) = new_min + (v - lo) * (new_max - new_min) /
+    (hi - lo) with lo/hi the LAYER min/max (one slim aggregate, then a
+    shuffle-free per-cell map). The operand order is the spec, so a SQL
+    oracle reproduces it bit-exact. Constant layers map to new_min."""
+    from .stats import layer_min_max_mean
+
+    mm = layer_min_max_mean(_cells_ds(ds), "v")
+    lo, hi = float(mm["min"]), float(mm["max"])
+
+    def remap(batch: pa.Table) -> pa.Table:
+        out = []
+        for _i, a in _tile_iter(batch):
+            if hi == lo:
+                r = np.where(np.isnan(a), np.nan, new_min)
+            else:
+                r = new_min + (a - lo) * (new_max - new_min) / (hi - lo)
+            out.append(r.tobytes())
         return _replace_cells(batch, out)
 
     return ds.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)

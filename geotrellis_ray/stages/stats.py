@@ -194,3 +194,28 @@ def approx_top_k(ds, value_col: str, k: int = 10, capacity: int = 2048,
         [value_col], [(value_col, "count", "n")])
     df = counts.to_pandas().sort_values(["n", value_col], ascending=[False, True])
     return [(row[value_col], int(row["n"])) for _, row in df.head(k).iterrows()]
+
+
+def approx_counts(ds, value_col: str, query_values, width: int = 2048,
+                  depth: int = 5) -> dict:
+    """Point frequency estimates at corpus scale: Count-min sketch
+    (core/sketch.py) — one (depth x width) int64 table per block
+    (map_batches partial), lossless additive tree-merge, tiny driver
+    merge, then O(1) per-key queries for ``query_values``. One-sided:
+    est >= truth always, overestimate bounded by eps*N w.h.p.; the data
+    itself never shuffles. Returns {value: estimated_count}."""
+    import json
+
+    from ..core.sketch import CountMinSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = CountMinSketch(width, depth).update(
+            _values_from_batch(batch, value_col))
+        return pa.table({"sketch": pa.array([json.dumps(s.to_dict())], pa.string())})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _tree_merge_sketches(sketches, lambda: CountMinSketch(width, depth),
+                                  CountMinSketch.from_dict)
+    qv = list(query_values)
+    est = merged.query(qv)
+    return {v: int(e) for v, e in zip(qv, est)}

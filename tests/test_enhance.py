@@ -125,3 +125,22 @@ def test_sigmoidal_matches_brute(ray_session):
     assert np.isnan(got[3, 3])
     # endpoints map to themselves; midpoint contrast increases slope
     assert got[m].min() == pytest.approx(lo) and got[m].max() == pytest.approx(hi)
+
+
+def test_normalize_layer(ray_session):
+    from geotrellis_ray.stages.enhance import normalize_layer
+
+    rng = np.random.default_rng(8)
+    g = rng.integers(10, 200, (16, 16)).astype(np.float64)
+    g[1, 1] = np.nan
+    got = _mosaic(normalize_layer(_layer(g, 8), 0.0, 100.0).take_all(), 16, 16, 8)
+    lo, hi = np.nanmin(g), np.nanmax(g)
+    exp = 0.0 + (g - lo) * 100.0 / (hi - lo)
+    m = ~np.isnan(g)
+    np.testing.assert_array_equal(got[m], exp[m])
+    assert np.isnan(got[1, 1])
+    assert got[m].min() == 0.0 and got[m].max() == 100.0
+    # constant layer -> new_min
+    c = np.full((8, 8), 5.0)
+    gotc = _mosaic(normalize_layer(_layer(c, 8), 2.0, 9.0).take_all(), 8, 8, 8)
+    np.testing.assert_array_equal(gotc, np.full((8, 8), 2.0))

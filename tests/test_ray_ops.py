@@ -629,3 +629,39 @@ def test_pq_search_rerank_matches_brute(ray_session):
         for _, row in g.iterrows():
             assert abs(row["dist"] - brute[qi][int(row["vec_id"])]) < 1e-6
     assert overlap / 5 >= 0.8, overlap / 5
+
+
+def test_count_min_sketch_properties():
+    from geotrellis_ray.core.sketch import CountMinSketch
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 50, 10_000)  # 50 keys, skewed-ish uniform
+    true = {k: int((vals == k).sum()) for k in range(50)}
+    s = CountMinSketch(width=512, depth=5)
+    s.update(vals)
+    est = s.query(list(range(50)))
+    # one-sided: never underestimates
+    assert all(int(e) >= true[k] for k, e in zip(range(50), est))
+    # tight at this width (50 keys in 512 cols, min over 5 rows)
+    assert sum(int(e) - true[k] for k, e in zip(range(50), est)) == 0
+    # merge == single-pass sketch (additive)
+    a = CountMinSketch(512, 5); a.update(vals[:5000])
+    b = CountMinSketch(512, 5); b.update(vals[5000:])
+    a.merge(b)
+    assert (a.table == s.table).all()
+    # round-trips through dict
+    r = CountMinSketch.from_dict(s.to_dict())
+    assert (r.table == s.table).all()
+
+
+def test_approx_counts_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.stats import approx_counts
+
+    vals = [f"k{i % 7}" for i in range(700)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    est = approx_counts(ds, "v", [f"k{i}" for i in range(7)] + ["absent"])
+    assert all(est[f"k{i}"] == 100 for i in range(7))
+    assert est["absent"] == 0
