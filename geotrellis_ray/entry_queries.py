@@ -2721,6 +2721,23 @@ SQL_SCRIPT_STATS = """
 """
 
 
+def q_jenks_breaks(sf_dir: str):
+    """Jenks/Fisher natural breaks over documents.n_chars
+    (stages/stats.py:jenks_breaks, k=5): slim distinct-count aggregate +
+    exact driver DP. Rows-only (the optimization is not SQL-expressible);
+    exactness proven in pytest against exhaustive split search."""
+    import pandas as pd
+
+    from .stages.stats import jenks_breaks
+
+    ds = _read(sf_dir, "documents", ["n_chars"]).map_batches(
+        lambda b: pa.table({"v": b["n_chars"].cast(pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    br = jenks_breaks(ds, "v", 5)
+    return pd.DataFrame({"class_idx": list(range(len(br))),
+                         "upper_break": br})
+
+
 def q_approx_counts(sf_dir: str):
     """Count-min-sketch point frequencies (stages/stats.py:approx_counts)
     for the 20 corpus sources: per-block (5 x 2048) partial tables,
@@ -3615,6 +3632,7 @@ def build_queries() -> dict:
         "q_script_stats": q_script_stats,
         "q_normalize_grid": q_normalize_grid,
         "q_approx_counts": q_approx_counts,
+        "q_jenks_breaks": q_jenks_breaks,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
         "q_weighted_sample": q_weighted_sample,

@@ -219,3 +219,69 @@ def approx_counts(ds, value_col: str, query_values, width: int = 2048,
     qv = list(query_values)
     est = merged.query(qv)
     return {v: int(e) for v, e in zip(qv, est)}
+
+
+def jenks_breaks(values_ds, value_col: str, k: int, max_bins: int = 4096):
+    """Jenks/Fisher natural breaks: the k-class 1-D classification
+    minimizing within-class weighted SSE (the classic cartographic
+    classBreaks alternative to quantiles; GeoTrellis exposes quantile
+    breaks — this is the optimal-breaks upgrade, engine addition).
+
+    Scale shape: ONE slim distinct-value count aggregate (map-side
+    combined; the same FastMap contract as equalize_layer — guarded), the
+    exact O(k m^2) Fisher DP runs on the DRIVER over at most ``max_bins``
+    distinct values (above that, values pre-bin to max_bins quantile bins
+    of the distinct-value distribution, keeping the DP exact over bins).
+    Returns the k-1 UPPER break values (class i = values in
+    (breaks[i-1], breaks[i]])."""
+    from .agg import partial_groupby
+
+    hist = partial_groupby(values_ds, [value_col],
+                           [(value_col, "count", "c")]).take_all()
+    if not hist:
+        return []
+    vals = np.array([r[value_col] for r in hist], dtype=np.float64)
+    cnts = np.array([r["c"] for r in hist], dtype=np.float64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    if len(vals) > max_bins:
+        # exact DP over quantile bins of the distinct-value distribution
+        q = np.cumsum(cnts) / cnts.sum()
+        edges = np.searchsorted(q, np.linspace(0, 1, max_bins + 1)[1:-1])
+        bins = np.split(np.arange(len(vals)), np.unique(edges))
+        vals = np.array([vals[b].max() for b in bins if len(b)])
+        cnts = np.array([cnts[b].sum() for b in bins if len(b)])
+    m = len(vals)
+    k = min(k, m)
+    w = np.concatenate([[0.0], np.cumsum(cnts)])
+    wx = np.concatenate([[0.0], np.cumsum(cnts * vals)])
+    wx2 = np.concatenate([[0.0], np.cumsum(cnts * vals * vals)])
+
+    def sse(a, b):
+        """Vectorized SSE of value-index range [a..b] (a array, b scalar)."""
+        W = w[b + 1] - w[a]
+        S = wx[b + 1] - wx[a]
+        S2 = wx2[b + 1] - wx2[a]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = S2 - S * S / W
+        return np.where(W > 0, out, np.inf)
+
+    INF = np.inf
+    dp = np.full((k + 1, m), INF)
+    back = np.zeros((k + 1, m), dtype=np.int64)
+    dp[1] = np.array([sse(np.array([0]), i)[0] for i in range(m)])
+    for j in range(2, k + 1):
+        for i in range(j - 1, m):
+            s = np.arange(j - 1, i + 1)           # first index of class j
+            cand = dp[j - 1][s - 1] + sse(s, i)
+            b = int(np.argmin(cand))
+            dp[j][i] = cand[b]
+            back[j][i] = s[b]
+    # backtrack upper break values
+    breaks = []
+    i = m - 1
+    for j in range(k, 1, -1):
+        s = back[j][i]
+        breaks.append(float(vals[s - 1]))
+        i = s - 1
+    return sorted(breaks)

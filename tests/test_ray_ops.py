@@ -665,3 +665,45 @@ def test_approx_counts_distributed(ray_session):
     est = approx_counts(ds, "v", [f"k{i}" for i in range(7)] + ["absent"])
     assert all(est[f"k{i}"] == 100 for i in range(7))
     assert est["absent"] == 0
+
+
+def test_jenks_breaks_exhaustive_oracle(ray_session):
+    """Fisher DP == exhaustive search over all split placements (small m)."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.stats import jenks_breaks
+
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([rng.normal(0, 1, 60), rng.normal(10, 1, 30),
+                           rng.normal(25, 2, 40)]).round(1)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+    k = 3
+    got = jenks_breaks(ds, "v", k)
+    assert len(got) == k - 1
+
+    uniq, cnt = np.unique(vals, return_counts=True)
+
+    def sse_range(lo, hi):
+        v, c = uniq[lo:hi + 1], cnt[lo:hi + 1]
+        W = c.sum()
+        return float((c * v * v).sum() - (c * v).sum() ** 2 / W)
+
+    m = len(uniq)
+    best, best_breaks = np.inf, None
+    for splits in combinations(range(1, m), k - 1):
+        bounds = [0, *splits, m]
+        tot = sum(sse_range(bounds[i], bounds[i + 1] - 1) for i in range(k))
+        if tot < best:
+            best = tot
+            best_breaks = [float(uniq[s - 1]) for s in splits]
+    got_sse = 0.0
+    bounds_idx = [0] + [int(np.searchsorted(uniq, b, side="right")) for b in got] + [m]
+    for i in range(k):
+        got_sse += sse_range(bounds_idx[i], bounds_idx[i + 1] - 1)
+    assert got_sse == pytest.approx(best, rel=1e-12)
+    assert got == pytest.approx(best_breaks)
+    # the tri-modal clusters are separated
+    assert 0 < got[0] < 10 and 10 <= got[1] < 25
