@@ -2721,6 +2721,62 @@ SQL_SCRIPT_STATS = """
 """
 
 
+def q_geom_measures(sf_dir: str):
+    """Geometry measures (stages/overlay.py:geom_measures): area /
+    perimeter / area-weighted centroid per feature over integer-vertex
+    triangles derived from doc_id. SQL-checked bit-exact — every shoelace
+    intermediate is an exact integer in float64; the three sqrt edge
+    lengths sum left-to-right on both sides."""
+    import ray.data
+
+    from .core.wkb import encode_polygon
+    from .stages.overlay import geom_measures
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        wkbs = []
+        for d in ids:
+            d = int(d)
+            x0, y0 = d % 50, d % 31
+            ring = [(x0, y0), (x0 + 3 + d % 5, y0 + 1), (x0 + 1, y0 + 4 + d % 7)]
+            wkbs.append(encode_polygon([ring]))
+        return pa.table({"polygon_id": b["doc_id"],
+                         "wkb": pa.array(wkbs, pa.binary())})
+
+    tris = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    return geom_measures(tris)
+
+
+SQL_GEOM_MEASURES = """
+    WITH v AS (
+        SELECT doc_id AS polygon_id,
+               CAST(doc_id % 50 AS DOUBLE) AS x0, CAST(doc_id % 31 AS DOUBLE) AS y0,
+               CAST(doc_id % 50 + 3 + doc_id % 5 AS DOUBLE) AS x1,
+               CAST(doc_id % 31 + 1 AS DOUBLE) AS y1,
+               CAST(doc_id % 50 + 1 AS DOUBLE) AS x2,
+               CAST(doc_id % 31 + 4 + doc_id % 7 AS DOUBLE) AS y2
+        FROM documents
+    ),
+    c AS (
+        SELECT polygon_id, x0, y0, x1, y1, x2, y2,
+               x0*y1 - x1*y0 AS cr0, x1*y2 - x2*y1 AS cr1, x2*y0 - x0*y2 AS cr2
+        FROM v
+    )
+    SELECT polygon_id,
+           abs((cr0 + cr1 + cr2)) / 2.0 AS area,
+           sqrt((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0))
+           + sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+           + sqrt((x0-x2)*(x0-x2) + (y0-y2)*(y0-y2)) AS perimeter,
+           ((x0+x1)*cr0 + (x1+x2)*cr1 + (x2+x0)*cr2)
+               / (6.0 * ((cr0 + cr1 + cr2) / 2.0)) AS centroid_x,
+           ((y0+y1)*cr0 + (y1+y2)*cr1 + (y2+y0)*cr2)
+               / (6.0 * ((cr0 + cr1 + cr2) / 2.0)) AS centroid_y
+    FROM c
+"""
+
+
 def q_jenks_breaks(sf_dir: str):
     """Jenks/Fisher natural breaks over documents.n_chars
     (stages/stats.py:jenks_breaks, k=5): slim distinct-count aggregate +
@@ -3632,6 +3688,7 @@ def build_queries() -> dict:
         "q_script_stats": q_script_stats,
         "q_normalize_grid": q_normalize_grid,
         "q_approx_counts": q_approx_counts,
+        "q_geom_measures": q_geom_measures,
         "q_jenks_breaks": q_jenks_breaks,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
@@ -3773,6 +3830,7 @@ def build_oracle_sql() -> dict:
         "q_script_stats": SQL_SCRIPT_STATS,
         "q_normalize_grid": SQL_NORMALIZE,
         "q_approx_counts": SQL_APPROX_COUNTS,
+        "q_geom_measures": SQL_GEOM_MEASURES,
         "q_weighted_sample": _sql_weighted_sample(),
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,

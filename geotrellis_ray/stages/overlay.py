@@ -255,3 +255,37 @@ def convex_hull_stage(ds, x_col: str = "x", y_col: str = "y"):
     return partial.repartition(1).map_batches(
         block_hull, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)
+
+
+# --- geometry measures --------------------------------------------------------
+
+
+def geom_measures(ds, wkb_col: str = "wkb", id_col: str = "polygon_id"):
+    """Per-feature area / perimeter / centroid (GeoTrellis geometry methods
+    area/length/centroid, JTS delegates — ref:vector GeometryMethods,
+    L:unverified): WKB decode per row, shoelace area (abs), closed-ring
+    perimeter, area-weighted centroid (vertex mean for degenerate rings).
+    Pure map stage, no shuffle; on integer-coordinate inputs every
+    intermediate is exact in float64, so a SQL oracle reproduces the
+    values bit-for-bit."""
+    from ..core import wkb as wkb_codec
+    from ..core.geom import line_length, polygon_area, polygon_centroid
+
+    def fn(b: pa.Table) -> pa.Table:
+        areas, perims, cxs, cys = [], [], [], []
+        for buf in b[wkb_col].to_pylist():
+            g = wkb_codec.decode(buf)
+            ring = np.asarray(g["rings"][0], dtype=np.float64)
+            areas.append(polygon_area(ring))
+            closed = ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+            perims.append(line_length(closed))
+            cx, cy = polygon_centroid(ring)
+            cxs.append(cx)
+            cys.append(cy)
+        return pa.table({id_col: b[id_col],
+                         "area": pa.array(areas, pa.float64()),
+                         "perimeter": pa.array(perims, pa.float64()),
+                         "centroid_x": pa.array(cxs, pa.float64()),
+                         "centroid_y": pa.array(cys, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
