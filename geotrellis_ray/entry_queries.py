@@ -2721,6 +2721,18 @@ SQL_SCRIPT_STATS = """
 """
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Grouped approx COUNT(DISTINCT)
+    (stages/stats.py:approx_distinct_by): distinct user_id per event_type
+    via one HLL sketch per (key, block), sketch-row shuffle only. Rows-only
+    (HLL is approximate); the 1.6% bound + merge correctness are
+    pytest-verified."""
+    from .stages.stats import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id", p=12)
+
+
 def q_geom_measures(sf_dir: str):
     """Geometry measures (stages/overlay.py:geom_measures): area /
     perimeter / area-weighted centroid per feature over integer-vertex
@@ -3690,6 +3702,7 @@ def build_queries() -> dict:
         "q_approx_counts": q_approx_counts,
         "q_geom_measures": q_geom_measures,
         "q_jenks_breaks": q_jenks_breaks,
+        "q_distinct_users_by_type": q_distinct_users_by_type,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
         "q_weighted_sample": q_weighted_sample,

@@ -285,3 +285,42 @@ def jenks_breaks(values_ds, value_col: str, k: int, max_bins: int = 4096):
         breaks.append(float(vals[s - 1]))
         i = s - 1
     return sorted(breaks)
+
+
+def approx_distinct_by(ds, key_col: str, value_col: str, p: int = 12):
+    """Grouped COUNT(DISTINCT) at corpus scale: one HyperLogLog per
+    (key, block) built map-side (values hash once, registers are ~2^p
+    bytes), then ONE groupby(key) shuffle of sketch rows — never the value
+    stream — with a register-max merge per group. Key cardinality bounds
+    the shuffle (thousands of keys x #blocks sketch rows). Returns a
+    Dataset (key_col, approx_distinct)."""
+    import json
+
+    import pandas as pd
+
+    from ..core.sketch import HyperLogLog, hash_values
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_np = np.asarray(batch[key_col].to_numpy(zero_copy_only=False))
+        h = hash_values(_values_from_batch(batch, value_col))
+        order = np.argsort(keys_np, kind="stable")
+        keys_s, h_s = keys_np[order], h[order]
+        bounds = np.flatnonzero(np.concatenate([[True], keys_s[1:] != keys_s[:-1]]))
+        out_k, out_s = [], []
+        for i, start in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(keys_s)
+            hll = HyperLogLog(p).update_hashes(h_s[start:end])
+            out_k.append(keys_s[start])
+            out_s.append(json.dumps(hll.to_dict()))
+        return pa.table({key_col: pa.array(out_k),
+                         "sketch": pa.array(out_s, pa.string())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        for s in g["sketch"]:
+            hll.merge(HyperLogLog.from_dict(json.loads(s)))
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "approx_distinct": [float(hll.estimate())]})
+
+    sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sketches.groupby(key_col).map_groups(merge_group, batch_format="pandas")

@@ -707,3 +707,27 @@ def test_jenks_breaks_exhaustive_oracle(ray_session):
     assert got == pytest.approx(best_breaks)
     # the tri-modal clusters are separated
     assert 0 < got[0] < 10 and 10 <= got[1] < 25
+
+
+def test_approx_distinct_by_group(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.stages.stats import approx_distinct_by
+
+    rng = np.random.default_rng(10)
+    keys, vals = [], []
+    true = {"a": 1000, "b": 137, "c": 3}
+    for k, n in true.items():
+        ids = rng.choice(n * 10, 5 * n)  # repeats; distinct <= n*10
+        ids = (ids % n)                  # exactly n distinct
+        keys += [k] * len(ids)
+        vals += ids.tolist()
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys),
+                                       "v": pa.array(vals)})).repartition(6)
+    got = {r["k"]: r["approx_distinct"]
+           for r in approx_distinct_by(ds, "k", "v", p=12).take_all()}
+    for k, n in true.items():
+        assert abs(got[k] - n) / n < 0.05  # ~1.6% expected at p=12
+    # tiny groups sit in the linear-counting regime: near-exact
+    assert got["c"] == pytest.approx(3.0, rel=1e-2)
