@@ -495,6 +495,24 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
         ])
         n_hits = ann_query_index(idx_path, qvecs.astype(np.float32), k=5, nprobe=4).count()
         ann_query_wall = time.monotonic() - t0
+        # Bloom cross-corpus dedup at full rehearsal size (round-3 op): ref =
+        # the low-2-bits-zero quarter of the corpus, new = everything;
+        # survivors are docs whose text is absent from ref. Exercises the
+        # distributed bloom build + OR tree-merge + broadcast probe + slim
+        # verify join.
+        from geotrellis_ray.stages.dedup import bloom_dedup
+
+        full = ray.data.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+            with_id, batch_format="pyarrow", zero_copy_batch=True)
+        ref = full.map_batches(
+            lambda b: b.filter(pa.compute.equal(
+                pa.compute.bit_wise_and(b["doc_id"], 3), 0)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        t0 = time.monotonic()
+        n_survivors = bloom_dedup(full, ref, "doc_id", "text").count()
+        bloom_wall = time.monotonic() - t0
+        peak_after_bloom = peak["used"]
+
         return {
             "metric": f"shuffle rehearsal at {n_docs} docs",
             "unit": "sec",
@@ -515,6 +533,11 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
                 "vectors_per_sec": round(n_emb / ann_build_wall, 1),
                 "query_sec": round(ann_query_wall, 3), "query_rows": int(n_hits),
             },
+            "bloom_dedup": {
+                "sec": round(bloom_wall, 2), "new_docs": int(n_docs * 1.01),
+                "survivors": int(n_survivors),
+                "docs_per_sec": round(n_docs / bloom_wall, 1),
+                "peak_frac_after": round(peak_after_bloom / total_store, 4) if total_store else None},
             "object_store_total_bytes": int(total_store),
             "object_store_peak_bytes": int(peak["used"]),
             "object_store_peak_frac": round(peak["used"] / total_store, 4) if total_store else None,

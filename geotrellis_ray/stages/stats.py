@@ -322,5 +322,29 @@ def approx_distinct_by(ds, key_col: str, value_col: str, p: int = 12):
         return pd.DataFrame({key_col: [g[key_col].iloc[0]],
                              "approx_distinct": [float(hll.estimate())]})
 
+    def combine(batch: pa.Table) -> pa.Table:
+        # map-side combine of same-key sketches BEFORE the shuffle: at
+        # 100 TB (~10^6 blocks x ~10^3 keys x ~KB registers) the raw
+        # (key, block) sketch stream is TBs; one large-batch merge round
+        # cuts it by ~batch_size/keys with no semantic change (register
+        # max is associative).
+        keys_np = np.asarray(batch[key_col].to_numpy(zero_copy_only=False))
+        order = np.argsort(keys_np, kind="stable")
+        keys_s = keys_np[order]
+        sk = np.asarray(batch["sketch"].to_pylist(), dtype=object)[order]
+        bounds = np.flatnonzero(np.concatenate([[True], keys_s[1:] != keys_s[:-1]]))
+        out_k, out_s = [], []
+        for i, start in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(keys_s)
+            hll = HyperLogLog(p)
+            for s in sk[start:end]:
+                hll.merge(HyperLogLog.from_dict(json.loads(s)))
+            out_k.append(keys_s[start])
+            out_s.append(json.dumps(hll.to_dict()))
+        return pa.table({key_col: pa.array(out_k),
+                         "sketch": pa.array(out_s, pa.string())})
+
     sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    sketches = sketches.map_batches(combine, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=4096)
     return sketches.groupby(key_col).map_groups(merge_group, batch_format="pandas")
