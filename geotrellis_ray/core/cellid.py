@@ -190,3 +190,69 @@ def hex_disk(q: int, r: int, k: int) -> list[tuple[int, int]]:
     for kk in range(k + 1):
         out.extend(hex_ring(q, r, kk))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public base32 spec, Niemeyer 2008)
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_ARR = np.array(list(GEOHASH_ALPHABET))
+
+
+def geohash_encode(lat, lon, precision: int = 6) -> np.ndarray:
+    """Vectorized geohash strings (standard spec: bits alternate starting
+    with LONGITUDE; 5 bits/char, base32 alphabet). Bit-identical to the
+    reference algorithm: lon gets ceil(5p/2) bits, lat floor(5p/2), each
+    axis quantized by successive halving == floor(frac * 2^bits) clipped."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lonq = np.clip(((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
+                   0, (1 << lon_bits) - 1).astype(np.uint64)
+    latq = np.clip(((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
+                   0, (1 << lat_bits) - 1).astype(np.uint64)
+    z = np.zeros(len(lonq) if lonq.ndim else 1, np.uint64)
+    li, ai = lon_bits, lat_bits
+    for b in range(total):
+        z <<= np.uint64(1)
+        if b % 2 == 0:
+            li -= 1
+            z |= (lonq >> np.uint64(li)) & np.uint64(1)
+        else:
+            ai -= 1
+            z |= (latq >> np.uint64(ai)) & np.uint64(1)
+    out = np.empty(len(z), dtype=object)
+    out[:] = ""
+    for k in range(precision):
+        idx = ((z >> np.uint64(5 * (precision - 1 - k))) & np.uint64(31)).astype(np.int64)
+        out = np.char.add(out.astype(str), _GH_ARR[idx])
+    return out.astype(object)
+
+
+def geohash_decode(gh: str) -> tuple[float, float, float, float]:
+    """Geohash -> (lat_min, lat_max, lon_min, lon_max) cell bounds."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for ch in gh:
+        v = GEOHASH_ALPHABET.index(ch)
+        for b in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if v & b:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if v & b:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lat_lo, lat_hi, lon_lo, lon_hi

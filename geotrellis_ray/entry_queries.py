@@ -1147,6 +1147,65 @@ SQL_CELL_COUNTS_S2 = f"""
 """
 
 
+def _sql_cell_counts_geohash(precision: int = 5) -> str:
+    """DuckDB oracle for geohash counts, generated to mirror
+    core/cellid.py:geohash_encode bit-for-bit: quantize each axis, build
+    the 5p-bit interleave as a sum of shifted bits (lon first), then look
+    each 5-bit group up in the base32 alphabet."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    terms = []
+    li, ai = lon_bits, lat_bits
+    for b in range(total):
+        shift = total - 1 - b
+        if b % 2 == 0:
+            li -= 1
+            terms.append(f"(((lonq >> {li}) & 1) << {shift})")
+        else:
+            ai -= 1
+            terms.append(f"(((latq >> {ai}) & 1) << {shift})")
+    z = " | ".join(terms)
+    chars = " || ".join(
+        f"substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((z >> {5 * (precision - 1 - k)}) & 31) AS INTEGER) + 1, 1)"
+        for k in range(precision))
+    return f"""
+    WITH pts AS ({SQL_COORDS}),
+    q AS (
+        SELECT LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {1 << lon_bits}.0) AS BIGINT), 0), {(1 << lon_bits) - 1}) AS lonq,
+               LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {1 << lat_bits}.0) AS BIGINT), 0), {(1 << lat_bits) - 1}) AS latq
+        FROM pts
+    ),
+    zz AS (SELECT {z} AS z FROM q)
+    SELECT {chars} AS cell, count(*) AS n
+    FROM zz
+    GROUP BY 1
+"""
+
+
+def q_cell_counts_geohash(sf_dir: str):
+    """Geohash cell counts at precision 5 (core/cellid.py:geohash_encode —
+    verified against the public test vectors u4pruydqqvj / ezs42) with
+    map-side combine. SQL-checked bit-exact: the oracle SQL is GENERATED
+    from the same bit-interleave schedule, so the two cannot drift."""
+    from .core.cellid import geohash_encode
+    from .stages.agg import partial_groupby
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def addcell(b: pa.Table) -> pa.Table:
+        gh = geohash_encode(b["lat"].to_numpy(zero_copy_only=False),
+                            b["lon"].to_numpy(zero_copy_only=False), 5)
+        return pa.table({"cell": pa.array(list(gh), pa.string())})
+
+    cells = ds.map_batches(addcell, batch_format="pyarrow", zero_copy_batch=True)
+    return partial_groupby(cells, ["cell"], [("cell", "count", "n")],
+                           final="shuffle")
+
+
 def q_cell_counts_s2(sf_dir: str):
     """S2-like cell counts at level 6 (core/cellid.py:cell_s2like) with the
     compact-key groupby trick. NOW SQL-checked bit-exact: DuckDB reproduces
@@ -3675,6 +3734,7 @@ def build_queries() -> dict:
         "q_pages_extract_geocode": q_pages_extract_geocode,
         "q_cell_counts_hex": q_cell_counts_hex,
         "q_cell_counts_s2": q_cell_counts_s2,
+        "q_cell_counts_geohash": q_cell_counts_geohash,
         "q_minhash_dedup_docs": q_minhash_dedup_docs,
         "q_simhash_pairs_docs": q_simhash_pairs_docs,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3851,6 +3911,7 @@ def build_oracle_sql() -> dict:
         "q_euclidean_distance": SQL_EUCLID,
         "q_cell_counts_hex": SQL_CELL_COUNTS_HEX,
         "q_cell_counts_s2": SQL_CELL_COUNTS_S2,
+        "q_cell_counts_geohash": _sql_cell_counts_geohash(5),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

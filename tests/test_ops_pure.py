@@ -245,3 +245,25 @@ def test_terms_and_line_stats_edge_cases():
     assert ls.loc[4, "n_lines"] == 4
     assert ls.loc[4, "n_distinct_lines"] == 2
     assert ls.loc[4, "n_dup_lines"] == 2
+
+
+def test_geohash_known_vectors_and_roundtrip():
+    import numpy as np
+
+    from geotrellis_ray.core.cellid import geohash_decode, geohash_encode
+
+    # public reference vectors
+    assert geohash_encode([57.64911], [10.40744], 11)[0] == "u4pruydqqvj"
+    assert geohash_encode([42.6], [-5.6], 5)[0] == "ezs42"
+    # decode bounds contain the encoded point; re-encoding any interior
+    # point of the cell returns the same hash (cell consistency)
+    rng = np.random.default_rng(13)
+    lats = rng.uniform(-85, 85, 200)
+    lons = rng.uniform(-180, 180, 200)
+    for p in (1, 4, 7):
+        ghs = geohash_encode(lats, lons, p)
+        for la, lo, gh in zip(lats[:40], lons[:40], ghs[:40]):
+            lat_lo, lat_hi, lon_lo, lon_hi = geohash_decode(gh)
+            assert lat_lo <= la <= lat_hi and lon_lo <= lo <= lon_hi
+            mid = geohash_encode([(lat_lo + lat_hi) / 2], [(lon_lo + lon_hi) / 2], p)
+            assert mid[0] == gh
