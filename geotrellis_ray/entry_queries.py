@@ -2434,6 +2434,76 @@ def _hash_grid_layer(n_tiles: int = 3, tile: int = 16, mod: int = 3):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
+def _hash_grid_st_layer(n_tiles: int = 3, tile: int = 16, mod: int = 97,
+                        nt: int = 5):
+    """SpaceTime variant of the hash grid: one layer per time bin t with
+    val(x, y, t) = (x*2654435761 + y*40503 + t*69069) % mod."""
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+
+    rows = []
+    for t in range(nt):
+        for kr in range(n_tiles):
+            for kc in range(n_tiles):
+                gy = kr * tile + np.arange(tile)[:, None]
+                gx = kc * tile + np.arange(tile)[None, :]
+                a = ((gx * 2654435761 + gy * 40503 + t * 69069) % mod).astype(np.float64)
+                cells, cols, trows, ct = encode_tile(a)
+                rows.append({"key_col": kc, "key_row": kr, "time_bin": t,
+                             "sfc": int(_z(kc, kr)), "cells": cells,
+                             "cols": cols, "rows": trows, "cell_type": ct})
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+_SQL_ST_GRID = """
+        SELECT x, y, t, (x * 2654435761 + y * 40503 + t * 69069) % 97 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y),
+             (SELECT unnest(range(0, 5)) AS t)
+"""
+
+
+def q_temporal_median(sf_dir: str):
+    """Per-pixel temporal MEDIAN composite across 5 time bins
+    (stages/temporal.py:temporal_composite — the cloud-free-composite
+    pattern): one groupby(key) co-locates each pixel column's tiles, the
+    reduce is a vectorized (T,R,C) stack median. SQL-checked bit-exact
+    (odd bin count -> the middle element)."""
+    from .stages.temporal import temporal_composite
+
+    out = temporal_composite(_hash_grid_st_layer(), "median")
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_TEMPORAL_MEDIAN = f"""
+    SELECT x AS cell_x, y AS cell_y, median(v) AS density
+    FROM ({_SQL_ST_GRID})
+    GROUP BY x, y
+"""
+
+
+def q_temporal_trend(sf_dir: str):
+    """Per-pixel OLS slope of value vs time bin
+    (stages/temporal.py:temporal_trend). SQL-checked bit-exact: with 5
+    integer bins every sum/product is exact in float64 and the single
+    division has identical operands on both sides."""
+    from .stages.temporal import temporal_trend
+
+    out = temporal_trend(_hash_grid_st_layer())
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_TEMPORAL_TREND = f"""
+    SELECT x AS cell_x, y AS cell_y,
+           (5.0 * sum(CAST(t AS DOUBLE) * v) - 10.0 * sum(v))
+           / (5.0 * 30.0 - 10.0 * 10.0) AS density
+    FROM ({_SQL_ST_GRID})
+    GROUP BY x, y
+"""
+
+
 def q_convex_hull(sf_dir: str):
     """Distributed convex hull (stages/overlay.py:convex_hull_stage):
     per-block monotone chain + exact single-block merge of the tiny partial
@@ -3759,6 +3829,8 @@ def build_queries() -> dict:
         "q_etl_pipeline": q_etl_pipeline,
         "q_script_stats": q_script_stats,
         "q_normalize_grid": q_normalize_grid,
+        "q_temporal_median": q_temporal_median,
+        "q_temporal_trend": q_temporal_trend,
         "q_approx_counts": q_approx_counts,
         "q_geom_measures": q_geom_measures,
         "q_jenks_breaks": q_jenks_breaks,
@@ -3902,6 +3974,8 @@ def build_oracle_sql() -> dict:
         "q_focal_mode_grid": SQL_FOCAL_MODE,
         "q_script_stats": SQL_SCRIPT_STATS,
         "q_normalize_grid": SQL_NORMALIZE,
+        "q_temporal_median": SQL_TEMPORAL_MEDIAN,
+        "q_temporal_trend": SQL_TEMPORAL_TREND,
         "q_approx_counts": SQL_APPROX_COUNTS,
         "q_geom_measures": SQL_GEOM_MEASURES,
         "q_weighted_sample": _sql_weighted_sample(),
