@@ -277,6 +277,62 @@ def _op_tile_to_layout(ds, extent, tile_layout):
     return tile_to_layout(ds, _layout_from_args(extent, tile_layout))
 
 
+def _op_equalize(ds):
+    from ..stages.enhance import equalize_layer
+
+    return equalize_layer(ds)
+
+
+def _op_normalize(ds, new_min: float, new_max: float):
+    from ..stages.enhance import normalize_layer
+
+    return normalize_layer(ds, new_min, new_max)
+
+
+def _op_sigmoidal(ds, alpha: float = 0.5, beta: float = 10.0):
+    from ..stages.enhance import sigmoidal_contrast
+
+    return sigmoidal_contrast(ds, alpha, beta)
+
+
+def _op_reclassify(ds, breaks):
+    from ..stages.layer_ops import layer_reclassify
+
+    return layer_reclassify(ds, breaks)
+
+
+def _op_morans_local(ds):
+    from ..stages.autocorr import morans_i_local
+
+    return morans_i_local(ds)
+
+
+def _op_temporal_composite(ds, fn: str = "median"):
+    from ..stages.temporal import temporal_composite
+
+    return temporal_composite(ds, fn)
+
+
+def _op_temporal_trend(ds):
+    from ..stages.temporal import temporal_trend
+
+    return temporal_trend(ds)
+
+
+def _op_url_canonicalize(ds, url_col: str = "url"):
+    from ..functions.url_ops import canonicalize_batch
+
+    return ds.map_batches(
+        lambda b: canonicalize_batch(b, url_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _op_weighted_sample(ds, id_col: str, weight_col: str, k: int):
+    from ..stages.sample import weighted_sample_topk
+
+    return weighted_sample_topk(ds, id_col, weight_col, k)
+
+
 def _op_render_png(ds, breaks, colors, nodata_color=(0, 0, 0, 0)):
     """Tile layer -> (key_col, key_row, png:binary) via ColorMap. The last
     mile of the GeoTrellis ETL (render a pyramid level to map tiles)."""
@@ -345,6 +401,15 @@ for _name, _fn in {
     "transform.clip_to_grid": _op_clip_to_grid,
     "pyramid.up_levels": _op_pyramid_up_levels,
     "render.png": _op_render_png,
+    "enhance.equalize": _op_equalize,
+    "enhance.normalize": _op_normalize,
+    "enhance.sigmoidal": _op_sigmoidal,
+    "local.reclassify": _op_reclassify,
+    "focal.morans_local": _op_morans_local,
+    "temporal.composite": _op_temporal_composite,
+    "temporal.trend": _op_temporal_trend,
+    "transform.url_canonicalize": _op_url_canonicalize,
+    "sample.weighted_topk": _op_weighted_sample,
     "read.rasters": _op_read_rasters,
     "read.geotiffs": _op_read_geotiffs,
     "write.geotiffs": _op_write_geotiffs,

@@ -76,3 +76,55 @@ def test_etl_spec_ingest_pyramid_render(ray_session, tif_dir, tmp_path):
     assert len(tiles) == 1
     rgba = decode_png(tiles[0]["png"])
     assert rgba.shape[2] >= 3 and rgba.shape[0] == rgba.shape[1]
+
+
+def test_new_spec_ops_run(ray_session, tmp_path):
+    """Every round-3 pipeline op executes through run_spec on a tiny input."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotrellis_ray.core.sfc import zorder
+    from geotrellis_ray.pipelines.spec import run_spec
+
+    # tile-layer parquet fixture (one 8x8 tile)
+    g = (np.arange(64, dtype=np.float64) % 13).reshape(8, 8)
+    lay = pa.Table.from_pylist([{
+        "key_col": 0, "key_row": 0, "sfc": int(zorder(0, 0)),
+        "cells": g.tobytes(), "cols": 8, "rows": 8, "cell_type": "float64"}])
+    layp = str(tmp_path / "layer.parquet")
+    pq.write_table(lay, layp)
+
+    for stage in ([{"op": "enhance.equalize"}],
+                  [{"op": "enhance.normalize", "new_min": 0.0, "new_max": 1.0}],
+                  [{"op": "enhance.sigmoidal", "alpha": 0.5, "beta": 4.0}],
+                  [{"op": "local.reclassify", "breaks": [4.0, 9.0]}],
+                  [{"op": "focal.morans_local"}]):
+        out = run_spec([{"op": "read.parquet", "path": layp}, *stage])
+        assert out.count() == 1
+
+    # spacetime fixture for temporal ops
+    st = pa.Table.from_pylist([{
+        "key_col": 0, "key_row": 0, "time_bin": t, "sfc": int(zorder(0, 0)),
+        "cells": (g + t).tobytes(), "cols": 8, "rows": 8,
+        "cell_type": "float64"} for t in range(3)])
+    stp = str(tmp_path / "st.parquet")
+    pq.write_table(st, stp)
+    for stage in ([{"op": "temporal.composite", "fn": "max"}],
+                  [{"op": "temporal.trend"}]):
+        assert run_spec([{"op": "read.parquet", "path": stp}, *stage]).count() == 1
+
+    # url + sampling ops on a row table
+    rows = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                     "w": pa.array([float(i % 7 + 1) for i in range(50)]),
+                     "url": pa.array([f"HTTP://www.a.com/x{i}?utm_source=z"
+                                      for i in range(50)])})
+    rp = str(tmp_path / "rows.parquet")
+    pq.write_table(rows, rp)
+    got = run_spec([{"op": "read.parquet", "path": rp},
+                    {"op": "transform.url_canonicalize"}]).take(1)
+    assert got[0]["canonical_url"].startswith("http://a.com/x")
+    got = run_spec([{"op": "read.parquet", "path": rp},
+                    {"op": "sample.weighted_topk", "id_col": "doc_id",
+                     "weight_col": "w", "k": 5}])
+    assert got.count() == 5
