@@ -2465,6 +2465,48 @@ _SQL_ST_GRID = """
 """
 
 
+def q_layer_update(sf_dir: str):
+    """LayerWriter.update (sources/layer.py:update_layer): write the
+    mod-251 hash grid as a bucketed layer, update ONE tile (key 1,1) with
+    a different hash, read back and explode. Only the touched bucket is
+    rewritten (pytest asserts byte-identity of the rest); SQL-checked
+    bit-exact via a CASE on the updated tile's cell range."""
+    import tempfile
+
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+    from .sources.layer import read_layer, update_layer, write_layer
+
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        write_layer(_hash_grid_layer(3, 16, mod=251), td, "upd", 4,
+                    bucket_shift=1)
+        gy = 16 + np.arange(16)[:, None]
+        gx = 16 + np.arange(16)[None, :]
+        a = ((gx * 7 + gy * 11) % 50).astype(np.float64)
+        cells, cols, trows, ct = encode_tile(a)
+        upd = ray.data.from_arrow(pa.Table.from_pylist([{
+            "key_col": 1, "key_row": 1, "sfc": int(_z(1, 1)), "cells": cells,
+            "cols": cols, "rows": trows, "cell_type": ct}]))
+        update_layer(upd, td, "upd", 4)
+        out = read_layer(td, "upd", 4)
+        cells_out = _explode_tiles_to_cells(out, value_cast="int64",
+                                            drop_zero=False)
+        # materialize inside the tempdir's lifetime
+        return cells_out.to_pandas()
+
+
+SQL_LAYER_UPDATE = """
+    SELECT x AS cell_x, y AS cell_y,
+           CASE WHEN x BETWEEN 16 AND 31 AND y BETWEEN 16 AND 31
+                THEN (x * 7 + y * 11) % 50
+                ELSE (x * 2654435761 + y * 40503) % 251 END AS density
+    FROM (SELECT unnest(range(0, 48)) AS x),
+         (SELECT unnest(range(0, 48)) AS y)
+"""
+
+
 def q_temporal_median(sf_dir: str):
     """Per-pixel temporal MEDIAN composite across 5 time bins
     (stages/temporal.py:temporal_composite — the cloud-free-composite
@@ -3831,6 +3873,7 @@ def build_queries() -> dict:
         "q_normalize_grid": q_normalize_grid,
         "q_temporal_median": q_temporal_median,
         "q_temporal_trend": q_temporal_trend,
+        "q_layer_update": q_layer_update,
         "q_approx_counts": q_approx_counts,
         "q_geom_measures": q_geom_measures,
         "q_jenks_breaks": q_jenks_breaks,
@@ -3976,6 +4019,7 @@ def build_oracle_sql() -> dict:
         "q_normalize_grid": SQL_NORMALIZE,
         "q_temporal_median": SQL_TEMPORAL_MEDIAN,
         "q_temporal_trend": SQL_TEMPORAL_TREND,
+        "q_layer_update": SQL_LAYER_UPDATE,
         "q_approx_counts": SQL_APPROX_COUNTS,
         "q_geom_measures": SQL_GEOM_MEASURES,
         "q_weighted_sample": _sql_weighted_sample(),

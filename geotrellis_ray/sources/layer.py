@@ -177,3 +177,63 @@ def value_read(catalog: str, name: str, zoom: int, key_col: int, key_row: int) -
     sfc = int(zorder(key_col, key_row))
     d = pads.dataset(layer_path(catalog, name, zoom), format="parquet", partitioning="hive")
     return d.to_table(filter=pads.field("sfc") == sfc)
+
+
+def update_layer(ds, catalog: str, name: str, zoom: int):
+    """LayerWriter.update equivalent (ref:spark/.../store/file/
+    FileLayerWriter.scala update path, L:unverified): merge new tiles into
+    an existing layer IN PLACE, rewriting ONLY the sfc_bucket partitions
+    that contain new keys — untouched buckets are never read or written
+    (at 100 TB an update touching 0.1% of keys reads/writes 0.1% of the
+    layer). Merge semantics: the NEW tile wins on its defined cells,
+    existing cells fill its NoData (tile_merge left-wins = new-first).
+    KeyBounds in the metadata sidecar expand to cover the update. Returns
+    the list of rewritten bucket ids."""
+    import shutil
+
+    import ray.data
+
+    from ..stages.layer_ops import merge_layers
+
+    path = layer_path(catalog, name, zoom)
+    meta_raw = json.load(open(os.path.join(path, "_metadata.json")))
+    shift = int((meta_raw.get("extra") or {}).get("bucket_shift", DEFAULT_BUCKET_SHIFT))
+
+    withb = ds.map_batches(lambda b: add_sfc_bucket(b, shift),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    buckets = sorted(set(withb.select_columns(["sfc_bucket"]).unique("sfc_bucket")))
+
+    existing_dirs = [os.path.join(path, f"sfc_bucket={b}") for b in buckets]
+    existing_dirs = [d for d in existing_dirs if os.path.isdir(d)]
+    cols = ["key_col", "key_row", "sfc", "cells", "cols", "rows", "cell_type"]
+    if existing_dirs:
+        old = ray.data.read_parquet(existing_dirs, file_extensions=["parquet"],
+                                    columns=cols)
+        merged = merge_layers(ds.select_columns(cols), old)
+    else:
+        merged = ds.select_columns(cols)
+
+    tmp = path + ".update_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.map_batches(lambda b: add_sfc_bucket(b, shift),
+                       batch_format="pyarrow", zero_copy_batch=True
+                       ).sort("sfc").write_parquet(tmp, partition_cols=["sfc_bucket"])
+    for b in buckets:
+        src = os.path.join(tmp, f"sfc_bucket={b}")
+        dst = os.path.join(path, f"sfc_bucket={b}")
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # expand KeyBounds to cover the update (one aggregate on the new side)
+    from ray.data.aggregate import Max, Min
+
+    st = ds.aggregate(Min("key_col", alias_name="cmin"), Max("key_col", alias_name="cmax"),
+                      Min("key_row", alias_name="rmin"), Max("key_row", alias_name="rmax"))
+    kb = meta_raw["bounds"]  # [col_min, row_min, col_max, row_max]
+    meta_raw["bounds"] = [min(kb[0], int(st["cmin"])), min(kb[1], int(st["rmin"])),
+                          max(kb[2], int(st["cmax"])), max(kb[3], int(st["rmax"]))]
+    with open(os.path.join(path, "_metadata.json"), "w") as f:
+        json.dump(meta_raw, f, sort_keys=True)
+    return buckets
