@@ -237,3 +237,34 @@ def update_layer(ds, catalog: str, name: str, zoom: int):
     with open(os.path.join(path, "_metadata.json"), "w") as f:
         json.dump(meta_raw, f, sort_keys=True)
     return buckets
+
+
+def list_layers(catalog: str) -> list[tuple[str, int]]:
+    """AttributeStore.layerIds equivalent: every (name, zoom) with a
+    metadata sidecar under the catalog."""
+    out = []
+    if not os.path.isdir(catalog):
+        return out
+    for name in sorted(os.listdir(catalog)):
+        npath = os.path.join(catalog, name)
+        if not os.path.isdir(npath):
+            continue
+        for z in sorted(os.listdir(npath)):
+            if z.isdigit() and os.path.exists(
+                    os.path.join(npath, z, "_metadata.json")):
+                out.append((name, int(z)))
+    return out
+
+
+def delete_layer(catalog: str, name: str, zoom: int) -> bool:
+    """AttributeStore.delete equivalent; returns True if the layer existed."""
+    import shutil
+
+    path = layer_path(catalog, name, zoom)
+    if not os.path.isdir(path):
+        return False
+    shutil.rmtree(path)
+    npath = os.path.join(catalog, name)
+    if os.path.isdir(npath) and not os.listdir(npath):
+        os.rmdir(npath)
+    return True

@@ -85,3 +85,23 @@ def test_update_layer_partial_rewrite(ray_session, tmp_path):
     # metadata bounds expanded to include (5,5)
     meta = read_layer_metadata(catalog, "lyr", 4)
     assert meta.bounds.col_max >= 5 and meta.bounds.row_max >= 5
+
+
+def test_attribute_store_list_delete(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geotrellis_ray.sources.layer import (delete_layer, list_layers,
+                                              write_layer)
+
+    catalog = str(tmp_path)
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        _layer_rows([(0, 0)], lambda c, r: _tile(1))))
+    write_layer(ds, catalog, "a", 3)
+    write_layer(ds, catalog, "a", 2)
+    write_layer(ds, catalog, "b", 5)
+    assert list_layers(catalog) == [("a", 2), ("a", 3), ("b", 5)]
+    assert delete_layer(catalog, "a", 3)
+    assert not delete_layer(catalog, "a", 3)
+    assert list_layers(catalog) == [("a", 2), ("b", 5)]
+    assert delete_layer(catalog, "b", 5)
+    assert list_layers(catalog) == [("a", 2)]
