@@ -2770,6 +2770,30 @@ def _sql_weighted_sample() -> str:
 """
 
 
+def q_tobler_grid(sf_dir: str):
+    """Tobler hiking speed from terrain
+    (stages/layer_ops.py:focal_tobler): 6*exp(-3.5*|tan(slope)+0.05|) on
+    the Horn collar frame, over the hash grid. SQL-checked round-9 (same
+    closed-form-neighbor scheme as q_terrain_slope_grid)."""
+    import pyarrow.compute as pc
+
+    from .stages.layer_ops import focal_tobler
+
+    out = focal_tobler(_hash_grid_layer(3, 16, mod=251), 30.0, 30.0)
+    cells = _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+    return cells.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "density": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOBLER = _SQL_HORN + """
+    SELECT x AS cell_x, y AS cell_y,
+           round(6.0 * exp(-3.5 * abs(sqrt(zx*zx + zy*zy) + 0.05)), 9) AS density
+    FROM gr
+"""
+
+
 def q_focal_mean_grid(sf_dir: str):
     """Focal mean with the Square(1) window ACROSS tile boundaries
     (stages/layer_ops.py:focal_op via buffer_tiles collar exchange), over
@@ -3885,6 +3909,7 @@ def build_queries() -> dict:
         "q_focal_stddev_grid": q_focal_stddev_grid,
         "q_terrain_slope_grid": q_terrain_slope_grid,
         "q_terrain_aspect_grid": q_terrain_aspect_grid,
+        "q_tobler_grid": q_tobler_grid,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
@@ -4013,6 +4038,7 @@ def build_oracle_sql() -> dict:
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,
         "q_terrain_slope_grid": SQL_TERRAIN_SLOPE,
         "q_terrain_aspect_grid": SQL_TERRAIN_ASPECT,
+        "q_tobler_grid": SQL_TOBLER,
         "q_reclassify_grid": SQL_RECLASSIFY,
         "q_focal_mode_grid": SQL_FOCAL_MODE,
         "q_script_stats": SQL_SCRIPT_STATS,

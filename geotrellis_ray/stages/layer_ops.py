@@ -482,3 +482,22 @@ def layer_reclassify(ds, breaks):
         return _tile_table(batch, out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_tobler(ds, cell_width: float, cell_height: float):
+    """Tobler hiking speed (km/h) from the terrain surface (GeoTrellis
+    SlopeMethods.tobler, ref:raster/.../mapalgebra/focal/, L:unverified):
+    speed = 6 * exp(-3.5 * |tan(slope) + 0.05|) with tan(slope) =
+    hypot(zx, zy) from the same Horn collar-exchange frame as focal_slope."""
+    buffered = buffer_tiles(ds, margin=1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)
+        zx, zy = _horn_gradients(cube, cell_width, cell_height)
+        out = 6.0 * np.exp(-3.5 * np.abs(np.hypot(zx, zy) + 0.05))
+        out[np.isnan(cube[:, 1:-1, 1:-1])] = np.nan
+        return _tile_table(batch, out)
+
+    return buffered.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -345,3 +345,22 @@ def test_focal_mode_matches_bruteforce(ray_session):
     for (c, r), tile in out.items():
         e = exp[r * T2:(r + 1) * T2, c * T2:(c + 1) * T2]
         np.testing.assert_allclose(tile, e, equal_nan=True)
+
+
+def test_focal_tobler_matches_bruteforce(ray_session):
+    from geotrellis_ray.stages.layer_ops import focal_tobler
+
+    cw, ch = 30.0, 30.0
+    big = _mosaic(KEYS)
+    zx, zy = _brute_horn(big, cw, ch)
+    got = layer_to_dict(focal_tobler(make_layer(KEYS), cw, ch))
+    exp = 6.0 * np.exp(-3.5 * np.abs(np.hypot(zx, zy) + 0.05))
+    exp[np.isnan(big)] = np.nan
+    for (c, r), tile in got.items():
+        np.testing.assert_allclose(tile, exp[r * T:(r + 1) * T, c * T:(c + 1) * T],
+                                   equal_nan=True, atol=1e-12)
+    # flat terrain walks fastest: ~5.04 km/h on perfectly flat cells
+    flat = layer_to_dict(focal_tobler(
+        make_layer([(0, 0)], seed=0), cw, ch))  # has NaN holes but bounded
+    vals = flat[(0, 0)]
+    assert np.nanmax(vals) <= 6.0 * np.exp(-3.5 * 0.05) + 1e-12
