@@ -2465,6 +2465,47 @@ _SQL_ST_GRID = """
 """
 
 
+def q_cluster_eps(sf_dir: str):
+    """Distance-threshold point clustering (stages/cluster.py:cluster_eps,
+    eps=8 deg over the ~events/397 subsample): grid-bucketed pair
+    generation + the shared labels_from_edges component engine.
+    SQL-checked bit-exact — DuckDB recomputes the eps-graph with the
+    identical float compare and labels components via a recursive
+    transitive closure (min reachable id)."""
+    from .stages.cluster import cluster_eps
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(_mod_filter("event_id", 397), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(
+        lambda b: (lambda t: pa.table({"pt_id": t["event_id"],
+                                       "x": t["lon"], "y": t["lat"]}))(
+            derive_coords_batch(b, "event_id")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cluster_eps(pts, 8.0)
+
+
+SQL_CLUSTER_EPS = f"""
+    WITH RECURSIVE pts AS (
+        SELECT event_id AS id, lon AS x, lat AS y
+        FROM ({SQL_COORDS}) WHERE event_id % 397 = 0
+    ),
+    edges AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= 8.0 * 8.0
+    ),
+    reach(id, lab) AS (
+        SELECT id, id FROM pts
+        UNION
+        SELECT e.ib, r.lab FROM reach r JOIN edges e ON e.ia = r.id
+    )
+    SELECT id AS pt_id, min(lab) AS cluster_id
+    FROM reach GROUP BY id
+"""
+
+
 def q_layer_update(sf_dir: str):
     """LayerWriter.update (sources/layer.py:update_layer): write the
     mod-251 hash grid as a bucketed layer, update ONE tile (key 1,1) with
@@ -3898,6 +3939,7 @@ def build_queries() -> dict:
         "q_temporal_median": q_temporal_median,
         "q_temporal_trend": q_temporal_trend,
         "q_layer_update": q_layer_update,
+        "q_cluster_eps": q_cluster_eps,
         "q_approx_counts": q_approx_counts,
         "q_geom_measures": q_geom_measures,
         "q_jenks_breaks": q_jenks_breaks,
@@ -4046,6 +4088,7 @@ def build_oracle_sql() -> dict:
         "q_temporal_median": SQL_TEMPORAL_MEDIAN,
         "q_temporal_trend": SQL_TEMPORAL_TREND,
         "q_layer_update": SQL_LAYER_UPDATE,
+        "q_cluster_eps": SQL_CLUSTER_EPS,
         "q_approx_counts": SQL_APPROX_COUNTS,
         "q_geom_measures": SQL_GEOM_MEASURES,
         "q_weighted_sample": _sql_weighted_sample(),

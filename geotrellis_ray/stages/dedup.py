@@ -311,6 +311,23 @@ def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
         lambda b: b.filter(pa.compute.greater_equal(b["est_jaccard"], threshold)).select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # small: only near-dup edges
+    return labels_from_edges(ds.select_columns([id_col]), edges, id_col,
+                             rounds=rounds,
+                             driver_edge_threshold=driver_edge_threshold)
+
+
+def labels_from_edges(ids_ds, edges, id_col: str = "doc_id", rounds: int = 4,
+                      driver_edge_threshold: int = 5_000_000):
+    """(ids, sparse edge list) -> Dataset (id_col, cluster_id) with
+    cluster_id = min id of the connected component (isolated ids label
+    themselves). The shared connected-components engine behind
+    minhash_dedup and cluster_eps: below ``driver_edge_threshold`` edges,
+    driver union-find + broadcast searchsorted label map; above it,
+    ``rounds`` of distributed min-label propagation via hash joins (labels
+    never collect to the driver)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
 
     if edges.count() <= driver_edge_threshold:
         parent: dict = {}
@@ -343,12 +360,12 @@ def minhash_dedup(ds, threshold: float = 0.7, rounds: int = 4,
                 cluster[hit] = vals[pos_c[hit]]
             return pa.table({id_col: b[id_col], "cluster_id": pa.array(cluster, pa.int64())})
 
-        return ds.select_columns([id_col]).map_batches(
+        return ids_ds.map_batches(
             apply_labels, batch_format="pyarrow", zero_copy_batch=True
         )
 
     # label = min reachable id; propagate along edges `rounds` times
-    labels = ds.select_columns([id_col]).map_batches(
+    labels = ids_ds.map_batches(
         lambda b: pa.table({id_col: b[id_col], "label": b[id_col]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
