@@ -5,8 +5,11 @@
   encoder lives in core/render.py (filter 0 only).
 - WAV: 16-bit PCM encode/decode via the stdlib ``wave`` module.
 
+- JPEG: baseline JFIF encode/decode lives in core/jpeg.py (own T.81
+  implementation — DCT, Annex-K tables, Huffman entropy coding; round 3).
+
 These make the multimodal stages' decode REAL for the formats a from-scratch
-engine can honestly own; compressed formats (JPEG, MP3, H.264) remain
+engine can honestly own; the remaining compressed formats (MP3, H.264) stay
 NotImplementedError behind the same interface (driver mandate: stub what the
 container cannot support, keep the plumbing real).
 """

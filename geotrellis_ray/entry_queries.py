@@ -3114,6 +3114,37 @@ def q_etl_pipeline(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_jpeg_features(sf_dir: str):
+    """Multimodal pipeline over REAL JPEG payloads (core/jpeg.py — own
+    baseline T.81 codec, round 3): deterministic structured image per doc
+    -> encode_jpeg -> actor-pool ImageDecoder (real entropy decode + IDCT)
+    -> 6-dim channel features. Rows-only (lossy codec output is not
+    SQL-expressible); codec exactness bounds are pytest-verified
+    (test_media: PSNR, constant-image exactness, quality ordering)."""
+    from .core.jpeg import encode_jpeg
+    from .stages.multimodal import ImageDecoder
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(_mod_filter("doc_id", 5), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        yy, xx = np.mgrid[0:24, 0:24]
+        payloads = []
+        for d in b["doc_id"].to_pylist():
+            f = int(d) % 11 + 2
+            img = np.stack([(xx * f) % 256, (yy * (f + 1)) % 256,
+                            ((xx + yy) * (f + 2)) % 256], axis=2).astype(np.uint8)
+            payloads.append(encode_jpeg(img, quality=80))
+        return pa.table({"doc_id": b["doc_id"],
+                         "media": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(
+        ImageDecoder, fn_constructor_kwargs={}, batch_format="pyarrow",
+        concurrency=_pool_size(), batch_size=64)
+
+
 def q_bloom_dedup(sf_dir: str):
     """Cross-corpus exact dedup with a Bloom prefilter
     (stages/dedup.py:bloom_dedup): new corpus = even doc_ids, reference =
@@ -3933,6 +3964,7 @@ def build_queries() -> dict:
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
+        "q_jpeg_features": q_jpeg_features,
         "q_etl_pipeline": q_etl_pipeline,
         "q_script_stats": q_script_stats,
         "q_normalize_grid": q_normalize_grid,

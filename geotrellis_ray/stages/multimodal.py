@@ -1,9 +1,10 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool map_batches stages.
 
-Decode is REAL for the formats a from-scratch engine can own with the
-stdlib: BMP + PNG images and 16-bit PCM WAV audio (core/media.py). Formats
-needing external codecs (JPEG, MP3, video) raise ``NotImplementedError``
+Decode is REAL for the formats a from-scratch engine can own: BMP + PNG
+images and 16-bit PCM WAV audio (core/media.py), plus baseline JPEG
+(core/jpeg.py — own T.81 codec, round 3). Formats still needing external
+codecs (MP3, video) raise ``NotImplementedError``
 unless ``fake=True``, in which case a deterministic sha-seeded stand-in keeps
 the Ray-side plumbing — schema, batch sizing, actor signature, output
 layout — real and tested end-to-end (driver mandate).
@@ -50,9 +51,9 @@ class ImageDecoder:
         self.on_error = on_error  # "raise" | "skip" (null feature + decode_ok=False)
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        # REAL decode for the formats we own (core/media.py); fake stub or
-        # NotImplementedError for the rest (JPEG etc. need codecs this
-        # container does not have)
+        # REAL decode for the formats we own (core/media.py + core/jpeg.py);
+        # fake stub or NotImplementedError for the rest
+        from ..core.jpeg import decode_jpeg
         from ..core.media import decode_bmp, decode_png
 
         if payload[:2] == b"BM":
@@ -60,11 +61,13 @@ class ImageDecoder:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             img = decode_png(payload)
             return img[:, :, :3]
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
         if not self.fake:
             raise NotImplementedError(
-                "only BMP/PNG decode supported natively; other formats need an "
-                "imaging library not present in this container — construct "
-                "with fake=True for the deterministic stub"
+                "only BMP/PNG/JPEG(baseline) decode supported natively; other "
+                "formats need codecs not present in this container — "
+                "construct with fake=True for the deterministic stub"
             )
         h = hashlib.sha256(payload).digest()
         rng_base = np.frombuffer((h * ((3 * 64 * 64) // 32 + 1))[: 3 * 64 * 64], dtype=np.uint8)

@@ -128,6 +128,10 @@ def test_unsupported_format_raises(ray_session):
 
     dec = ImageDecoder()
     with pytest.raises(NotImplementedError):
+        dec._decode(b"GIF89a not supported here")
+    # JPEG now has a real decoder: corrupt JPEG is a decode ERROR, not a
+    # refusal (round 3: core/jpeg.py)
+    with pytest.raises(ValueError):
         dec._decode(b"\xff\xd8\xff\xe0JFIF-ish")
 
 
@@ -208,3 +212,55 @@ def test_image_near_dups_planted(ray_session):
                 expect.add((i, j))
     assert {(0, 12), (5, 13)} <= expect  # the planted pairs are near-dups
     assert got_pairs == expect
+
+
+def test_jpeg_roundtrip_psnr():
+    """Own baseline JPEG codec (core/jpeg.py): JFIF framing, round-trip
+    quality bounds, constant-image exactness, quality ordering."""
+    import numpy as np
+
+    from geotrellis_ray.core.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([(xx * 4) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    buf = encode_jpeg(img, quality=90)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    out = decode_jpeg(buf)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    mse = ((out.astype(float) - img) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 35.0
+    # constant image survives exactly (DC-only blocks)
+    c = np.full((16, 16, 3), 130, np.uint8)
+    assert (decode_jpeg(encode_jpeg(c, 75)) == 130).all()
+    # lower quality -> smaller stream and not-better PSNR
+    b50 = encode_jpeg(img, quality=40)
+    assert len(b50) < len(buf)
+    mse50 = ((decode_jpeg(b50).astype(float) - img) ** 2).mean()
+    assert mse50 >= mse
+    # non-multiple-of-8 dims, random content
+    rng = np.random.default_rng(3)
+    n = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8).astype(np.uint8)
+    on = decode_jpeg(encode_jpeg(n, 85))
+    assert on.shape == n.shape
+
+
+def test_image_decoder_jpeg_path(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_ray.core.jpeg import encode_jpeg
+    from geotrellis_ray.stages.multimodal import ImageDecoder
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack([(xx * 5) % 256, (yy * 7) % 256, (xx + yy) % 256],
+                   axis=2).astype(np.uint8)
+    tab = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "media": pa.array([encode_jpeg(img, 90)], pa.binary())})
+    out = rd.from_arrow(tab).map_batches(
+        ImageDecoder, fn_constructor_kwargs={}, batch_format="pyarrow",
+        concurrency=1).take_all()
+    assert out[0]["img_h"] == 32 and out[0]["img_w"] == 32
+    assert out[0]["decode_ok"] and len(out[0]["img_feat"]) == 6
