@@ -264,3 +264,22 @@ def test_image_decoder_jpeg_path(ray_session):
         concurrency=1).take_all()
     assert out[0]["img_h"] == 32 and out[0]["img_w"] == 32
     assert out[0]["decode_ok"] and len(out[0]["img_feat"]) == 6
+
+
+def test_dhash_survives_jpeg_recompression():
+    """Cross-format near-dup: a JPEG re-encode of an image keeps its dHash
+    within the near-dup threshold (here: identical), so image_near_dups
+    catches BMP-vs-JPEG copies of the same picture."""
+    import numpy as np
+
+    from geotrellis_ray.core.jpeg import decode_jpeg, encode_jpeg
+    from geotrellis_ray.functions.hashing import hamming64
+    from geotrellis_ray.stages.multimodal import dhash64
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack([(xx * 4) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    h0 = dhash64(img)
+    for q in (75, 30):
+        h1 = dhash64(decode_jpeg(encode_jpeg(img, q)))
+        assert int(hamming64(np.array([h0]), np.array([h1]))[0]) <= 3
