@@ -178,13 +178,18 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
-    """(H, W, 3) uint8 RGB -> baseline JFIF bytes (4:4:4)."""
+    """(H, W, 3) uint8 RGB or (H, W) grayscale -> baseline JFIF bytes
+    (4:4:4 / single component)."""
     rgb = np.asarray(rgb)
-    if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
+    gray = rgb.ndim == 2
+    if not gray and (rgb.ndim != 3 or rgb.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB or (H, W) gray")
     H, W = rgb.shape[:2]
     qy, qc = _quality_tables(quality)
-    ycc = _rgb_to_ycbcr(rgb) - 128.0
+    if gray:
+        ycc = rgb.astype(np.float64)[None, :, :] - 128.0
+    else:
+        ycc = _rgb_to_ycbcr(rgb) - 128.0
     ph, pw = (-H) % 8, (-W) % 8
     ycc = np.pad(ycc, ((0, 0), (0, ph), (0, pw)), mode="edge")
     HB, WB = ycc.shape[1] // 8, ycc.shape[2] // 8
@@ -192,11 +197,12 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
     dc_tabs = [_huff_codes(*_DC_LUM), _huff_codes(*_DC_CHR)]
     ac_tabs = [_huff_codes(*_AC_LUM), _huff_codes(*_AC_CHR)]
 
+    ncomp = 1 if gray else 3
     w = _BitWriter()
     prev_dc = [0, 0, 0]
     for by in range(HB):
         for bx in range(WB):
-            for comp in range(3):
+            for comp in range(ncomp):
                 tab = 0 if comp == 0 else 1
                 q = qy if comp == 0 else qc
                 block = ycc[comp, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
@@ -243,15 +249,20 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, qy) + dqt(1, qc)
-    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([3])
-    for cid, qtid in ((1, 0), (2, 1), (3, 1)):
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp])
+    comp_specs = ((1, 0),) if gray else ((1, 0), (2, 1), (3, 1))
+    for cid, qtid in comp_specs:
         sof += bytes([cid, 0x11, qtid])
     out += seg(0xC0, sof)
     out += dht(0, 0, *_DC_LUM) + dht(1, 0, *_AC_LUM)
-    out += dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)
-    sos = bytes([3])
-    for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
+    if not gray:
+        out += dht(0, 1, *_DC_CHR) + dht(1, 1, *_AC_CHR)
+    sos = bytes([ncomp])
+    scan_specs = ((1, 0x00),) if gray else ((1, 0x00), (2, 0x11), (3, 0x11))
+    for cid, tids in scan_specs:
         sos += bytes([cid, tids])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
@@ -347,8 +358,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xC0:
             H, W = struct.unpack(">HH", payload[1:5])
             nc = payload[5]
-            if nc != 3:
-                raise ValueError("decode_jpeg: 3-component 4:4:4 only")
+            if nc not in (1, 3):
+                raise ValueError("decode_jpeg: 1- or 3-component 4:4:4 only")
             for c in range(nc):
                 cid, samp, qtid = payload[6 + 3 * c:9 + 3 * c]
                 if samp != 0x11:
@@ -398,6 +409,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         coef[ZIGZAG] = zz
                         block = _C.T @ ((coef.reshape(8, 8)) * q) @ _C
                         planes[ci, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
-            ycc = planes[:, :H, :W] + 128.0
+            ycc = planes[:len(comps), :H, :W] + 128.0
+            if len(comps) == 1:
+                g = np.clip(ycc[0], 0, 255).astype(np.uint8)
+                return np.stack([g, g, g], axis=2)
             return _ycbcr_to_rgb(ycc)
     raise ValueError("jpeg: no scan found")

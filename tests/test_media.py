@@ -283,3 +283,17 @@ def test_dhash_survives_jpeg_recompression():
     for q in (75, 30):
         h1 = dhash64(decode_jpeg(encode_jpeg(img, q)))
         assert int(hamming64(np.array([h0]), np.array([h1]))[0]) <= 3
+
+
+def test_jpeg_grayscale_single_component():
+    import numpy as np
+
+    from geotrellis_ray.core.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 90))
+    assert out.shape == (24, 40, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 1] == out[:, :, 2]).all()
+    mse = ((out[:, :, 0].astype(float) - g) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 35.0
