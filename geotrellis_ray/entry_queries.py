@@ -2506,6 +2506,36 @@ SQL_CLUSTER_EPS = f"""
 """
 
 
+def q_temporal_theil_sen(sf_dir: str):
+    """Per-pixel Theil–Sen robust trend
+    (stages/temporal.py:temporal_theil_sen) over the 5-bin SpaceTime hash
+    grid. SQL-checked round-9: the 10 pairwise slopes per cell are exact
+    integer divisions; only the even-count median interpolation ((m1+m2)/2)
+    can differ at the last ulp."""
+    import pyarrow.compute as pc
+
+    from .stages.temporal import temporal_theil_sen
+
+    out = temporal_theil_sen(_hash_grid_st_layer())
+    cells = _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+    return cells.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "density": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEMPORAL_THEIL_SEN = f"""
+    WITH st AS ({_SQL_ST_GRID}),
+    pairs AS (
+        SELECT a.x, a.y,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+        FROM st a JOIN st b ON a.x = b.x AND a.y = b.y AND b.t > a.t
+    )
+    SELECT x AS cell_x, y AS cell_y, round(median(s), 9) AS density
+    FROM pairs GROUP BY x, y
+"""
+
+
 def q_layer_update(sf_dir: str):
     """LayerWriter.update (sources/layer.py:update_layer): write the
     mod-251 hash grid as a bucketed layer, update ONE tile (key 1,1) with
@@ -3970,6 +4000,7 @@ def build_queries() -> dict:
         "q_normalize_grid": q_normalize_grid,
         "q_temporal_median": q_temporal_median,
         "q_temporal_trend": q_temporal_trend,
+        "q_temporal_theil_sen": q_temporal_theil_sen,
         "q_layer_update": q_layer_update,
         "q_cluster_eps": q_cluster_eps,
         "q_approx_counts": q_approx_counts,
@@ -4119,6 +4150,7 @@ def build_oracle_sql() -> dict:
         "q_normalize_grid": SQL_NORMALIZE,
         "q_temporal_median": SQL_TEMPORAL_MEDIAN,
         "q_temporal_trend": SQL_TEMPORAL_TREND,
+        "q_temporal_theil_sen": SQL_TEMPORAL_THEIL_SEN,
         "q_layer_update": SQL_LAYER_UPDATE,
         "q_cluster_eps": SQL_CLUSTER_EPS,
         "q_approx_counts": SQL_APPROX_COUNTS,

@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ..core.raster import decode_tile, encode_tile
 
-__all__ = ["temporal_composite", "temporal_trend"]
+__all__ = ["temporal_composite", "temporal_trend", "temporal_theil_sen"]
 
 _OPS = {"median": np.median, "mean": np.mean, "min": np.min, "max": np.max}
 
@@ -80,3 +80,28 @@ def temporal_trend(st_ds):
 
     return st_ds.groupby(["key_col", "key_row"]).map_groups(
         trend, batch_format="pandas")
+
+
+def temporal_theil_sen(st_ds):
+    """Per-pixel Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    (v_j - v_i) / (t_j - t_i), i < j — insensitive to single-bin outliers
+    (cloud shadows, sensor glitches) where OLS is not. Same co-location
+    groupby as temporal_trend; the pairwise slopes are a vectorized
+    (T*(T-1)/2, R, C) stack. NaN-in-any-bin cells are NaN."""
+
+    def ts(g: pd.DataFrame) -> pd.DataFrame:
+        g, cube = _group_stack(g)
+        t = g["time_bin"].to_numpy(dtype=np.float64)
+        T = len(t)
+        if T < 2:
+            return _tile_row(g, np.full(cube.shape[1:], np.nan))
+        slopes = [
+            (cube[j] - cube[i]) / (t[j] - t[i])
+            for i in range(T) for j in range(i + 1, T)
+        ]
+        out = np.median(np.stack(slopes), axis=0)
+        out[np.isnan(cube).any(axis=0)] = np.nan
+        return _tile_row(g, out)
+
+    return st_ds.groupby(["key_col", "key_row"]).map_groups(
+        ts, batch_format="pandas")

@@ -63,3 +63,24 @@ def test_temporal_trend(ray_session):
     cubes = {t: base + slope * t for t in (0, 1, 5)}
     got2 = _mosaic(temporal_trend(_st_layer(cubes, 8)).take_all(), 16, 16, 8)
     np.testing.assert_allclose(got2, slope, atol=1e-12)
+
+
+def test_temporal_theil_sen(ray_session):
+    from geotrellis_ray.stages.temporal import temporal_theil_sen
+
+    rng = np.random.default_rng(25)
+    base = rng.integers(0, 20, (16, 16)).astype(np.float64)
+    slope = rng.integers(-3, 4, (16, 16)).astype(np.float64)
+    cubes = {t: base + slope * t for t in range(5)}
+    # plant one OUTLIER bin: Theil-Sen must still recover the exact slope
+    cubes[2] = cubes[2] + 1000.0
+    got = _mosaic(temporal_theil_sen(_st_layer(cubes, 8)).take_all(), 16, 16, 8)
+    np.testing.assert_allclose(got, slope, atol=1e-9)
+    # brute median-of-pairwise-slopes oracle on a random (non-linear) stack
+    cubes2 = {t: rng.integers(0, 30, (8, 8)).astype(np.float64) for t in range(4)}
+    got2 = _mosaic(temporal_theil_sen(_st_layer(cubes2, 8)).take_all(), 8, 8, 8)
+    stack = np.stack([cubes2[t] for t in range(4)])
+    slopes = [(stack[j] - stack[i]) / (j - i)
+              for i in range(4) for j in range(i + 1, 4)]
+    np.testing.assert_allclose(got2, np.median(np.stack(slopes), axis=0),
+                               atol=1e-12)
