@@ -301,9 +301,29 @@ def variogram_model(kind: str):
     def gaussian(h, c0, c1, a):
         return np.where(h > 0, c0 + c1 * (1.0 - np.exp(-3.0 * (h / a) ** 2)), 0.0)
 
+    # round-3 breadth (GeoTrellis ships Circular/Linear too,
+    # ref:vector/.../interpolation/Semivariogram.scala, L:unverified):
+    def circular(h, c0, c1, a):
+        hr = np.minimum(h / a, 1.0)
+        g = c0 + c1 * (1.0 - 2.0 / np.pi
+                       * (np.arccos(hr) - hr * np.sqrt(1.0 - hr * hr)))
+        return np.where(h > 0, g, 0.0)
+
+    def linear(h, c0, c1, a):
+        # bounded-linear: rises to the sill at the range, flat beyond
+        return np.where(h > 0, c0 + c1 * np.minimum(h / a, 1.0), 0.0)
+
+    def power(h, c0, c1, a):
+        # unbounded: gamma = c0 + c1 * h^p with p = clip(a, 0..2) — here
+        # the "range" slot carries the exponent (standard power-model
+        # parameterization; it has no sill)
+        p = np.clip(a, 0.1, 1.99)
+        return np.where(h > 0, c0 + c1 * np.power(h, p), 0.0)
+
     try:
         return {"spherical": spherical, "exponential": exponential,
-                "gaussian": gaussian}[kind]
+                "gaussian": gaussian, "circular": circular,
+                "linear": linear, "power": power}[kind]
     except KeyError:
         raise ValueError(f"unknown variogram model {kind!r}") from None
 
@@ -346,7 +366,11 @@ def fit_variogram(points, x_col: str = "x", y_col: str = "y",
     h, gam, cnt = empirical_variogram(xs, ys, vals, n_bins)
     fn = variogram_model(model)
     best = None
-    for a in np.linspace(h[0], h[-1] * 2.0, 48):
+    # the grid-searched third parameter is the RANGE for bounded models and
+    # the EXPONENT for the power model (which has no sill)
+    cands = (np.linspace(0.3, 1.9, 48) if model == "power"
+             else np.linspace(h[0], h[-1] * 2.0, 48))
+    for a in cands:
         g1 = fn(h, 0.0, 1.0, a)  # unit-psill curve (nugget column is 1s)
         A = np.stack([np.ones_like(h), g1], axis=1)
         w = np.sqrt(cnt.astype(np.float64))

@@ -330,3 +330,46 @@ def test_tin_affine_reproduction_and_surface(ray_session):
     tin = TIN(samples["x"], samples["y"], samples["value"])
     direct = tin.interpolate(wx.ravel(), wy.ravel()).reshape(rows, cols)
     np.testing.assert_array_equal(np.isnan(got), np.isnan(direct))
+
+
+def test_variogram_model_breadth():
+    """Round-3 models (circular/linear/power): gamma(0)=0, monotone
+    nondecreasing, bounded models reach the sill at and beyond the range."""
+    import numpy as np
+
+    from geotrellis_ray.stages.interpolation import variogram_model
+
+    h = np.linspace(0.0, 20.0, 200)
+    for kind in ("circular", "linear"):
+        fn = variogram_model(kind)
+        g = fn(h, 0.5, 2.0, 8.0)
+        assert g[0] == 0.0
+        assert (np.diff(g) >= -1e-12).all()
+        np.testing.assert_allclose(g[h >= 8.0], 2.5)  # nugget + sill beyond range
+    p = variogram_model("power")(h, 0.1, 0.3, 1.5)
+    assert p[0] == 0.0 and (np.diff(p) > 0).all()  # unbounded growth
+    np.testing.assert_allclose(p[-1], 0.1 + 0.3 * 20.0**1.5)
+
+
+def test_kriging_with_new_models_exact_at_samples(ray_session):
+    import numpy as np
+
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.stages.interpolation import ordinary_kriging
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "x": rng.uniform(1, 15, 12), "y": rng.uniform(1, 15, 12),
+        "value": rng.uniform(0, 10, 12)})
+    lay = LayoutDefinition(Extent(0, 0, 16, 16), TileLayout(2, 2, 8, 8))
+    for model in ("circular", "linear"):
+        out = ordinary_kriging(pts, lay, (0, 0, 1, 1), model=model,
+                               params=(0.0, 2.0, 6.0))
+        tiles = {(r["key_col"], r["key_row"]):
+                 np.frombuffer(r["cells"], np.float64).reshape(8, 8)
+                 for r in out.take_all()}
+        assert set(tiles) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+        vals = np.concatenate([t.ravel() for t in tiles.values()])
+        # OK prediction is a weighted average: stays within the sample hull
+        assert np.nanmin(vals) >= pts["value"].min() - 1.0
+        assert np.nanmax(vals) <= pts["value"].max() + 1.0
