@@ -2841,6 +2841,36 @@ def _sql_weighted_sample() -> str:
 """
 
 
+def q_focal_circle_mean_grid(sf_dir: str):
+    """Focal mean with a Circle(2) disk neighborhood (GeoTrellis
+    Circle(radius) semantics; 13 cells) across tile boundaries. SQL-checked
+    bit-exact — integer window sums, the disk predicate dx^2+dy^2 <= 4 in
+    the neighbor join."""
+    from .stages.layer_ops import focal_op
+
+    out = focal_op(_hash_grid_layer(3, 16, mod=251), "mean", margin=2,
+                   neighborhood="circle")
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_FOCAL_CIRCLE_MEAN = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    nb AS (
+        SELECT a.x, a.y, sum(b.v) AS s, count(*) AS n
+        FROM grid a JOIN grid b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4
+        GROUP BY a.x, a.y
+    )
+    SELECT x AS cell_x, y AS cell_y,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS density
+    FROM nb
+"""
+
+
 def q_tobler_grid(sf_dir: str):
     """Tobler hiking speed from terrain
     (stages/layer_ops.py:focal_tobler): 6*exp(-3.5*|tan(slope)+0.05|) on
@@ -4015,6 +4045,7 @@ def build_queries() -> dict:
         "q_terrain_slope_grid": q_terrain_slope_grid,
         "q_terrain_aspect_grid": q_terrain_aspect_grid,
         "q_tobler_grid": q_tobler_grid,
+        "q_focal_circle_mean_grid": q_focal_circle_mean_grid,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
         "q_convex_hull": q_convex_hull,
@@ -4144,6 +4175,7 @@ def build_oracle_sql() -> dict:
         "q_terrain_slope_grid": SQL_TERRAIN_SLOPE,
         "q_terrain_aspect_grid": SQL_TERRAIN_ASPECT,
         "q_tobler_grid": SQL_TOBLER,
+        "q_focal_circle_mean_grid": SQL_FOCAL_CIRCLE_MEAN,
         "q_reclassify_grid": SQL_RECLASSIFY,
         "q_focal_mode_grid": SQL_FOCAL_MODE,
         "q_script_stats": SQL_SCRIPT_STATS,

@@ -263,17 +263,61 @@ def buffer_tiles(ds, margin: int = 1):
     return exploded.groupby(["t_col", "t_row"]).map_groups(assemble, batch_format="pandas")
 
 
-def focal_op(ds, op: str = "mean", margin: int = 1):
-    """Focal mean/sum/min/max/median with a (2*margin+1)^2 square
-    neighborhood ACROSS tile boundaries: buffer_tiles supplies each tile its
-    neighbor collar; the window reduce is vectorized (integral image for
-    mean/sum, nan-aware shift-stack for min/max/median); the collar is
-    cropped off the result. NoData centers stay NoData; NoData neighbors are
-    excluded from the statistic (GeoTrellis focal semantics,
-    ref:raster/.../mapalgebra/focal/, L:unverified)."""
+def focal_op(ds, op: str = "mean", margin: int = 1,
+             neighborhood: str = "square"):
+    """Focal mean/sum/min/max/median/mode/stddev over a square OR circle
+    (disk: dx^2 + dy^2 <= margin^2, center included — GeoTrellis
+    Circle(radius) semantics) neighborhood ACROSS tile boundaries:
+    buffer_tiles supplies each tile its neighbor collar; the window reduce
+    is vectorized (integral image for square mean/sum, nan-aware
+    shift-stack otherwise); the collar is cropped off the result. NoData
+    centers stay NoData; NoData neighbors are excluded from the statistic
+    (GeoTrellis focal semantics, ref:raster/.../mapalgebra/focal/,
+    L:unverified)."""
+    if neighborhood not in ("square", "circle"):
+        raise ValueError(f"unknown neighborhood {neighborhood!r}")
     m = margin
     k = 2 * m + 1
     buffered = buffer_tiles(ds, margin=m)
+    if neighborhood == "circle":
+        dy, dx = np.mgrid[-m:m + 1, -m:m + 1]
+        disk = (dx * dx + dy * dy) <= m * m
+
+        def fcirc(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            cube = batch_to_cube(batch)
+            R = cube.shape[1] - 2 * m
+            C = cube.shape[2] - 2 * m
+            center_def = ~np.isnan(cube[:, m:-m, m:-m])
+            offs = [(r, c) for r in range(k) for c in range(k) if disk[r, c]]
+            stack = np.stack([cube[:, dr:dr + R, dc:dc + C] for dr, dc in offs])
+            with np.errstate(invalid="ignore"), np.testing.suppress_warnings() as sup:
+                sup.filter(RuntimeWarning)
+                if op == "mean":
+                    out = np.nanmean(stack, axis=0)
+                elif op == "sum":
+                    out = np.nansum(stack, axis=0)
+                elif op == "min":
+                    out = np.nanmin(stack, axis=0)
+                elif op == "max":
+                    out = np.nanmax(stack, axis=0)
+                elif op == "median":
+                    out = np.nanmedian(stack, axis=0)
+                elif op == "stddev":
+                    # same spec operand order as the square path
+                    n = (~np.isnan(stack)).sum(axis=0).astype(np.float64)
+                    s = np.nansum(stack, axis=0)
+                    s2 = np.nansum(stack * stack, axis=0)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        out = np.sqrt(np.maximum(s2 / n - (s / n) ** 2, 0.0))
+                else:
+                    raise ValueError(f"circle neighborhood: unsupported op {op!r}")
+            out = np.where(center_def, out, np.nan)
+            return _tile_table(batch, out)
+
+        return buffered.map_batches(fcirc, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     def fm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -364,3 +364,30 @@ def test_focal_tobler_matches_bruteforce(ray_session):
         make_layer([(0, 0)], seed=0), cw, ch))  # has NaN holes but bounded
     vals = flat[(0, 0)]
     assert np.nanmax(vals) <= 6.0 * np.exp(-3.5 * 0.05) + 1e-12
+
+
+@pytest.mark.parametrize("op,npfn", [("mean", np.nanmean), ("sum", np.nansum),
+                                     ("min", np.nanmin), ("median", np.nanmedian)])
+def test_focal_circle_matches_bruteforce(ray_session, op, npfn):
+    """Circle(r) neighborhood (GeoTrellis disk semantics) vs a per-cell
+    disk-masked brute oracle at r=2 (13-cell disk, crosses tile edges)."""
+    from geotrellis_ray.stages.layer_ops import focal_op
+
+    m = 2
+    got = layer_to_dict(focal_op(make_layer(KEYS), op, margin=m,
+                                 neighborhood="circle"))
+    big = _mosaic(KEYS)
+    pad = np.pad(big, m, constant_values=np.nan)
+    dy, dx = np.mgrid[-m:m + 1, -m:m + 1]
+    disk = (dx * dx + dy * dy) <= m * m
+    exp_big = np.full_like(big, np.nan)
+    for i in range(big.shape[0]):
+        for j in range(big.shape[1]):
+            if np.isnan(big[i, j]):
+                continue
+            w = pad[i:i + 2 * m + 1, j:j + 2 * m + 1].copy()
+            w[~disk] = np.nan
+            exp_big[i, j] = npfn(w)
+    for (c, r), tile in got.items():
+        np.testing.assert_allclose(tile, exp_big[r * T:(r + 1) * T, c * T:(c + 1) * T],
+                                   equal_nan=True)
