@@ -95,7 +95,11 @@ def _read(sf_dir: str, table: str, columns=None):
     256 MiB we therefore size blocks by ROW count (footer metadata read, no
     data pages): one block per ~4k rows, capped at the cluster width. At real
     scale the default (many files, target_max_block_size) is correct and
-    untouched."""
+    untouched. (r03 A/B: dropping to 1k-row blocks parallelized the serial
+    2 s MinHasher but REGRESSED every dedup chain 18-48% — the ~5 s shuffle
+    floor, the O(#blocks) boundary stitches and map_groups scheduling all
+    scale with block count and dominate at this size; measured
+    ngram 9.4->11.1 s, minhash 6.6->7.7 s, simhash 17.8->26.2 s.)"""
     import os
 
     import pyarrow.parquet as pq
