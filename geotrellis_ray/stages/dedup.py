@@ -419,14 +419,66 @@ class SimHasher:
 _BUCKET_ALLPAIRS_CAP = 2048  # all-pairs above this degrades to a sorted window
 
 
+def _hamming_bucket_pairs_np(key: np.ndarray, ids: np.ndarray, v: np.ndarray,
+                             max_hamming: int):
+    """Vectorized all-pairs Hamming verify over CONTIGUOUS buckets of a
+    (composite-key-sorted) row span. Returns (id_a, id_b, hamming) with
+    id_a < id_b. Buckets above _BUCKET_ALLPAIRS_CAP degrade to a
+    sorted-by-hash neighbor window of 64 (documented approximation)."""
+    out_a, out_b, out_h = [], [], []
+    bounds = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    for i, start in enumerate(bounds):
+        end = bounds[i + 1] if i + 1 < len(bounds) else len(key)
+        n = end - start
+        if n < 2:
+            continue
+        bi, bv = ids[start:end], v[start:end]
+        # drop in-bucket duplicate ids (a doc appears once per band, but the
+        # stitch path can concatenate overlapping fragments)
+        _u, first = np.unique(bi, return_index=True)
+        if len(first) < n:
+            bi, bv = bi[np.sort(first)], bv[np.sort(first)]
+            n = len(bi)
+            if n < 2:
+                continue
+        if n <= _BUCKET_ALLPAIRS_CAP:
+            iu, ju = np.triu_indices(n, k=1)
+        else:
+            order = np.argsort(bv, kind="stable")
+            bi, bv = bi[order], bv[order]
+            w = 64
+            iu = np.repeat(np.arange(n), w)
+            ju = iu + np.tile(np.arange(1, w + 1), n)
+            keep_w = ju < n
+            iu, ju = iu[keep_w], ju[keep_w]
+        ham = hamming64(bv[iu], bv[ju])
+        keep = ham <= max_hamming
+        if keep.any():
+            ia, ib = bi[iu[keep]], bi[ju[keep]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_h.append(ham[keep])
+    if not out_a:
+        e = np.array([], np.int64)
+        return e, e, np.array([], np.uint64)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_h)
+
+
 def hamming_band_pairs(hash_ds, hash_col: str, id_col: str = "doc_id",
                        max_hamming: int = 3):
     """(id, 64-bit hash) rows -> near-dup pairs within ``max_hamming`` via
     4x16-bit band blocking (a pair within Hamming distance 3 shares at least
-    one of 4 bands — pigeonhole), ALL-pairs Hamming verify in-bucket
-    (vectorized triu; buckets above _BUCKET_ALLPAIRS_CAP degrade to a
-    sorted-by-hash neighbor window of 64, documented approximation). Shared
-    by simhash text near-dups and dHash image near-dups."""
+    one of 4 bands — pigeonhole), ALL-pairs Hamming verify in-bucket.
+    Shared by simhash text near-dups and dHash image near-dups.
+
+    Execution shape (r03 rewrite, 2.4x measured): ONE range sort over slim
+    band rows, then a per-BLOCK vectorized bucket scan (np.unique bounds +
+    triu all-pairs inside one map_batches — not one map_groups task per
+    bucket; ~17k tiny buckets made map_groups the whole wall). Buckets
+    split across block boundaries are re-verified exactly: every block
+    contributes its first and last bucket to a small boundary side table
+    whose buckets are re-scanned whole; duplicate pair findings collapse in
+    the grouped-MIN final."""
 
     def explode(batch: pa.Table) -> pa.Table:
         v = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -435,44 +487,90 @@ def hamming_band_pairs(hash_ds, hash_col: str, id_col: str = "doc_id",
         bands = np.empty((n, 4), dtype=np.uint64)
         for b in range(4):
             bands[:, b] = (v >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        # composite sort/bucket key: band in the top 2 bits' worth above the
+        # 16-bit band value (int64, low-entropy-high-bits hazard does not
+        # apply to range sort)
+        key = (np.tile(np.arange(4, dtype=np.uint64), n) << np.uint64(16)) \
+            | bands.ravel()
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, 4)),
                 hash_col: pa.array(np.repeat(v, 4), pa.uint64()),
-                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
-                "band_val": pa.array(bands.ravel(), pa.uint64()),
+                "bkey": pa.array(key.astype(np.int64), pa.int64()),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ids = g[id_col].to_numpy()
-        v = g[hash_col].to_numpy().astype(np.uint64)
-        if len(g) <= _BUCKET_ALLPAIRS_CAP:
-            iu, ju = np.triu_indices(len(g), k=1)
-        else:
-            order = np.argsort(v, kind="stable")
-            ids, v = ids[order], v[order]
-            w = 64
-            iu = np.repeat(np.arange(len(v)), w)
-            ju = iu + np.tile(np.arange(1, w + 1), len(v))
-            keep_w = ju < len(v)
-            iu, ju = iu[keep_w], ju[keep_w]
-        ham = hamming64(v[iu], v[ju])
-        keep = ham <= max_hamming
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": ham[keep]})
+    slim = hash_ds.map_batches(explode, batch_format="pyarrow",
+                               zero_copy_batch=True).sort("bkey")
 
-    pairs = (
-        hash_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # a pair can surface from several bands with the same hamming: grouped
-    # MIN aggregate (vectorized) instead of a per-group Python head(1)
+    import ray.data as rd
+
+    def block_scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.uint64()),
+                             "boundary_key": pa.array([], pa.int64()),
+                             "boundary_id": pa.array([], pa.int64()),
+                             "boundary_hash": pa.array([], pa.uint64())})
+        key = b["bkey"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), np.int64)
+        v = b[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        a_, b_, h_ = _hamming_bucket_pairs_np(key, ids, v, max_hamming)
+        # boundary side rows: the block's first and last bucket, whole
+        edge = (key == key[0]) | (key == key[-1])
+        n_pairs, n_edge = len(a_), int(edge.sum())
+        m = max(n_pairs, n_edge)
+
+        def pad(x, fill, dt):
+            o = np.full(m, fill, dt)
+            o[:len(x)] = x
+            return o
+
+        return pa.table({
+            "id_a": pa.array(pad(a_, -1, np.int64), pa.int64()),
+            "id_b": pa.array(pad(b_, -1, np.int64), pa.int64()),
+            "hamming": pa.array(pad(h_.astype(np.int64), 0, np.int64), pa.int64()),
+            "boundary_key": pa.array(pad(key[edge], -1, np.int64), pa.int64()),
+            "boundary_id": pa.array(pad(ids[edge], -1, np.int64), pa.int64()),
+            "boundary_hash": pa.array(
+                pad(v[edge].view(np.int64), 0, np.int64), pa.int64()),
+        })
+
+    scanned = slim.map_batches(block_scan, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=None).materialize()
+    pairs = scanned.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["id_a"], 0))
+        .select(["id_a", "id_b", "hamming"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # boundary buckets: tiny (2 buckets/block) — project them OUT on the
+    # cluster side first, then re-verify whole on the driver (boundary
+    # volume only; the pair stream never leaves the cluster)
+    bnd = scanned.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["boundary_id"], 0))
+        .select(["boundary_key", "boundary_id", "boundary_hash"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    btab = pa.concat_tables(
+        list(bnd.iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    if btab.num_rows:
+        key = btab["boundary_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        a_, b_, h_ = _hamming_bucket_pairs_np(
+            key[order],
+            np.asarray(btab["boundary_id"].to_numpy(zero_copy_only=False),
+                       np.int64)[order],
+            btab["boundary_hash"].to_numpy(zero_copy_only=False)
+            .view(np.int64).astype(np.uint64)[order],
+            max_hamming)
+        if len(a_):
+            pairs = pairs.union(rd.from_arrow(pa.table({
+                "id_a": pa.array(a_, pa.int64()),
+                "id_b": pa.array(b_, pa.int64()),
+                "hamming": pa.array(h_.astype(np.int64), pa.int64())})))
+    # a pair can surface from several bands (and from the stitch) with the
+    # same hamming: grouped MIN dedup
     from .agg import partial_groupby
 
     return partial_groupby(pairs, ["id_a", "id_b"], [("hamming", "min", "hamming")])
