@@ -159,6 +159,20 @@ class FastMapHistogram:
             return None
         return min(self.m, key=lambda v: (-self.m[v], v))
 
+    def quantile_breaks(self, n: int) -> list[int]:
+        """n-1 EXACT quantile break values (classBreaks on the exact CDF —
+        GeoTrellis FastMapHistogram path): break i (1..n-1) = smallest value
+        v with cum_count(v) * n >= total * i. Pure integer rule, so a SQL
+        oracle reproduces it bit-exact (no float CDF, no bisection)."""
+        if not self.m:
+            return []
+        vals = np.array(sorted(self.m), dtype=np.int64)
+        cum = np.cumsum([self.m[int(v)] for v in vals], dtype=np.int64)
+        total = int(cum[-1])
+        idx = np.searchsorted(cum * n, total * np.arange(1, n, dtype=np.int64),
+                              side="left")
+        return [int(v) for v in vals[idx]]
+
     def to_dict(self) -> dict:
         return {"values": list(self.m.keys()), "counts": list(self.m.values())}
 

@@ -1247,9 +1247,76 @@ def q_cell_counts_s2(sf_dir: str):
 
 
 def q_minhash_dedup_docs(sf_dir: str):
+    """MinHash-LSH near-dedup -> (doc_id, cluster_id). SQL-checked since
+    round 4 (VERDICT r03 next-round #1): every stage is deterministic —
+    sha256-based shingles, xor-multiply permutations (seeds =
+    sha256('minhash-i')), 16x4 LSH banding with consecutive-id chain edges
+    per bucket, est-Jaccard >= 0.7 filter, min-label components — so the
+    DuckDB oracle recomputes the WHOLE pipeline from the raw text."""
     from .stages.dedup import minhash_dedup
 
     return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7, rounds=3)
+
+
+def _sql_minhash_dedup() -> str:
+    """DuckDB oracle for q_minhash_dedup_docs: recomputes shingles (sha256_64
+    via hex substr), the (x ^ seed) * GOLDEN mod 2^64 permutation family
+    (split 32-bit multiply — INT128 can't hold a full 64x64 product), LSH
+    band signatures, the pipeline's consecutive-id chain edges per bucket
+    (the sort-adjacency semantics of stages/dedup.py:_block_adjacent_pairs),
+    signature-agreement est >= 0.7, and min-label connected components."""
+    mul = """CAST((
+   (CAST(xor(g.g, p.seed) % 4294967296 AS HUGEINT) * 11400714819323198485) % 18446744073709551616
+ + ((CAST(xor(g.g, p.seed) // 4294967296 AS HUGEINT) * 11400714819323198485) % 4294967296) * 4294967296
+ ) % 18446744073709551616 AS UBIGINT)"""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(sha256(ts[r.i] || ' ' || ts[r.i+1] || ' ' || ts[r.i+2]), 1, 16))::UBIGINT AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+  UNION
+  SELECT doc_id, ('0x' || substr(sha256(array_to_string(ts, ' ')), 1, 16))::UBIGINT
+  FROM toks WHERE len(ts) BETWEEN 1 AND 2
+), perms AS (
+  SELECT CAST(i AS INTEGER) AS p,
+         ('0x' || substr(sha256('minhash-' || i), 1, 16))::UBIGINT AS seed
+  FROM (SELECT unnest(range(0, 64)) AS i)
+), sigs AS (
+  SELECT d.doc_id, p.p, coalesce(min({mul}), 18446744073709551615::UBIGINT) AS hv
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN grams g ON g.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.p
+), bandsig AS (
+  SELECT doc_id, p // 4 AS band, string_agg(hv::VARCHAR, ',' ORDER BY p) AS bs
+  FROM sigs GROUP BY doc_id, p // 4
+), chain AS (
+  SELECT band, bs, doc_id,
+         lag(doc_id) OVER (PARTITION BY band, bs ORDER BY doc_id) AS prev_id
+  FROM bandsig
+), cand AS (
+  SELECT DISTINCT prev_id AS id_a, doc_id AS id_b FROM chain WHERE prev_id IS NOT NULL
+), est AS (
+  SELECT c.id_a, c.id_b, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 64.0 AS ej
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY c.id_a, c.id_b
+), edges AS (
+  SELECT id_a AS ia, id_b AS ib FROM est WHERE ej >= 0.7
+  UNION ALL
+  SELECT id_b, id_a FROM est WHERE ej >= 0.7
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.ib, r.lab FROM reach r JOIN edges e ON e.ia = r.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+"""
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -1574,9 +1641,38 @@ def q_multimodal_stub(sf_dir: str):
 
 
 def q_histogram_breaks(sf_dir: str):
-    """classBreaks over l_extendedprice (approx sketch — rows-only check)."""
-    import ray.data
+    """EXACT classBreaks over l_extendedprice cents via the merged FastMap
+    histogram (stages/stats.py:class_breaks_exact): break i = smallest value
+    whose cum_count*n >= total*i — a pure integer rule, so the DuckDB oracle
+    is bit-exact (VERDICT r03 next-round #1: converted from the rows-only
+    streaming-sketch path, which remains q_histogram_sketch_breaks)."""
+    from .stages.stats import class_breaks_exact
 
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda b: pa.table({"cents": pa.array(
+            _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    breaks = class_breaks_exact(ds, "cents", 8)
+    return pa.table({"brk": pa.array(np.arange(len(breaks), dtype=np.int64)),
+                     "value_cents": pa.array(breaks, pa.int64())})
+
+
+SQL_HISTOGRAM_BREAKS = """
+    WITH h AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                      count(*) AS c
+               FROM lineitem GROUP BY 1),
+         cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+         t AS (SELECT sum(c) AS total FROM h)
+    SELECT CAST(i.i - 1 AS BIGINT) AS brk,
+           (SELECT min(v) FROM cum, t WHERE cum * 8 >= t.total * i.i) AS value_cents
+    FROM (SELECT unnest(range(1, 8)) AS i) i ORDER BY brk
+"""
+
+
+def q_histogram_sketch_breaks(sf_dir: str):
+    """classBreaks over l_extendedprice via the Ben-Haim--Tom-Tov streaming
+    sketch (approx, merge-order dependent -> rows-only; numpy oracle in
+    tests/test_ray_ops.py)."""
     from .stages.stats import class_breaks
 
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
@@ -3092,8 +3188,10 @@ SQL_GEOM_MEASURES = """
 def q_jenks_breaks(sf_dir: str):
     """Jenks/Fisher natural breaks over documents.n_chars
     (stages/stats.py:jenks_breaks, k=5): slim distinct-count aggregate +
-    exact driver DP. Rows-only (the optimization is not SQL-expressible);
-    exactness proven in pytest against exhaustive split search."""
+    exact driver DP. SQL-checked since round 4: the Fisher DP unrolls to 4
+    chained CTE levels in DuckDB (SSE from integer-exact prefix sums, argmin
+    tie-break = smallest split, scalar-subquery backtrack) — identical IEEE
+    arithmetic order, so the chosen splits match bit-exact."""
     import pandas as pd
 
     from .stages.stats import jenks_breaks
@@ -3104,6 +3202,70 @@ def q_jenks_breaks(sf_dir: str):
     br = jenks_breaks(ds, "v", 5)
     return pd.DataFrame({"class_idx": list(range(len(br))),
                          "upper_break": br})
+
+
+# Fisher-Jenks DP unrolled for k=5 over distinct n_chars values. All prefix
+# sums are exact integers at this fixture (n_chars <= ~600, 500 docs), the
+# only float ops (S*S/W division, dp additions) appear in the identical IEEE
+# order as the numpy DP in stages/stats.py:jenks_breaks, and ties break the
+# same way (np.argmin = first minimum = smallest split index s).
+SQL_JENKS = """
+WITH ordered AS (
+  SELECT v, c, row_number() OVER (ORDER BY v) AS i
+  FROM (SELECT CAST(n_chars AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS c
+        FROM documents GROUP BY n_chars)
+), pre AS (
+  SELECT i, v,
+         sum(c)       OVER (ORDER BY i) AS w,
+         sum(c*v)     OVER (ORDER BY i) AS s,
+         sum((c*v)*v) OVER (ORDER BY i) AS s2
+  FROM ordered
+), lo AS (
+  SELECT i,
+         coalesce(lag(w)  OVER (ORDER BY i), 0) AS wp,
+         coalesce(lag(s)  OVER (ORDER BY i), 0) AS sp,
+         coalesce(lag(s2) OVER (ORDER BY i), 0) AS s2p
+  FROM pre
+), seg AS (
+  SELECT lo.i AS a, hi.i AS b,
+         (hi.s2 - lo.s2p) - ((hi.s - lo.sp)*(hi.s - lo.sp))/(hi.w - lo.wp) AS e
+  FROM pre hi JOIN lo ON lo.i <= hi.i
+), dp1 AS (
+  SELECT b AS i, e AS d FROM seg WHERE a = 1
+), dp2 AS (
+  SELECT i, d, s FROM (
+    SELECT seg.b AS i, dp1.d + seg.e AS d, seg.a AS s,
+           row_number() OVER (PARTITION BY seg.b ORDER BY dp1.d + seg.e ASC, seg.a ASC) AS rn
+    FROM seg JOIN dp1 ON dp1.i = seg.a - 1 WHERE seg.a >= 2) t WHERE rn = 1
+), dp3 AS (
+  SELECT i, d, s FROM (
+    SELECT seg.b AS i, dp2.d + seg.e AS d, seg.a AS s,
+           row_number() OVER (PARTITION BY seg.b ORDER BY dp2.d + seg.e ASC, seg.a ASC) AS rn
+    FROM seg JOIN dp2 ON dp2.i = seg.a - 1 WHERE seg.a >= 3) t WHERE rn = 1
+), dp4 AS (
+  SELECT i, d, s FROM (
+    SELECT seg.b AS i, dp3.d + seg.e AS d, seg.a AS s,
+           row_number() OVER (PARTITION BY seg.b ORDER BY dp3.d + seg.e ASC, seg.a ASC) AS rn
+    FROM seg JOIN dp3 ON dp3.i = seg.a - 1 WHERE seg.a >= 4) t WHERE rn = 1
+), dp5 AS (
+  SELECT i, d, s FROM (
+    SELECT seg.b AS i, dp4.d + seg.e AS d, seg.a AS s,
+           row_number() OVER (PARTITION BY seg.b ORDER BY dp4.d + seg.e ASC, seg.a ASC) AS rn
+    FROM seg JOIN dp4 ON dp4.i = seg.a - 1
+    WHERE seg.a >= 5 AND seg.b = (SELECT max(i) FROM pre)) t WHERE rn = 1
+), bt5 AS (SELECT s FROM dp5
+), bt4 AS (SELECT s FROM dp4 WHERE i = (SELECT s - 1 FROM bt5)
+), bt3 AS (SELECT s FROM dp3 WHERE i = (SELECT s - 1 FROM bt4)
+), bt2 AS (SELECT s FROM dp2 WHERE i = (SELECT s - 1 FROM bt3)
+), breaks AS (
+  SELECT v FROM ordered
+  WHERE i IN ((SELECT s-1 FROM bt5),(SELECT s-1 FROM bt4),
+              (SELECT s-1 FROM bt3),(SELECT s-1 FROM bt2))
+)
+SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS class_idx,
+       v AS upper_break
+FROM breaks ORDER BY class_idx
+"""
 
 
 def q_approx_counts(sf_dir: str):
@@ -4067,6 +4229,7 @@ def build_queries() -> dict:
         "q_raster_ingest": q_raster_ingest,
         "q_geotiff_ingest": q_geotiff_ingest,
         "q_histogram_breaks": q_histogram_breaks,
+        "q_histogram_sketch_breaks": q_histogram_sketch_breaks,
         "q_polygonal_summary": q_polygonal_summary,
         "q_spacetime_counts": q_spacetime_counts,
         "q_pbsm_join": q_pbsm_join,
@@ -4095,13 +4258,29 @@ def build_queries() -> dict:
         "q_reproject_osgb": q_reproject_osgb,
         "q_reproject_conic": q_reproject_conic,
     }
-    sql_checked = build_oracle_sql()
-    # The driver snapshot holds ~50 queries and there are now MORE SQL-checked
-    # queries than that, so within the SQL-checked block, queries the r02
-    # driver did NOT already hash-verify go first (the r02-green ones have an
-    # on-record pass; see CORRECTNESS_r02.json).
-    r02_green = {
-        "q1_pricing_summary", "q_filter_range", "q_join_customer_orders",
+    # Round-4 capture ordering (VERDICT r03 next-round #1). The driver
+    # snapshots the FIRST ~50 queries into CORRECTNESS_r{N}.json. Capture
+    # history union r01-r03: 102 of 124 captured, 77 hash-verified. Priority:
+    #   1. queries whose SQL oracle is NEW this round (first possible hash
+    #      verification),
+    #   2. the 22 never-captured queries (no driver row of any kind yet),
+    #   3. the 27 queries whose latest hash-green round is r02 (stale —
+    #      rotate back in before the evidence ages out),
+    #   4. r03-green (freshest evidence), then captured rows-only queries.
+    sql_new_r4 = [
+        "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
+    ]
+    never_captured = [
+        "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
+        "q_etl_pipeline", "q_distinct_users_by_type", "q_idw_toy",
+        "q_kriging_toy", "q_approx_distinct", "q_tin_toy", "q_semantic_dedup",
+        "q_simplify_geoms", "q_render_png_toy", "q_terrain_toy",
+        "q_cost_distance_toy", "q_viewshed_toy", "q_hydrology_toy",
+        "q_geojson_cliptogrid", "q_vector_tiles_mvt", "q_reproject_utm",
+        "q_reproject_osgb", "q_reproject_conic",
+    ]
+    r02_stale = [
+        "q_filter_range", "q_join_customer_orders",
         "q_join_customer_orders_broadcast", "q_join_nation_rollup",
         "q_topk_orders", "q_grouped_topk", "q_exact_quantiles",
         "q_events_hourly", "q_dedup_docs_exact", "q_duplicated_spans",
@@ -4111,12 +4290,14 @@ def build_queries() -> dict:
         "q_spatial_join_layers", "q_polygonal_summary", "q_spacetime_counts",
         "q_pbsm_join", "q_layer_roundtrip_zorder", "q_layer_roundtrip_hilbert",
         "q_events_sliding_window", "q_events_asof_prev",
-    }
-    ordered = {k: v for k, v in all_queries.items()
-               if k in sql_checked and k not in r02_green}
+    ]
+    sql_checked = build_oracle_sql()
+    front = sql_new_r4 + never_captured + r02_stale
+    ordered = {k: all_queries[k] for k in front if k in all_queries}
+    # remaining SQL-checked (r03-green) next, rows-only last
     ordered.update({k: v for k, v in all_queries.items()
-                    if k in sql_checked and k in r02_green})
-    ordered.update({k: v for k, v in all_queries.items() if k not in sql_checked})
+                    if k not in ordered and k in sql_checked})
+    ordered.update({k: v for k, v in all_queries.items() if k not in ordered})
     return ordered
 
 
@@ -4199,6 +4380,10 @@ def build_oracle_sql() -> dict:
         "q_cell_counts_hex": SQL_CELL_COUNTS_HEX,
         "q_cell_counts_s2": SQL_CELL_COUNTS_S2,
         "q_cell_counts_geohash": _sql_cell_counts_geohash(5),
+        # round-4 conversions (VERDICT r03 next-round #1)
+        "q_minhash_dedup_docs": _sql_minhash_dedup(),
+        "q_histogram_breaks": SQL_HISTOGRAM_BREAKS,
+        "q_jenks_breaks": SQL_JENKS,
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

@@ -89,6 +89,13 @@ def class_breaks(ds, value_col: str, n: int) -> list[float]:
     return layer_histogram(ds, value_col).quantile_breaks(n)
 
 
+def class_breaks_exact(ds, value_col: str, n: int) -> list[int]:
+    """EXACT quantile classBreaks over an integer column via the merged
+    FastMap histogram (the GeoTrellis exact path for integer cell types).
+    Integer CDF rule -> SQL-reproducible bit-exact."""
+    return layer_histogram_exact(ds, value_col).quantile_breaks(n)
+
+
 def layer_min_max_mean(ds, value_col: str) -> dict:
     from ray.data.aggregate import Count, Max, Mean, Min
 

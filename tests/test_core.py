@@ -368,3 +368,24 @@ def test_fastmap_histogram():
     for v in range(10):
         assert h.item_count(v) == int((vals == v).sum())
     assert h.mode() == int(np.bincount(vals).argmax())
+
+
+def test_fastmap_exact_quantile_breaks():
+    """Exact classBreaks rule: break i = smallest v with cum(v)*n >= total*i.
+    Brute per-element oracle over skewed integer data, merge-invariant."""
+    vals = rng.geometric(0.02, 4000) + rng.integers(0, 3, 4000)
+    h = FastMapHistogram().update(vals[:1000]).merge(FastMapHistogram().update(vals[1000:]))
+    for n in (2, 4, 8, 10):
+        got = h.quantile_breaks(n)
+        assert len(got) == n - 1
+        sv = np.sort(vals)
+        total = len(sv)
+        for i, b in enumerate(got, start=1):
+            # brute: smallest distinct value whose cum count * n >= total * i
+            uniq = np.unique(sv)
+            cum = np.searchsorted(sv, uniq, side="right")
+            exp = uniq[np.nonzero(cum * n >= total * i)[0][0]]
+            assert b == exp, (n, i)
+    assert FastMapHistogram().quantile_breaks(4) == []
+    single = FastMapHistogram().update(np.array([7, 7, 7]))
+    assert single.quantile_breaks(4) == [7, 7, 7]
