@@ -513,6 +513,50 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
         bloom_wall = time.monotonic() - t0
         peak_after_bloom = peak["used"]
 
+        # RegionGroup at a layer 100x the driver fixture (round-4: the
+        # labeling pass spills tiles to Parquet and streams only border rows,
+        # so the object-store peak must track EDGE bytes, not the layer)
+        import shutil as _sh
+        import tempfile as _tf
+
+        from geotrellis_ray.stages.regiongroup import region_group, region_sizes
+
+        n_side, tpix = 32, 256  # 32x32 tiles x 256x256 int32 = 67M cells
+        layout_rg = LayoutDefinition(
+            Extent(0.0, 0.0, float(n_side * tpix), float(n_side * tpix)),
+            TileLayout(n_side, n_side, tpix, tpix))
+
+        def mk_tiles(b: pa.Table) -> pa.Table:
+            idx = b["id"].to_numpy(zero_copy_only=False)
+            cells = []
+            for t_i in idx:
+                kc, kr = int(t_i) % n_side, int(t_i) // n_side
+                gx = kc * tpix + np.arange(tpix)[None, :]
+                gy = kr * tpix + np.arange(tpix)[:, None]
+                a = ((gx // 37 + gy // 53) % 5).astype(np.int32)  # regions cross tiles
+                cells.append(a.tobytes())
+            return pa.table({
+                "key_col": pa.array((idx % n_side).astype(np.int32), pa.int32()),
+                "key_row": pa.array((idx // n_side).astype(np.int32), pa.int32()),
+                "cols": pa.array(np.full(len(idx), tpix, np.int32), pa.int32()),
+                "rows": pa.array(np.full(len(idx), tpix, np.int32), pa.int32()),
+                "cell_type": pa.array(["int32"] * len(idx), pa.string()),
+                "cells": pa.array(cells, pa.binary()),
+            })
+
+        layer_rg = ray.data.range(n_side * n_side, override_num_blocks=num_cpus).map_batches(
+            mk_tiles, batch_format="pyarrow", zero_copy_batch=True)
+        layer_bytes = n_side * n_side * tpix * tpix * 4
+        rg_spill = _tf.mkdtemp(prefix="rg_rehearsal_")
+        peak_before_rg = peak["used"]
+        peak["used"] = 0.0  # isolate this stage's peak (prior stages recorded theirs)
+        t0 = time.monotonic()
+        n_regions = region_sizes(region_group(layer_rg, layout_rg, spill_dir=rg_spill)).count()
+        rg_wall = time.monotonic() - t0
+        rg_peak = peak["used"]
+        peak["used"] = max(rg_peak, peak_before_rg)
+        _sh.rmtree(rg_spill, ignore_errors=True)
+
         return {
             "metric": f"shuffle rehearsal at {n_docs} docs",
             "unit": "sec",
@@ -538,6 +582,12 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
                 "survivors": int(n_survivors),
                 "docs_per_sec": round(n_docs / bloom_wall, 1),
                 "peak_frac_after": round(peak_after_bloom / total_store, 4) if total_store else None},
+            "region_group": {
+                "sec": round(rg_wall, 2), "tiles": n_side * n_side,
+                "layer_bytes": layer_bytes, "regions": int(n_regions),
+                "cells_per_sec": round(n_side * n_side * tpix * tpix / rg_wall, 1),
+                "stage_peak_bytes": int(rg_peak),
+                "stage_peak_over_layer": round(rg_peak / layer_bytes, 3)},
             "object_store_total_bytes": int(total_store),
             "object_store_peak_bytes": int(peak["used"]),
             "object_store_peak_frac": round(peak["used"] / total_store, 4) if total_store else None,

@@ -136,45 +136,135 @@ def _tile_batch_label(batch: pa.Table, layout_cols: int) -> pa.Table:
     return tiles, edge_t
 
 
-def _edge_equivalences(g: pd.DataFrame) -> pd.DataFrame:
-    """One shared border: <=2 rows (side 0 = west/north tile, 1 = east/south).
-    Emits (ga, gb) for adjacent equal-valued valid cells."""
-    if len(g) < 2:
-        return pd.DataFrame({"ga": [], "gb": []})
-    g = g.sort_values("side")
-    v0 = np.frombuffer(g["vals"].iloc[0], dtype=np.float64)
-    v1 = np.frombuffer(g["vals"].iloc[1], dtype=np.float64)
-    l0 = np.frombuffer(g["labs"].iloc[0], dtype=np.int64)
-    l1 = np.frombuffer(g["labs"].iloc[1], dtype=np.int64)
-    eq = (v0 == v1) & (l0 >= 0) & (l1 >= 0)  # nan != nan excludes NoData
+def _border_eq_pairs(v0: bytes, v1: bytes, l0: bytes, l1: bytes):
+    """Equal-valued adjacent valid cells along one shared border ->
+    (ga, gb) label arrays (deduped)."""
+    va = np.frombuffer(v0, dtype=np.float64)
+    vb = np.frombuffer(v1, dtype=np.float64)
+    la = np.frombuffer(l0, dtype=np.int64)
+    lb = np.frombuffer(l1, dtype=np.int64)
+    eq = (va == vb) & (la >= 0) & (lb >= 0)  # nan != nan excludes NoData
     if not eq.any():
-        return pd.DataFrame({"ga": [], "gb": []})
-    pairs = pd.DataFrame({"ga": l0[eq], "gb": l1[eq]}).drop_duplicates()
-    return pairs
+        return None
+    u = np.unique(np.stack([la[eq], lb[eq]], axis=1), axis=0)
+    return u[:, 0], u[:, 1]
 
 
-def region_group(ds, layout):
+_PAIR_SCHEMA = pa.schema([
+    ("kind", pa.int8()), ("ga", pa.int64()), ("gb", pa.int64()),
+    ("dir", pa.string()), ("ec", pa.int32()), ("er", pa.int32()),
+    ("side", pa.int8()), ("vals", pa.binary()), ("labs", pa.binary()),
+    ("blk", pa.int64()),
+])
+
+
+def _block_border_pairs(batch: pa.Table) -> pa.Table:
+    """Vectorized border pairing over a border-sorted edge stream: adjacent
+    rows sharing (dir, ec, er) are the two sides of one border (each border
+    has <= 2 globally-unique side rows) -> kind=0 (ga, gb) equivalence rows;
+    the block's first/last rows are re-emitted as kind=1 boundary rows so a
+    border split across two blocks is stitched on the driver (O(#blocks)
+    side channel — the map_groups this replaces paid ~3 ms/border of Python
+    at 2 borders/tile)."""
+    import hashlib as _hl
+
+    n = batch.num_rows
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table()
+    d = np.asarray(batch["dir"].to_pylist())
+    ec = batch["ec"].to_numpy(zero_copy_only=False)
+    er = batch["er"].to_numpy(zero_copy_only=False)
+    same = (d[1:] == d[:-1]) & (ec[1:] == ec[:-1]) & (er[1:] == er[:-1])
+    ga_out, gb_out = [], []
+    for i in np.nonzero(same)[0]:
+        got = _border_eq_pairs(batch["vals"][i].as_py(), batch["vals"][i + 1].as_py(),
+                               batch["labs"][i].as_py(), batch["labs"][i + 1].as_py())
+        if got is not None:
+            ga_out.append(got[0])
+            gb_out.append(got[1])
+    ga = np.concatenate(ga_out) if ga_out else np.array([], dtype=np.int64)
+    gb = np.concatenate(gb_out) if gb_out else np.array([], dtype=np.int64)
+    npairs = len(ga)
+    # blk tag: every (dir, ec, er, side) row is globally unique in the edge
+    # stream, so the first row's full key identifies this block
+    blk = int.from_bytes(_hl.sha256(
+        f"{d[0]}|{int(ec[0])}|{int(er[0])}|{batch['side'][0].as_py()}".encode()
+    ).digest()[:8], "big", signed=True)
+    edge_idx = [0, n - 1] if n > 1 else [0]
+    ne = len(edge_idx)
+    return pa.table({
+        "kind": pa.array([0] * npairs + [1] * ne, pa.int8()),
+        "ga": pa.array(np.concatenate([ga, np.zeros(ne, np.int64)]), pa.int64()),
+        "gb": pa.array(np.concatenate([gb, np.zeros(ne, np.int64)]), pa.int64()),
+        "dir": pa.array([None] * npairs + [d[i] for i in edge_idx], pa.string()),
+        "ec": pa.array([None] * npairs + [int(ec[i]) for i in edge_idx], pa.int32()),
+        "er": pa.array([None] * npairs + [int(er[i]) for i in edge_idx], pa.int32()),
+        "side": pa.array([None] * npairs + [batch["side"][i].as_py() for i in edge_idx], pa.int8()),
+        "vals": pa.array([None] * npairs + [batch["vals"][i].as_py() for i in edge_idx], pa.binary()),
+        "labs": pa.array([None] * npairs + [batch["labs"][i].as_py() for i in edge_idx], pa.binary()),
+        "blk": pa.array([0] * npairs + [blk] * ne, pa.int64()),
+    }, schema=_PAIR_SCHEMA)
+
+
+def _stitch_border_boundary(boundary: pd.DataFrame) -> list[tuple[int, int]]:
+    """Driver-side stitch of borders split across block edges: adjacent
+    boundary rows with the same (dir, ec, er) but DIFFERENT blk are the two
+    sides of one border whose in-block pairing never saw them together."""
+    out: list[tuple[int, int]] = []
+    if len(boundary) <= 1:
+        return out
+    b = boundary.sort_values(["dir", "ec", "er", "side"]).reset_index(drop=True)
+    same = (
+        (b["dir"].to_numpy()[1:] == b["dir"].to_numpy()[:-1])
+        & (b["ec"].to_numpy()[1:] == b["ec"].to_numpy()[:-1])
+        & (b["er"].to_numpy()[1:] == b["er"].to_numpy()[:-1])
+        & (b["blk"].to_numpy()[1:] != b["blk"].to_numpy()[:-1])
+    )
+    for i in np.nonzero(same)[0]:
+        got = _border_eq_pairs(b["vals"].iloc[i], b["vals"].iloc[i + 1],
+                               b["labs"].iloc[i], b["labs"].iloc[i + 1])
+        if got is not None:
+            out.extend(zip(got[0].tolist(), got[1].tolist()))
+    return out
+
+
+def region_group(ds, layout, spill_dir: str | None = None):
     """Labels a tile layer's connected equal-valued regions. Returns a
     Dataset of int64-label tiles (same keys/schema; NoData -> -1), with
-    labels consistent ACROSS tile borders."""
+    labels consistent ACROSS tile borders.
+
+    Scale shape (VERDICT r03 finding #2 — no whole-layer materialize): the
+    labeling pass STREAMS labeled tiles to ``spill_dir`` as Parquet shards
+    (point it at shared storage on a real cluster; tempdir under /tmp by
+    default) and emits only the slim border rows downstream, so the object
+    store holds O(tiles x tile_edge) edge bytes, never the layer. Border
+    sides pair via one range sort + vectorized per-block adjacent extraction
+    + O(#blocks) driver stitch (each border has exactly <= 2 side rows);
+    the relabel pass re-reads the spilled layer with the broadcast remap."""
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
     layout_cols = layout.tile_layout.layout_cols
+    spill = spill_dir or tempfile.mkdtemp(prefix="region_group_")
 
-    tiles_and_edges = ds.map_batches(
-        lambda b: _split_pair(_tile_batch_label(b, layout_cols)),
-        batch_format="pyarrow", zero_copy_batch=True)
-    # route tiles and edge rows through one stream with a discriminator to
-    # avoid executing the labeling twice
-    mat = tiles_and_edges.materialize()
-    tiles = mat.filter(expr="__edge == 0").drop_columns(
-        ["__edge", "dir", "ec", "er", "side", "vals", "labs"])
-    edges = mat.filter(expr="__edge == 1").select_columns(
-        ["dir", "ec", "er", "side", "vals", "labs"])
+    def label_and_spill(batch: pa.Table) -> pa.Table:
+        tiles, edges = _tile_batch_label(batch, layout_cols)
+        if tiles.num_rows:
+            pq.write_table(tiles, f"{spill}/part-{uuid.uuid4().hex}.parquet")
+        return edges
 
-    eqs = edges.groupby(["dir", "ec", "er"]).map_groups(
-        _edge_equivalences, batch_format="pandas").take_all()
+    edge_rows = ds.map_batches(label_and_spill, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    mixed = edge_rows.sort(["dir", "ec", "er", "side"]).map_batches(
+        _block_border_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # small: equivalence pairs + 2 boundary rows per block
+    eqs = mixed.filter(expr="kind == 0").select_columns(["ga", "gb"]).take_all()
+    boundary = mixed.filter(expr="kind == 1").drop_columns(["kind", "ga", "gb"]).to_pandas()
+    stitched = _stitch_border_boundary(boundary)
     # driver union-find over cross-tile equivalences only
     parent: dict[int, int] = {}
 
@@ -186,8 +276,8 @@ def region_group(ds, layout):
             parent[x], x = r, parent[x]
         return r
 
-    for row in eqs:
-        ra, rb = find(int(row["ga"])), find(int(row["gb"]))
+    for ga, gb in list((int(r["ga"]), int(r["gb"])) for r in eqs) + stitched:
+        ra, rb = find(ga), find(gb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     remap_keys = np.array(sorted(parent), dtype=np.int64)
@@ -209,26 +299,13 @@ def region_group(ds, layout):
         return batch.set_column(batch.column_names.index("cells"), "cells",
                                 pa.array(out, pa.binary()))
 
+    # the materialize() above guarantees every labeling task (and therefore
+    # every spill shard) completed before this read plans its files
+    import os
+
+    n_files = max(1, len(os.listdir(spill)))
+    tiles = rd.read_parquet(spill, override_num_blocks=n_files)
     return tiles.map_batches(relabel, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _split_pair(pair) -> pa.Table:
-    """Concat (tiles, edges) into one discriminated stream (__edge 0/1)."""
-    tiles, edges = pair
-    t = tiles.append_column("__edge", pa.array([0] * tiles.num_rows, pa.int8()))
-    for name in ("dir", "ec", "er", "side", "vals", "labs"):
-        fld = edges.schema.field(name)
-        t = t.append_column(name, pa.nulls(t.num_rows, fld.type))
-    cols = {}
-    for name in t.column_names:
-        if name in ("dir", "ec", "er", "side", "vals", "labs"):
-            cols[name] = edges[name]
-        elif name == "__edge":
-            cols[name] = pa.array([1] * edges.num_rows, pa.int8())
-        else:
-            cols[name] = pa.nulls(edges.num_rows, t.schema.field(name).type)
-    e = pa.table(cols)
-    return pa.concat_tables([t, e])
 
 
 def region_sizes(labeled_ds):
