@@ -294,7 +294,8 @@ def kmeans_assign(ds, cents: np.ndarray, id_col: str = "vec_id",
 
 def semantic_dedup(ds, threshold: float = 0.97, n_centroids: int = 16,
                    iters: int = 3, id_col: str = "vec_id",
-                   emb_col: str = "embedding", cap: int = 8192):
+                   emb_col: str = "embedding", cap: int = 8192,
+                   split_above: int = 65536, split_bits_max: int = 12):
     """SemDeDup-style semantic deduplication (published recipe: k-means the
     embedding space, deduplicate WITHIN clusters only): distributed k-means
     -> groupby(cluster) -> in-cluster pairwise cosine; of any group of
@@ -303,10 +304,57 @@ def semantic_dedup(ds, threshold: float = 0.97, n_centroids: int = 16,
     Pairwise work is per-cluster, never corpus-global; `cap` bounds the
     per-cluster matrix (oversized clusters are processed in sorted-id chunks
     against the running keeper set — deterministic, slightly conservative
-    across chunk borders, documented)."""
+    across chunk borders, documented).
+
+    Skew guard (VERDICT r03 finding #3): the in-cluster pass is quadratic in
+    cluster size, so a skewed k-means (one mega-cluster) degrades to
+    near-all-pairs. Clusters above ``split_above`` members are subdivided by
+    a secondary LSH sign-bit code (deterministic hyperplanes, enough bits to
+    bring the EXPECTED subcluster under the threshold, capped at
+    ``split_bits_max``) and deduped per (cluster, subcode) — candidate
+    comparisons never leave a subcluster. Identical/near-identical vectors
+    share all sign bits, so true duplicates stay co-bucketed; a near-dup pair
+    straddling a hyperplane survives the filter (the documented recall cost
+    of banding — SemDeDup is itself an approximation)."""
+    from .agg import partial_groupby
+
     cents = kmeans_distributed(ds, n_centroids=n_centroids, iters=iters,
                                emb_col=emb_col)
     assigned = kmeans_assign(ds, cents, id_col=id_col, emb_col=emb_col)
+
+    # slim per-cluster census (cluster ids only shuffle) -> which clusters
+    # exceed the quadratic budget and how many sign bits each needs
+    sizes = partial_groupby(
+        assigned.map_batches(lambda b: b.select(["cluster"]),
+                             batch_format="pyarrow", zero_copy_batch=True),
+        ["cluster"], [("cluster", "count", "n")]).take_all()
+    big_bits = {
+        int(r["cluster"]): min(split_bits_max,
+                               max(1, int(np.ceil(np.log2(r["n"] / split_above)))))
+        for r in sizes if r["n"] > split_above
+    }
+    if big_bits:
+        planes = hyperplanes(cents.shape[1], split_bits_max)
+        weights = (1 << np.arange(split_bits_max, dtype=np.int64))
+
+        def subsplit(batch: pa.Table) -> pa.Table:
+            cl = batch["cluster"].to_numpy(zero_copy_only=False)
+            sub = np.zeros(len(cl), dtype=np.int64)
+            hot = np.isin(cl, np.fromiter(big_bits, dtype=np.int64, count=len(big_bits)))
+            if hot.any():
+                m = _normalize(_batch_matrix(batch, emb_col))[hot]
+                bits = (m @ planes.T.astype(np.float32)) >= 0
+                codes = bits @ weights  # full-width code
+                nb = np.array([big_bits[int(c)] for c in cl[hot]], dtype=np.int64)
+                sub[hot] = codes & ((np.int64(1) << nb) - 1)  # per-cluster width
+            return batch.append_column("sub", pa.array(sub, pa.int64()))
+
+        assigned = assigned.map_batches(subsplit, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    else:
+        assigned = assigned.map_batches(
+            lambda b: b.append_column("sub", pa.array(np.zeros(b.num_rows, np.int64), pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
@@ -331,7 +379,7 @@ def semantic_dedup(ds, threshold: float = 0.97, n_centroids: int = 16,
             "keep": keep,
         })
 
-    return assigned.groupby("cluster").map_groups(
+    return assigned.groupby(["cluster", "sub"]).map_groups(
         dedup_cluster, batch_format="pandas")
 
 

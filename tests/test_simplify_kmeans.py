@@ -127,6 +127,54 @@ def test_semantic_dedup_drops_planted_near_dups(ray_session):
     assert out["keep"].sum() == 90
 
 
+def test_semantic_dedup_mega_cluster_split(ray_session):
+    """Skew guard (VERDICT r03 #3): one k-means mega-cluster must be
+    subdivided by the secondary LSH code — groups stay bounded and planted
+    exact duplicates (which share every sign bit) are still dropped."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    # 600 vectors in ONE tight blob -> k-means puts them all in one cluster
+    center = _normalize(rng.normal(0, 1, (1, 16)).astype(np.float32))
+    pts = _normalize((center + 0.05 * rng.normal(0, 1, (600, 16))).astype(np.float32))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(600, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([p.tolist() for p in pts], pa.list_(pa.float32())),
+    })
+    dup = pa.table({
+        "vec_id": pa.array([2000 + i for i in range(8)], pa.int64()),
+        "embedding": pa.array([pts[i].tolist() for i in range(8)],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(pa.concat_tables([t, dup]))
+    # split_above=64 forces the subdivision path on the 608-member cluster
+    out = semantic_dedup(ds, threshold=0.9999, n_centroids=2, iters=2,
+                         split_above=64, split_bits_max=8).to_pandas()
+    assert len(out) == 608
+    kept = set(out[out["keep"]]["vec_id"])
+    for i in range(8):
+        assert i in kept and (2000 + i) not in kept  # exact dups co-bucketed
+    # the blob itself is not near-duplicated at this threshold
+    assert out["keep"].sum() == 600
+
+
+def test_semantic_dedup_subsplit_bounds_groups(ray_session):
+    """The secondary code actually bounds subcluster sizes: with 2^8 codes
+    over 600 spread vectors no (cluster, sub) group should hold a large
+    fraction of the cluster."""
+    import ray.data as rd
+
+    from geotrellis_ray.stages.ann import hyperplanes
+
+    rng = np.random.default_rng(37)
+    pts = _normalize(rng.normal(0, 1, (600, 16)).astype(np.float32))
+    planes = hyperplanes(16, 8)
+    bits = (pts @ planes.T.astype(np.float32)) >= 0
+    codes = bits @ (1 << np.arange(8))
+    _, counts = np.unique(codes, return_counts=True)
+    assert counts.max() < 60  # isotropic vectors spread over 256 codes
+
+
 def test_weighted_sample_topk_matches_brute(ray_session):
     import numpy as np
     import pyarrow as pa
