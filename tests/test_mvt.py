@@ -147,3 +147,40 @@ def test_quantize_clamps_to_extent_inclusive():
     # map xmax -> 4096; ymin (screen-y grows downward) -> 4096
     assert q[:, 0].max() == 4096 and q[:, 1].max() == 4096
     assert q[:, 0].min() == 0 and q[:, 1].min() == 0
+
+
+def test_adjacent_tile_seam_exact(ray_session):
+    """Seam regression (VERDICT r03 #7, the r02 hairline-gap class): one
+    polygon spanning two neighbouring tiles must quantize its shared border
+    to x == extent on the west tile and x == 0 on the east tile EXACTLY —
+    any inward shift reopens the gap."""
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.core.wkb import encode_polygon
+    from geotrellis_ray.stages.vector_tile import vector_tiles
+
+    # 4x4 world grid, tiles are 90x45 degrees; polygon straddles the border
+    # between tile (1, 1) and (2, 1) at lon = 0
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(4, 4, 32, 32))
+    poly = encode_polygon([[(-30.0, 5.0), (30.0, 5.0), (30.0, 40.0), (-30.0, 40.0)]])
+    ds = ray.data.from_arrow(pa.table({
+        "polygon_id": pa.array([1], pa.int64()),
+        "wkb": pa.array([poly], pa.binary()),
+    }))
+    out = vector_tiles(ds, layout, fmt="mvt", layer_name="seam").to_pandas()
+    tiles = {(int(r["key_col"]), int(r["key_row"])): decode_mvt(r["mvt"])
+             for _, r in out.iterrows()}
+    assert (1, 1) in tiles and (2, 1) in tiles
+    west = tiles[(1, 1)]["seam"]["features"][0]["parts"][0]
+    east = tiles[(2, 1)]["seam"]["features"][0]["parts"][0]
+    extent = tiles[(1, 1)]["seam"]["extent"]
+    # the shared border is the west tile's max-x edge and the east tile's 0
+    assert west[:, 0].max() == extent
+    assert east[:, 0].min() == 0
+    # the border's y-span must agree exactly on both sides (same two
+    # quantized y values), otherwise the seam still leaks diagonally
+    wy = sorted(west[west[:, 0] == extent][:, 1].tolist())
+    ey = sorted(east[east[:, 0] == 0][:, 1].tolist())
+    assert wy == ey and len(wy) >= 2
