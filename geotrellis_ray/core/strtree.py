@@ -18,6 +18,18 @@ from __future__ import annotations
 import numpy as np
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(c) for c in counts]) without the Python loop
+    (one arange per surviving candidate dominated query_points — measured
+    ~40% of the flagship PIP probe)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
 class STRtree:
     def __init__(self, boxes: np.ndarray, node_capacity: int = 16):
         """boxes: (n, 4) float64 [xmin, ymin, xmax, ymax]."""
@@ -72,9 +84,8 @@ class STRtree:
             # expand to children at level-1
             child0 = hit * cap
             counts = np.minimum(cap, len(self.levels[level - 1]) - child0)
-            frontier = np.concatenate(
-                [c0 + np.arange(c) for c0, c in zip(child0, counts)]
-            ) if len(hit) else np.empty(0, dtype=np.int64)
+            frontier = (np.repeat(child0, counts) + _ragged_arange(counts)
+                        ) if len(hit) else np.empty(0, dtype=np.int64)
             if len(frontier) == 0:
                 return np.empty(0, dtype=np.int64)
         leaf_hits = frontier[self._hits(self.levels[0], frontier, xmin, ymin, xmax, ymax)]
@@ -111,10 +122,8 @@ class STRtree:
             nchild_level = len(self.levels[level - 1])
             child0 = nodes * cap
             counts = np.minimum(cap, nchild_level - child0)
-            reps = counts
-            pts = np.repeat(pts, reps)
-            offsets = np.concatenate([np.arange(c) for c in counts])
-            nodes = np.repeat(child0, reps) + offsets
+            pts = np.repeat(pts, counts)
+            nodes = np.repeat(child0, counts) + _ragged_arange(counts)
         b = self.levels[0][nodes]
         keep = (xs[pts] >= b[:, 0]) & (xs[pts] <= b[:, 2]) & (ys[pts] >= b[:, 1]) & (ys[pts] <= b[:, 3])
         return pts[keep], self.order[nodes[keep]]

@@ -16,9 +16,58 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.geom import point_in_polygon_geom
+from ..core.geom import point_in_polygon_geom  # noqa: F401  (parity oracle in tests)
 from ..core.strtree import STRtree
 from ..core.wkb import decode
+
+
+def _ring_edges(rings: list[np.ndarray]):
+    """Rings of one polygonal part -> flat non-horizontal edge arrays
+    (x1, y1, dx, dy). Even-odd ray casting over shell+hole edges together is
+    exactly shell XOR holes, so one edge set covers the whole part. Skips the
+    zero-length closing edge of closed rings and horizontal edges (the
+    original per-call loop's `y1 == y2: continue`)."""
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        n = len(r) - (1 if np.array_equal(r[0], r[-1]) else 0)
+        x1, y1 = r[:n, 0], r[:n, 1]
+        x2, y2 = np.roll(r[:, 0], -1)[:n], np.roll(r[:, 1], -1)[:n]
+        m = y1 != y2
+        x1s.append(x1[m]); y1s.append(y1[m]); x2s.append(x2[m]); y2s.append(y2[m])
+    x1 = np.concatenate(x1s) if x1s else np.empty(0)
+    y1 = np.concatenate(y1s) if y1s else np.empty(0)
+    x2 = np.concatenate(x2s) if x2s else np.empty(0)
+    y2 = np.concatenate(y2s) if y2s else np.empty(0)
+    # keep y2 verbatim (y1 + dy can differ in the last ulp from y2 — the
+    # crossing test must compare the ORIGINAL vertex y)
+    return x1, y1, y2, x2 - x1, y2 - y1
+
+
+def _prep_parts(geom: dict):
+    """Decoded WKB dict -> list of per-PART edge sets (MultiPolygon parts
+    stay separate and OR-combine, preserving point_in_polygon_geom semantics
+    even for overlapping parts)."""
+    if geom["type"] == "Polygon":
+        return [_ring_edges(geom["rings"])]
+    if geom["type"] == "MultiPolygon":
+        out = []
+        for p in geom["parts"]:
+            out.extend(_prep_parts(p))
+        return out
+    raise ValueError(f"PIP needs a polygonal geometry, got {geom['type']}")
+
+
+def _pip_edges(px: np.ndarray, py: np.ndarray, x1, y1, y2, dx, dy) -> np.ndarray:
+    """Even-odd test of P points against E precomputed edges in one (E, P)
+    broadcast — identical arithmetic order to core.geom.point_in_polygon
+    (((py - y1) * dx) / dy), so decisions match bit-exact."""
+    if len(x1) == 0:
+        return np.zeros(len(px), dtype=bool)
+    pyb = py[None, :]
+    cond = (y1[:, None] > pyb) != (y2[:, None] > pyb)
+    xi = x1[:, None] + (pyb - y1[:, None]) * dx[:, None] / dy[:, None]
+    return np.bitwise_xor.reduce(cond & (px[None, :] < xi), axis=0)
 
 
 class PolygonIndex:
@@ -31,6 +80,9 @@ class PolygonIndex:
         ).astype(np.float64)
         self.boxes = boxes
         self.geoms = [decode(w) for w in polygons["wkb"].to_pylist()]
+        # per-polygon precomputed edge sets: the probe loop re-derived edges
+        # (np.roll + closure checks) on EVERY batch; do it once per actor
+        self.parts = [_prep_parts(g) for g in self.geoms]
         names = polygons.column_names
         n = len(self.ids)
         self.zindex = (
@@ -60,9 +112,12 @@ class PolygonIndex:
         keep_s = np.zeros(len(pi_s), dtype=bool)
         for k in range(len(starts)):
             s, e = bounds[k], bounds[k + 1]
-            poly = self.geoms[bi_s[s]]
             sel = slice(s, e)
-            keep_s[sel] = point_in_polygon_geom(xs[pi_s[sel]], ys[pi_s[sel]], poly)
+            sx, sy = xs[pi_s[sel]], ys[pi_s[sel]]
+            inside = np.zeros(e - s, dtype=bool)
+            for edges in self.parts[bi_s[s]]:
+                inside |= _pip_edges(sx, sy, *edges)
+            keep_s[sel] = inside
         keep[order] = keep_s
         return pi[keep], bi[keep]
 
