@@ -149,3 +149,85 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if nch > 1:
         pcm = pcm.reshape(-1, nch).mean(axis=1)
     return pcm, rate
+
+
+# --- MP3 (frame-header metadata only — entropy decode stays refused) --------
+
+# public MPEG audio frame-header spec (ISO/IEC 11172-3 / 13818-3):
+# AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_SAMPLE_RATES = {3: (44100, 48000, 32000),   # MPEG-1
+                     2: (22050, 24000, 16000),   # MPEG-2
+                     0: (11025, 12000, 8000)}    # MPEG-2.5
+
+
+def mp3_meta(buf: bytes) -> dict:
+    """MP3 stream metadata WITHOUT decoding: skips an ID3v2 tag (syncsafe
+    size), then walks Layer-III frame headers — version, bitrate index,
+    sample-rate index, padding, channel mode — summing exact per-frame
+    durations (1152 samples/frame MPEG-1, 576 MPEG-2/2.5). Pure public
+    header spec; the Huffman-coded audio itself remains the documented
+    refusal (core/media.py module docstring). Returns a dict with codec,
+    n_frames, sample_rate, channels, duration_ms, bitrate_kbps, vbr."""
+    off = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = ((buf[6] & 0x7F) << 21) | ((buf[7] & 0x7F) << 14) \
+             | ((buf[8] & 0x7F) << 7) | (buf[9] & 0x7F)
+        off = 10 + size
+    n_frames = 0
+    duration_ms = 0.0
+    bitrates: list[int] = []
+    sample_rate = None
+    channels = None
+    while off + 4 <= len(buf):
+        b0, b1, b2, b3 = buf[off], buf[off + 1], buf[off + 2], buf[off + 3]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        ver = (b1 >> 3) & 3      # 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5, 1=reserved
+        layer = (b1 >> 1) & 3    # 1 = Layer III
+        if ver == 1 or layer != 1:
+            break
+        bi = (b2 >> 4) & 0xF
+        sri = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if bi in (0, 15) or sri == 3:  # free-format / invalid
+            break
+        kbps = (_MP3_BITRATE_V1L3 if ver == 3 else _MP3_BITRATE_V2L3)[bi]
+        srate = _MP3_SAMPLE_RATES[ver][sri]
+        spf = 1152 if ver == 3 else 576
+        frame_len = (spf // 8) * (kbps * 1000) // srate + pad
+        if frame_len < 4:
+            break
+        mode = (b3 >> 6) & 3     # 3 = mono
+        n_frames += 1
+        duration_ms += spf / srate * 1000.0
+        bitrates.append(kbps)
+        sample_rate = srate
+        channels = 1 if mode == 3 else 2
+        off += frame_len
+    return {
+        "codec": "mp3",
+        "n_frames": n_frames,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "duration_ms": duration_ms,
+        "bitrate_kbps": (sum(bitrates) / len(bitrates)) if bitrates else None,
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
+def wav_meta(buf: bytes) -> dict:
+    """WAV header metadata (no sample read): same schema as mp3_meta."""
+    with wave.open(io.BytesIO(buf), "rb") as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        return {
+            "codec": "wav",
+            "n_frames": n,
+            "sample_rate": rate,
+            "channels": f.getnchannels(),
+            "duration_ms": n / rate * 1000.0,
+            "bitrate_kbps": rate * f.getnchannels() * f.getsampwidth() * 8 / 1000.0,
+            "vbr": False,
+        }

@@ -1532,6 +1532,43 @@ def q_raster_ingest(sf_dir: str):
     return tiles.map_batches(count_defined, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_audio_meta(sf_dir: str):
+    """Header-only audio metadata over mixed WAV + synthesized MP3 frame
+    streams (stages/multimodal.py:audio_meta_batch; core/media.py:mp3_meta —
+    the round-4 MP3 metadata path). No decode: the walk touches only frame
+    headers. Rows-only; frame-walk exactness is pytest-verified
+    (test_media.test_mp3_meta_frame_walk)."""
+    import hashlib as _hashlib
+
+    from .core.media import encode_wav
+    from .stages.multimodal import audio_meta_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            h = _hashlib.sha256(t.encode()).digest()
+            if d % 2 == 0:
+                # hand-assembled CBR/VBR Layer-III frame stream (header spec)
+                bi = 9 + (h[0] % 3)
+                frames = []
+                for i in range(1 + h[1] % 4):
+                    b2 = ((bi if h[2] % 2 == 0 else 9 + (i % 5)) << 4) | (0 << 2)
+                    flen = 144 * ([0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                                   192, 224, 256, 320][(b2 >> 4)] * 1000) // 44100
+                    frames.append(bytes([0xFF, 0xFB, b2, 0xC0]) + b"\x00" * (flen - 4))
+                payloads.append(b"".join(frames))
+            else:
+                pcm = 0.3 * np.sin(2 * np.pi * (100 + h[0] * 4) * np.arange(1024) / 16_000.0)
+                payloads.append(encode_wav(pcm))
+        return pa.table({"doc_id": b["doc_id"], "media": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(audio_meta_batch, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=256)
+
+
 def q_audio_features(sf_dir: str):
     """Audio multimodal pipeline over REAL payloads: deterministic PCM WAVs
     synthesized per doc (sha-seeded sine mixes, real codec), decoded by the
@@ -4226,6 +4263,7 @@ def build_queries() -> dict:
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
         "q_audio_features": q_audio_features,
+        "q_audio_meta": q_audio_meta,
         "q_raster_ingest": q_raster_ingest,
         "q_geotiff_ingest": q_geotiff_ingest,
         "q_histogram_breaks": q_histogram_breaks,

@@ -111,6 +111,37 @@ class ImageDecoder:
         return out.append_column("img_feat", pa.array(feats, pa.list_(pa.float32())))
 
 
+def audio_meta_batch(batch: pa.Table, media_col: str = "media") -> pa.Table:
+    """Header-only audio metadata (NO decode): WAV headers and MP3
+    Layer-III frame walks (core/media.py:mp3_meta — round 4 closes the
+    MP3 metadata path; entropy decode stays the documented refusal).
+    Adds codec/sample_rate/channels/duration_ms/n_frames/bitrate_kbps/vbr;
+    unknown payloads get codec=None. Header walks touch only byte offsets,
+    so this pass is safe at normal batch sizes, unlike full decode."""
+    from ..core.media import mp3_meta, wav_meta
+
+    rows = []
+    for payload in batch[media_col].to_pylist():
+        meta = None
+        if payload is not None:
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                meta = wav_meta(payload)
+            elif payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF
+                                           and (payload[1] & 0xE0) == 0xE0):
+                meta = mp3_meta(payload)
+        rows.append(meta or {"codec": None, "n_frames": None, "sample_rate": None,
+                             "channels": None, "duration_ms": None,
+                             "bitrate_kbps": None, "vbr": None})
+    out = batch.drop_columns([media_col])
+    out = out.append_column("codec", pa.array([r["codec"] for r in rows], pa.string()))
+    out = out.append_column("sample_rate", pa.array([r["sample_rate"] for r in rows], pa.int32()))
+    out = out.append_column("channels", pa.array([r["channels"] for r in rows], pa.int8()))
+    out = out.append_column("n_frames", pa.array([r["n_frames"] for r in rows], pa.int64()))
+    out = out.append_column("duration_ms", pa.array([r["duration_ms"] for r in rows], pa.float64()))
+    out = out.append_column("bitrate_kbps", pa.array([r["bitrate_kbps"] for r in rows], pa.float64()))
+    return out.append_column("vbr", pa.array([r["vbr"] for r in rows], pa.bool_()))
+
+
 class AudioFrameSampler:
     """Actor-pool stage: binary audio -> fixed-rate frame features (stub)."""
 

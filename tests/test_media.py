@@ -297,3 +297,66 @@ def test_jpeg_grayscale_single_component():
     assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 1] == out[:, :, 2]).all()
     mse = ((out[:, :, 0].astype(float) - g) ** 2).mean()
     assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 35.0
+
+
+def _mp3_frame(bitrate_idx: int, sr_idx: int = 0, pad: int = 0, mono: bool = True,
+               mpeg1: bool = True) -> bytes:
+    """Hand-assemble one Layer-III frame from the public header spec."""
+    from geotrellis_ray.core.media import (_MP3_BITRATE_V1L3, _MP3_BITRATE_V2L3,
+                                           _MP3_SAMPLE_RATES)
+
+    ver = 3 if mpeg1 else 2
+    b1 = 0xE0 | (ver << 3) | (1 << 1) | 1  # sync tail + version + layer III
+    b2 = (bitrate_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b3 = 0xC0 if mono else 0x00
+    kbps = (_MP3_BITRATE_V1L3 if mpeg1 else _MP3_BITRATE_V2L3)[bitrate_idx]
+    srate = _MP3_SAMPLE_RATES[ver][sr_idx]
+    spf = 1152 if mpeg1 else 576
+    flen = (spf // 8) * (kbps * 1000) // srate + pad
+    return bytes([0xFF, b1, b2, b3]) + b"\x00" * (flen - 4)
+
+
+def test_mp3_meta_frame_walk():
+    from geotrellis_ray.core.media import mp3_meta
+
+    # 5 CBR frames at 128 kbps / 44.1 kHz mono, one padded
+    buf = b"".join(_mp3_frame(9, 0, pad=(1 if i == 2 else 0)) for i in range(5))
+    m = mp3_meta(buf)
+    assert m["codec"] == "mp3" and m["n_frames"] == 5
+    assert m["sample_rate"] == 44100 and m["channels"] == 1
+    assert m["bitrate_kbps"] == 128 and m["vbr"] is False
+    assert abs(m["duration_ms"] - 5 * 1152 / 44100 * 1000) < 1e-9
+
+    # VBR: mixed bitrates, stereo, MPEG-2 (576 samples/frame, 22.05 kHz)
+    vbuf = _mp3_frame(4, 0, mono=False, mpeg1=False) + _mp3_frame(8, 0, mono=False, mpeg1=False)
+    v = mp3_meta(vbuf)
+    assert v["n_frames"] == 2 and v["vbr"] is True and v["channels"] == 2
+    assert v["sample_rate"] == 22050
+    assert abs(v["duration_ms"] - 2 * 576 / 22050 * 1000) < 1e-9
+
+    # ID3v2 tag skipped (syncsafe size 200)
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 1, 0x48]) + b"\x00" * 200
+    t = mp3_meta(id3 + _mp3_frame(9, 0))
+    assert t["n_frames"] == 1
+
+    # garbage stops the walk cleanly
+    g = mp3_meta(b"\xff\xfb\x00\x00")  # free-format bitrate -> rejected
+    assert g["n_frames"] == 0 and g["sample_rate"] is None
+
+
+def test_audio_meta_batch_wav_and_mp3():
+    import pyarrow as pa
+
+    from geotrellis_ray.core.media import encode_wav
+    from geotrellis_ray.stages.multimodal import audio_meta_batch
+
+    wav = encode_wav(np.sin(np.linspace(0, 100, 16000)).astype(np.float32), rate=16000)
+    mp3 = b"".join(_mp3_frame(9, 0) for _ in range(3))
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "media": pa.array([wav, mp3, b"\x00garbage"], pa.binary())})
+    out = audio_meta_batch(t)
+    assert "media" not in out.column_names  # payload projected away
+    assert out["codec"].to_pylist() == ["wav", "mp3", None]
+    assert out["sample_rate"].to_pylist() == [16000, 44100, None]
+    assert out["duration_ms"].to_pylist()[0] == 1000.0
+    assert out["n_frames"].to_pylist()[1] == 3
