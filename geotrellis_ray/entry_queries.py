@@ -3917,6 +3917,33 @@ def q_kriging_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_universal_kriging_toy(sf_dir: str):
+    """Universal Kriging with linear drift (round 4,
+    stages/interpolation.universal_kriging): OK plus polynomial trend terms
+    in the normal equations — reproduces global trends OK flattens. Per-tile
+    mean reported (rows-only; exactness pytest-verified against a per-cell
+    solve oracle and the exact-plane-reproduction property)."""
+    from .stages.interpolation import universal_kriging
+    from .stages.layer_ops import batch_to_cube
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = ds.map_batches(_mod_filter("event_id", 211), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    pts = pts.rename(columns={"lon": "x", "lat": "y"})
+    surf = universal_kriging(pts, _kd_layout(), (0, 0, 3, 3), model="spherical",
+                             drift="linear")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        cube = batch_to_cube(b)
+        means = np.nanmean(cube.reshape(cube.shape[0], -1), axis=1) if cube.size else np.array([])
+        return pa.table({"key_col": b["key_col"], "key_row": b["key_row"],
+                         "mean_val": pa.array(np.round(means, 9), pa.float64())})
+
+    return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_tin_toy(sf_dir: str):
     """Delaunay TIN surface (core/delaunay.py + stages/interpolation
     .tin_interpolation): triangulate the sampled events, rasterize the
@@ -4255,6 +4282,7 @@ def build_queries() -> dict:
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
         "q_kriging_toy": q_kriging_toy,
+        "q_universal_kriging_toy": q_universal_kriging_toy,
         "q_approx_distinct": q_approx_distinct,
         "q_tin_toy": q_tin_toy,
         "q_semantic_dedup": q_semantic_dedup,

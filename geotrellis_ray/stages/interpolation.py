@@ -440,6 +440,90 @@ def ordinary_kriging(points, layout: LayoutDefinition, key_bounds,
         batch_format="pyarrow", concurrency=_pool(concurrency), batch_size=16)
 
 
+def _drift_basis(xs: np.ndarray, ys: np.ndarray, drift: str,
+                 cx: float, cy: float, scale: float) -> np.ndarray:
+    """(n, p) drift-basis matrix at normalized coords — constant / linear /
+    quadratic monomials. Coords center+scale so the quadratic system stays
+    well-conditioned; predictions are invariant to the normalization."""
+    u = (np.asarray(xs, dtype=np.float64) - cx) / scale
+    v = (np.asarray(ys, dtype=np.float64) - cy) / scale
+    one = np.ones_like(u)
+    if drift == "constant":
+        cols = [one]
+    elif drift == "linear":
+        cols = [one, u, v]
+    elif drift == "quadratic":
+        cols = [one, u, v, u * u, u * v, v * v]
+    else:
+        raise ValueError(f"unknown drift {drift!r} (constant|linear|quadratic)")
+    return np.column_stack(cols)
+
+
+class _UniversalKrigingSurface(_SampleSurface):
+    """Universal Kriging (GeoTrellis UniversalKriging family — drift-term
+    extension of _KrigingSurface, re-derived from the standard UK normal
+    equations): weights solve [Gamma F; F' 0] [w; lam] = [gamma(d); f(x0)]
+    with F the drift basis at samples. Ordinary Kriging is the p=1
+    (constant-drift) special case. The (k+p)^2 system is factored ONCE per
+    actor; each tile is one (cells x (k+p)) matmul."""
+
+    def __init__(self, samples_ref, layout, model: str, params: tuple,
+                 drift: str = "linear"):
+        super().__init__(samples_ref, layout)
+        self.gamma = variogram_model(model)
+        self.params = params
+        self.drift = drift
+        ext = layout.extent
+        self.cx = (ext.xmin + ext.xmax) / 2.0
+        self.cy = (ext.ymin + ext.ymax) / 2.0
+        self.scale = max(ext.xmax - ext.xmin, ext.ymax - ext.ymin, 1e-300)
+        k = len(self.xs)
+        F = _drift_basis(self.xs, self.ys, drift, self.cx, self.cy, self.scale)
+        p = F.shape[1]
+        d = np.hypot(self.xs[:, None] - self.xs[None, :],
+                     self.ys[:, None] - self.ys[None, :])
+        K = np.zeros((k + p, k + p))
+        K[:k, :k] = self.gamma(d, *params)
+        K[:k, k:] = F
+        K[k:, :k] = F.T
+        self.k = k
+        self.Kinv = np.linalg.inv(K + np.eye(k + p) * 1e-12)
+
+    def tile_values(self, extent) -> np.ndarray:
+        tc = self.layout.tile_layout.tile_cols
+        tr = self.layout.tile_layout.tile_rows
+        gx, gy = cell_centers(extent, tc, tr)
+        d = np.hypot(gx.ravel()[:, None] - self.xs[None, :],
+                     gy.ravel()[:, None] - self.ys[None, :])
+        Fp = _drift_basis(gx.ravel(), gy.ravel(), self.drift,
+                          self.cx, self.cy, self.scale)
+        B = np.empty((d.shape[0], self.Kinv.shape[0]))
+        B[:, :self.k] = self.gamma(d, *self.params)
+        B[:, self.k:] = Fp
+        W = B @ self.Kinv
+        return (W[:, :self.k] @ self.vals).reshape(tr, tc)
+
+
+def universal_kriging(points, layout: LayoutDefinition, key_bounds,
+                      model: str = "spherical", drift: str = "linear",
+                      params: tuple[float, float, float] | None = None,
+                      x_col: str = "x", y_col: str = "y",
+                      value_col: str = "value", concurrency: int = 4):
+    """Universal Kriging surface (round 4, VERDICT r03 optional #9): ordinary
+    kriging plus a polynomial trend/drift — exactly reproduces fields with a
+    global linear/quadratic trend that OK flattens toward the sample mean.
+    Same broadcast + per-actor factorization scale shape as
+    ordinary_kriging."""
+    if params is None:
+        params = fit_variogram(points, x_col, y_col, value_col, model)
+    ref = _put_samples(points, x_col, y_col, value_col)
+    keys = _keys_dataset(layout, key_bounds)
+    return keys.map_batches(
+        _UniversalKrigingSurface,
+        fn_constructor_args=(ref, layout, model, params, drift),
+        batch_format="pyarrow", concurrency=_pool(concurrency), batch_size=16)
+
+
 # --- Delaunay TIN surface (round 3) ------------------------------------------
 
 class _TinSurface(_SampleSurface):

@@ -373,3 +373,67 @@ def test_kriging_with_new_models_exact_at_samples(ray_session):
         # OK prediction is a weighted average: stays within the sample hull
         assert np.nanmin(vals) >= pts["value"].min() - 1.0
         assert np.nanmax(vals) <= pts["value"].max() + 1.0
+
+
+def test_universal_kriging_brute_cell_oracle(ray_session):
+    """Actor-pool UK surface == an independent per-cell solve of the
+    textbook UK system (drift basis appended, np.linalg.solve per cell)."""
+    from geotrellis_ray.stages.interpolation import (_drift_basis,
+                                                     universal_kriging,
+                                                     variogram_model)
+
+    rng = np.random.default_rng(11)
+    k = 16
+    samples = pd.DataFrame({"x": rng.uniform(2, 62, k), "y": rng.uniform(2, 62, k),
+                            "value": rng.normal(20, 5, k)})
+    params = (0.5, 12.0, 30.0)
+    out = universal_kriging(samples, LAYOUT, (0, 0, 3, 3), "spherical",
+                            drift="linear", params=params).to_pandas()
+    got = _stitch(out)
+    gam = variogram_model("spherical")
+    xs, ys, vals = (samples[c].to_numpy() for c in ("x", "y", "value"))
+    ext = LAYOUT.extent
+    cx, cy = (ext.xmin + ext.xmax) / 2, (ext.ymin + ext.ymax) / 2
+    scale = max(ext.xmax - ext.xmin, ext.ymax - ext.ymin)
+    F = _drift_basis(xs, ys, "linear", cx, cy, scale)
+    p = F.shape[1]
+    d = np.hypot(xs[:, None] - xs[None, :], ys[:, None] - ys[None, :])
+    K = np.zeros((k + p, k + p))
+    K[:k, :k] = gam(d, *params)
+    K[:k, k:] = F
+    K[k:, :k] = F.T
+    for r, c in [(0, 0), (17, 33), (63, 63), (40, 9)]:
+        px, py = c + 0.5, 64 - r - 0.5
+        b = np.r_[gam(np.hypot(xs - px, ys - py), *params),
+                  _drift_basis(np.array([px]), np.array([py]), "linear",
+                               cx, cy, scale)[0]]
+        w = np.linalg.solve(K + np.eye(k + p) * 1e-12, b)
+        assert np.isclose(got[r, c], w[:k] @ vals, rtol=1e-7), (r, c)
+
+
+def test_universal_kriging_reproduces_global_trend(ray_session):
+    """THE property separating UK from OK: values exactly linear in (x, y)
+    are reproduced exactly EVERYWHERE (OK flattens toward the mean far from
+    samples). Quadratic drift likewise reproduces a quadratic field."""
+    from geotrellis_ray.stages.interpolation import (ordinary_kriging,
+                                                     universal_kriging)
+
+    rng = np.random.default_rng(13)
+    k = 20
+    xs, ys = rng.uniform(10, 54, k), rng.uniform(10, 54, k)
+    plane = lambda x, y: 3.0 + 0.5 * x - 0.25 * y
+    samples = pd.DataFrame({"x": xs, "y": ys, "value": plane(xs, ys)})
+    got = _stitch(universal_kriging(samples, LAYOUT, (0, 0, 3, 3), "spherical",
+                                    drift="linear", params=(0.0, 5.0, 20.0)).to_pandas())
+    cc, rr = np.meshgrid(np.arange(64) + 0.5, 64 - np.arange(64) - 0.5)
+    np.testing.assert_allclose(got, plane(cc, rr), atol=1e-6)
+    # OK does NOT reproduce the plane in the far corner (sanity contrast)
+    got_ok = _stitch(ordinary_kriging(samples, LAYOUT, (0, 0, 3, 3), "spherical",
+                                      params=(0.0, 5.0, 20.0)).to_pandas())
+    assert abs(got_ok[0, 0] - plane(0.5, 63.5)) > 0.5
+
+    quad = lambda x, y: 1.0 + 0.1 * x - 0.05 * y + 0.01 * x * y + 0.02 * x * x
+    samples_q = pd.DataFrame({"x": xs, "y": ys, "value": quad(xs, ys)})
+    got_q = _stitch(universal_kriging(samples_q, LAYOUT, (0, 0, 3, 3), "spherical",
+                                      drift="quadratic", params=(0.0, 5.0, 20.0)).to_pandas())
+    np.testing.assert_allclose(got_q, quad(cc, rr), rtol=1e-5, atol=1e-4)
