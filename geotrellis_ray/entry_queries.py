@@ -1258,19 +1258,15 @@ def q_minhash_dedup_docs(sf_dir: str):
     return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7, rounds=3)
 
 
-def _sql_minhash_dedup() -> str:
-    """DuckDB oracle for q_minhash_dedup_docs: recomputes shingles (sha256_64
-    via hex substr), the (x ^ seed) * GOLDEN mod 2^64 permutation family
-    (split 32-bit multiply — INT128 can't hold a full 64x64 product), LSH
-    band signatures, the pipeline's consecutive-id chain edges per bucket
-    (the sort-adjacency semantics of stages/dedup.py:_block_adjacent_pairs),
-    signature-agreement est >= 0.7, and min-label connected components."""
-    mul = """CAST((
+# shared SQL fragments: the minhash pipeline's shingle/permutation/banding
+# chain is recomputed verbatim by BOTH the dedup-components oracle and the
+# exact-jaccard-verify oracle (one source of truth, cannot drift)
+_SQL_MUL = """CAST((
    (CAST(xor(g.g, p.seed) % 4294967296 AS HUGEINT) * 11400714819323198485) % 18446744073709551616
  + ((CAST(xor(g.g, p.seed) // 4294967296 AS HUGEINT) * 11400714819323198485) % 4294967296) * 4294967296
  ) % 18446744073709551616 AS UBIGINT)"""
-    return f"""
-WITH RECURSIVE toks AS (
+
+_SQL_MINHASH_CAND = f"""toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
   FROM documents
 ), grams AS (
@@ -1286,7 +1282,7 @@ WITH RECURSIVE toks AS (
          ('0x' || substr(sha256('minhash-' || i), 1, 16))::UBIGINT AS seed
   FROM (SELECT unnest(range(0, 64)) AS i)
 ), sigs AS (
-  SELECT d.doc_id, p.p, coalesce(min({mul}), 18446744073709551615::UBIGINT) AS hv
+  SELECT d.doc_id, p.p, coalesce(min({_SQL_MUL}), 18446744073709551615::UBIGINT) AS hv
   FROM (SELECT DISTINCT doc_id FROM documents) d
   CROSS JOIN perms p
   LEFT JOIN grams g ON g.doc_id = d.doc_id
@@ -1300,7 +1296,18 @@ WITH RECURSIVE toks AS (
   FROM bandsig
 ), cand AS (
   SELECT DISTINCT prev_id AS id_a, doc_id AS id_b FROM chain WHERE prev_id IS NOT NULL
-), est AS (
+)"""
+
+
+def _sql_minhash_dedup() -> str:
+    """DuckDB oracle for q_minhash_dedup_docs: recomputes shingles (sha256_64
+    via hex substr), the (x ^ seed) * GOLDEN mod 2^64 permutation family
+    (split 32-bit multiply — INT128 can't hold a full 64x64 product), LSH
+    band signatures, the pipeline's consecutive-id chain edges per bucket
+    (the sort-adjacency semantics of stages/dedup.py:_block_adjacent_pairs),
+    signature-agreement est >= 0.7, and min-label connected components."""
+    return f"""
+WITH RECURSIVE {_SQL_MINHASH_CAND}, est AS (
   SELECT c.id_a, c.id_b, sum(CASE WHEN sa.hv = sb.hv THEN 1 ELSE 0 END) / 64.0 AS ej
   FROM cand c
   JOIN sigs sa ON sa.doc_id = c.id_a
@@ -1316,6 +1323,119 @@ WITH RECURSIVE toks AS (
   SELECT e.ib, r.lab FROM reach r JOIN edges e ON e.ia = r.id
 )
 SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _sql_ngram_jaccard() -> str:
+    """DuckDB oracle for q_ngram_jaccard_pairs: the same MinHash chain
+    candidates, then EXACT n-gram Jaccard over the distinct shingle sets
+    (intersection / union counts; int/int division matches Python's float
+    true division bit-exact), filtered at >= 0.5."""
+    return f"""
+WITH {_SQL_MINHASH_CAND}, gsz AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+              JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+  GROUP BY c.id_a, c.id_b
+), jac AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) = 0 THEN 1.0
+              ELSE coalesce(i.ni, 0) / (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(i.ni, 0)) END AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  LEFT JOIN gsz na ON na.doc_id = c.id_a
+  LEFT JOIN gsz nb ON nb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def _sql_simhash_pairs() -> str:
+    """DuckDB oracle for q_simhash_pairs_docs: recomputes the Charikar
+    SimHash (sha256_64 token hashes, per-bit +-1 votes, sign bits assembled
+    via HUGEINT shifts), the 4x16-bit band blocking, ALL-pairs in-bucket
+    verify with bit_count(xor) <= 3, grouped-MIN pair dedup — exactly the
+    hamming_band_pairs semantics (exact at this scale: every bucket is far
+    below the engine's 2048 all-pairs cap)."""
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS h FROM toks
+), votes AS (
+  SELECT th.doc_id, b.b,
+         sum(CASE WHEN (h >> CAST(b.b AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS b) b
+  GROUP BY th.doc_id, b.b
+), sigs AS (
+  SELECT d.doc_id,
+         CAST(coalesce((SELECT sum(CASE WHEN v.v > 0 THEN (1::HUGEINT << v.b) ELSE 0::HUGEINT END)
+                        FROM votes v WHERE v.doc_id = d.doc_id), 0) AS UBIGINT) AS sig
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+), bands AS (
+  SELECT doc_id, sig, b.b AS band,
+         (sig >> CAST(16 * b.b AS UBIGINT)) & 65535::UBIGINT AS bv
+  FROM sigs CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         bit_count(xor(a.sig, c.sig)) AS hamming
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(min(hamming) AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 GROUP BY id_a, id_b
+"""
+
+
+def _sql_langid() -> str:
+    """DuckDB oracle for q_langid_docs, GENERATED from LANG_PROFILES (the
+    same constants the vectorized LangId compiles — cannot drift): token-
+    membership counts per non-CJK language, per-char substring counts for
+    zh/ja over the ORIGINAL text, argmax with the lexicographic-first
+    tie-break."""
+    from .functions.text_analysis import LANG_PROFILES
+
+    prof_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_PROFILES) if lang not in ("zh", "ja")
+        for w in LANG_PROFILES[lang]
+    )
+    cjk_exprs = " UNION ALL ".join(
+        "SELECT d.doc_id, '{lang}' AS lang, {expr} AS score FROM documents d".format(
+            lang=lang,
+            expr=" + ".join(
+                f"(length(d.text) - length(replace(d.text, '{c}', '')))"
+                for c in LANG_PROFILES[lang]),
+        )
+        for lang in ("ja", "zh")
+    )
+    langs = ", ".join(f"('{lang}')" for lang in sorted(LANG_PROFILES))
+    return rf"""
+WITH prof(lang, w) AS (VALUES {prof_rows}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), word_scores AS (
+  SELECT t.doc_id, p.lang, count(*) AS score
+  FROM toks t JOIN prof p ON p.w = t.tok
+  GROUP BY t.doc_id, p.lang
+), cjk_scores AS (
+  {cjk_exprs}
+), langs(lang) AS (VALUES {langs}),
+all_scores AS (
+  SELECT d.doc_id, l.lang, coalesce(ws.score, cs.score, 0) AS score
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN langs l
+  LEFT JOIN word_scores ws ON ws.doc_id = d.doc_id AND ws.lang = l.lang
+  LEFT JOIN cjk_scores cs ON cs.doc_id = d.doc_id AND cs.lang = l.lang
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM all_scores
+)
+SELECT doc_id, lang AS lang_pred FROM ranked WHERE rn = 1
 """
 
 
@@ -4335,6 +4455,7 @@ def build_queries() -> dict:
     #   4. r03-green (freshest evidence), then captured rows-only queries.
     sql_new_r4 = [
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
+        "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -4450,6 +4571,9 @@ def build_oracle_sql() -> dict:
         "q_minhash_dedup_docs": _sql_minhash_dedup(),
         "q_histogram_breaks": SQL_HISTOGRAM_BREAKS,
         "q_jenks_breaks": SQL_JENKS,
+        "q_simhash_pairs_docs": _sql_simhash_pairs(),
+        "q_ngram_jaccard_pairs": _sql_ngram_jaccard(),
+        "q_langid_docs": _sql_langid(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

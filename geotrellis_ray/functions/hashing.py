@@ -106,12 +106,14 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash(tokens: list[str], bits: int = 64) -> int:
-    """Charikar SimHash over token hashes (unit weights)."""
+    """Charikar SimHash over token hashes (unit weights). Token hash is
+    sha256_64 (round 4, same rationale as shingles: DuckDB reproducibility;
+    SimHash's locality property is hash-agnostic)."""
     if not tokens:
         return 0
     v = np.zeros(bits, dtype=np.int64)
     for t in tokens:
-        h = sha1_64(t)
+        h = sha256_64(t)
         for bit in range(bits):
             v[bit] += 1 if (h >> bit) & 1 else -1
     out = 0
@@ -130,7 +132,7 @@ def simhash_batch(texts: list[str], bits: int = 64) -> np.ndarray:
         if not toks:
             out[i] = 0
             continue
-        hs = np.fromiter((sha1_64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        hs = np.fromiter((sha256_64(t) for t in toks), dtype=np.uint64, count=len(toks))
         bitsm = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
         v = (2 * bitsm - 1).sum(axis=0)
         pos = (v > 0).astype(np.uint64)
