@@ -549,12 +549,17 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
         layer_bytes = n_side * n_side * tpix * tpix * 4
         rg_spill = _tf.mkdtemp(prefix="rg_rehearsal_")
         peak_before_rg = peak["used"]
-        peak["used"] = 0.0  # isolate this stage's peak (prior stages recorded theirs)
+        # isolate this stage's peak as a DELTA over the store's residual
+        # occupancy (earlier stages' not-yet-collected objects would other-
+        # wise be attributed to region_group)
+        rg_resident = total_store - ray.available_resources().get(
+            "object_store_memory", total_store)
+        peak["used"] = 0.0
         t0 = time.monotonic()
         n_regions = region_sizes(region_group(layer_rg, layout_rg, spill_dir=rg_spill)).count()
         rg_wall = time.monotonic() - t0
-        rg_peak = peak["used"]
-        peak["used"] = max(rg_peak, peak_before_rg)
+        rg_peak = max(0.0, peak["used"] - rg_resident)
+        peak["used"] = max(peak["used"], peak_before_rg)
         _sh.rmtree(rg_spill, ignore_errors=True)
 
         return {
