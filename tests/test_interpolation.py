@@ -437,3 +437,66 @@ def test_universal_kriging_reproduces_global_trend(ray_session):
     got_q = _stitch(universal_kriging(samples_q, LAYOUT, (0, 0, 3, 3), "spherical",
                                       drift="quadratic", params=(0.0, 5.0, 20.0)).to_pandas())
     np.testing.assert_allclose(got_q, quad(cc, rr), rtol=1e-5, atol=1e-4)
+
+
+def test_region_border_pairing_block_split_invariance():
+    """The sort-based border pairing (round 4: _block_border_pairs +
+    _stitch_border_boundary replaced the per-border map_groups) must emit
+    the same equivalence set under ANY block split of the sorted edge
+    stream — including splits that cut a 2-row border across blocks."""
+    import pyarrow as pa
+
+    from geotrellis_ray.stages.regiongroup import (_block_border_pairs,
+                                                   _stitch_border_boundary)
+
+    rng2 = np.random.default_rng(17)
+    # synthetic sorted edge stream: 6 borders x 2 sides, 4-cell edges
+    n_border = 6
+    rows = []
+    for k in range(n_border):
+        vals = rng2.integers(0, 3, 4).astype(np.float64)
+        # side 1 shares values at positions 0,2 only
+        vals2 = vals.copy()
+        vals2[1] += 10.0
+        vals2[3] += 10.0
+        l0 = np.arange(4, dtype=np.int64) + 100 * k
+        l1 = np.arange(4, dtype=np.int64) + 100 * k + 50
+        for side, v, lab in ((0, vals, l0), (1, vals2, l1)):
+            rows.append({"dir": "v" if k % 2 == 0 else "h", "ec": k // 2, "er": k % 4,
+                         "side": side, "vals": v.tobytes(), "labs": lab.tobytes()})
+    rows.sort(key=lambda r: (r["dir"], r["ec"], r["er"], r["side"]))
+
+    def run(split_points):
+        pairs = set()
+        import pandas as pd
+        boundary_frames = []
+        pieces = np.split(np.arange(len(rows)), split_points)
+        for idx in pieces:
+            if not len(idx):
+                continue
+            t = pa.table({
+                "dir": pa.array([rows[i]["dir"] for i in idx], pa.string()),
+                "ec": pa.array([rows[i]["ec"] for i in idx], pa.int32()),
+                "er": pa.array([rows[i]["er"] for i in idx], pa.int32()),
+                "side": pa.array([rows[i]["side"] for i in idx], pa.int8()),
+                "vals": pa.array([rows[i]["vals"] for i in idx], pa.binary()),
+                "labs": pa.array([rows[i]["labs"] for i in idx], pa.binary()),
+            })
+            out = _block_border_pairs(t)
+            df = out.to_pandas()
+            for _, r in df[df["kind"] == 0].iterrows():
+                pairs.add((int(r["ga"]), int(r["gb"])))
+            boundary_frames.append(df[df["kind"] == 1])
+        boundary = pd.concat(boundary_frames, ignore_index=True) if boundary_frames else pd.DataFrame()
+        if len(boundary):
+            pairs.update((int(a), int(b)) for a, b in
+                         _stitch_border_boundary(boundary.drop(columns=["kind", "ga", "gb"])))
+        return pairs
+
+    # oracle: one block holding everything
+    want = run([])
+    assert len(want) == n_border * 2  # 2 shared positions per border
+    # adversarial splits: every single cut point, plus every-row split
+    for cut in range(1, len(rows)):
+        assert run([cut]) == want, f"cut at {cut}"
+    assert run(list(range(1, len(rows)))) == want  # one row per block
