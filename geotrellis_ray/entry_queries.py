@@ -4037,6 +4037,114 @@ def q_kriging_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_flagship_tiles_events(sf_dir: str):
+    """The flagship chain's SQL-checkable shape over events (round 4):
+    deterministic coords -> STRtree PIP annotate against the FULL
+    171-polygon fixture (128 rects + 40 convex rings + the 3-deep
+    overlapping z-index stack) -> z4 tile aggregation with hit metrics.
+    First driver query to value-check the PIP best-hit priority
+    (max zindex, tie max value, tie min id) and general-ring even-odd
+    casting bit-exact — q_pip_rect_grid covers only rectangles. The oracle
+    carries the fixture's edge arrays as literals generated from the SAME
+    _prep_parts precomputation the actors build (cannot drift)."""
+    import ray
+
+    from .stages.agg import partial_groupby
+    from .stages.pip_join import PipJoiner
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": ray.put(gen_polygons_table_cached()),
+                               "mode": "annotate"},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
+        concurrency=_pool_size())
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = _tile_keys_z4(b)
+        pid = t["polygon_id"].to_numpy(zero_copy_only=False)
+        hit = pid >= 0
+        return pa.table({
+            "key_col": t["key_col"], "key_row": t["key_row"],
+            "n_hits": t["n_hits"],
+            "hit_doc": pa.array(hit.astype(np.int64), pa.int64()),
+            "best_pid": pa.array(np.where(hit, pid, 0), pa.int64()),
+        })
+
+    return partial_groupby(
+        joined.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["key_col", "key_row"],
+        [("n_hits", "count", "n_docs"), ("n_hits", "sum", "sum_hits"),
+         ("hit_doc", "sum", "hit_docs"), ("best_pid", "sum", "sum_best_pid")],
+        final="single")
+
+
+def _sql_flagship_tiles() -> str:
+    """Generated oracle for q_flagship_tiles_events: polygon bboxes,
+    zindex/value priorities, and the non-horizontal edge arrays are emitted
+    as literals FROM the engine's own PolygonIndex precomputation
+    (_prep_parts), so the ray-cast arithmetic (lon < x1 + (lat-y1)*dx/dy,
+    strict y-crossing test, inclusive bbox candidacy) is evaluated in the
+    identical IEEE order DuckDB-side; even-odd = crossing-count parity."""
+    from .core.wkb import decode
+    from .fixtures import gen_polygons_table
+    from .state.polygon_index import _prep_parts
+
+    polys = gen_polygons_table()
+    zidx = polys["zindex"].to_numpy()
+    val = polys["value"].to_numpy()
+    prows, erows = [], []
+    for i in range(polys.num_rows):
+        g = decode(polys["wkb"][i].as_py())
+        pid = int(polys["polygon_id"][i].as_py())
+        prows.append(
+            f"({pid}, {int(zidx[i])}, {float(val[i])!r}, "
+            f"{polys['xmin'][i].as_py()!r}, {polys['ymin'][i].as_py()!r}, "
+            f"{polys['xmax'][i].as_py()!r}, {polys['ymax'][i].as_py()!r})")
+        for (x1, y1, y2, dx, dy) in zip(*_prep_parts(g)[0]):
+            erows.append(f"({pid}, {float(x1)!r}, {float(y1)!r}, {float(y2)!r}, "
+                         f"{float(dx)!r}, {float(dy)!r})")
+    return f"""
+WITH pts AS ({SQL_COORDS}),
+polys(polygon_id, zindex, value, xmin, ymin, xmax, ymax) AS (VALUES {', '.join(prows)}),
+edges(polygon_id, x1, y1, y2, dx, dy) AS (VALUES {', '.join(erows)}),
+cand AS (
+  SELECT p.event_id, p.lat, p.lon, g.polygon_id, g.zindex, g.value
+  FROM pts p JOIN polys g
+    ON p.lon >= g.xmin AND p.lon <= g.xmax AND p.lat >= g.ymin AND p.lat <= g.ymax
+), crossings AS (
+  SELECT c.event_id, c.polygon_id, count(*) AS ncross
+  FROM cand c JOIN edges e ON e.polygon_id = c.polygon_id
+   AND ((e.y1 > c.lat) != (e.y2 > c.lat))
+   AND c.lon < e.x1 + (c.lat - e.y1) * e.dx / e.dy
+  GROUP BY c.event_id, c.polygon_id
+), hits AS (
+  SELECT c.event_id, c.polygon_id, c.zindex, c.value
+  FROM cand c JOIN crossings x ON x.event_id = c.event_id AND x.polygon_id = c.polygon_id
+  WHERE x.ncross % 2 = 1
+), best AS (
+  SELECT event_id, polygon_id,
+         row_number() OVER (PARTITION BY event_id ORDER BY zindex DESC, value DESC, polygon_id ASC) AS rn
+  FROM hits
+), per_event AS (
+  SELECT p.event_id, p.lat, p.lon,
+         coalesce(b.polygon_id, -1) AS polygon_id,
+         coalesce(h.n, 0) AS n_hits
+  FROM pts p
+  LEFT JOIN (SELECT event_id, count(*) AS n FROM hits GROUP BY event_id) h USING (event_id)
+  LEFT JOIN (SELECT event_id, polygon_id FROM best WHERE rn = 1) b USING (event_id)
+)
+SELECT {SQL_KEYS_Z4},
+       count(*) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       CAST(sum(CASE WHEN polygon_id >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit_docs,
+       CAST(sum(CASE WHEN polygon_id >= 0 THEN polygon_id ELSE 0 END) AS BIGINT) AS sum_best_pid
+FROM per_event GROUP BY key_col, key_row
+"""
+
+
 def q_universal_kriging_toy(sf_dir: str):
     """Universal Kriging with linear drift (round 4,
     stages/interpolation.universal_kriging): OK plus polynomial trend terms
@@ -4347,6 +4455,7 @@ def build_queries() -> dict:
         "q_knn_cell_pruned": q_knn_cell_pruned,
         "q_pyramid_counts": q_pyramid_counts,
         "q_spatial_join_layers": q_spatial_join_layers,
+        "q_flagship_tiles_events": q_flagship_tiles_events,
         "q_flagship_pages": q_flagship_pages,
         "q_flagship_resumable": q_flagship_resumable,
         "q_pages_extract_geocode": q_pages_extract_geocode,
@@ -4456,6 +4565,7 @@ def build_queries() -> dict:
     sql_new_r4 = [
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
+        "q_flagship_tiles_events",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -4574,6 +4684,7 @@ def build_oracle_sql() -> dict:
         "q_simhash_pairs_docs": _sql_simhash_pairs(),
         "q_ngram_jaccard_pairs": _sql_ngram_jaccard(),
         "q_langid_docs": _sql_langid(),
+        "q_flagship_tiles_events": _sql_flagship_tiles(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
