@@ -206,3 +206,81 @@ class TIN:
                    + w2 * self.vals[t[ti, 2]])
             out[qi] = np.where(hit_any, val, np.nan)
         return out
+
+
+def delaunay_neighbors(n: int, tri: np.ndarray) -> list:
+    """Adjacency lists (sorted, unique) from the triangle rows. When the
+    triangulation is empty (n < 3 or all-collinear input) every pair is
+    adjacent — correct for the Voronoi construction below and only reached
+    for degenerate tiny inputs."""
+    if len(tri) == 0:
+        return [[j for j in range(n) if j != i] for i in range(n)]
+    e = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]])
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    nbrs: list[list[int]] = [[] for _ in range(n)]
+    for a, b in e:
+        nbrs[a].append(int(b))
+        nbrs[b].append(int(a))
+    return [sorted(set(v)) for v in nbrs]
+
+
+def _clip_halfplane(poly: np.ndarray, nx: float, ny: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of convex CCW ``poly`` (m,2) against the
+    half-plane {p : nx*px + ny*py <= c}. m stays tiny (a Voronoi cell has
+    one edge per clipping neighbor), so the per-edge Python loop is noise
+    next to the surrounding per-site work."""
+    d = poly[:, 0] * nx + poly[:, 1] * ny - c
+    inside = d <= 0.0
+    if inside.all():
+        return poly
+    if not inside.any():
+        return poly[:0]
+    out = []
+    m = len(poly)
+    for a in range(m):
+        b = (a + 1) % m
+        if inside[a]:
+            out.append(poly[a])
+        if inside[a] != inside[b]:
+            t = d[a] / (d[a] - d[b])
+            out.append(poly[a] + t * (poly[b] - poly[a]))
+    return np.asarray(out, dtype=np.float64)
+
+
+def voronoi_cells(xs: np.ndarray, ys: np.ndarray, extent) -> list:
+    """Voronoi diagram clipped to a rectangular extent — the reference's
+    VoronoiDiagram (ref:vector/src/main/scala/geotrellis/vector/voronoi/
+    VoronoiDiagram.scala, L:unverified — /root/reference empty at survey
+    time). Returns one (m_i, 2) float64 CCW polygon per site (possibly
+    empty when the site's cell misses the extent entirely).
+
+    Construction: cell(i) = extent rect ∩ bisector half-planes against
+    site i's DELAUNAY neighbors only — the Voronoi cell of a site is
+    exactly the intersection of the bisector half-planes of its Delaunay
+    neighbors (the diagram is the triangulation's dual), so each cell costs
+    O(deg) clips instead of O(n). Sites are the small broadcast side of
+    the distributed shape (same contract as the TIN / kriging sample
+    frames); the streamed side is assigned to cells with the ordinary PIP
+    machinery (stages/overlay.voronoi_diagram -> stages/pip_join)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    x0, y0, x1, y1 = (float(v) for v in extent)
+    rect = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
+    n = len(xs)
+    if n == 0:
+        return []
+    if n == 1:
+        return [rect]
+    nbrs = delaunay_neighbors(n, delaunay(xs, ys))
+    cells = []
+    for i in range(n):
+        poly = rect
+        for j in nbrs[i]:
+            nx_ = xs[j] - xs[i]
+            ny_ = ys[j] - ys[i]
+            c = ((xs[i] + xs[j]) * nx_ + (ys[i] + ys[j]) * ny_) * 0.5
+            poly = _clip_halfplane(poly, nx_, ny_, c)
+            if len(poly) == 0:
+                break
+        cells.append(poly)
+    return cells

@@ -4207,6 +4207,91 @@ def q_tin_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_voronoi_assign(sf_dir: str):
+    """Voronoi diagram (core/delaunay.voronoi_cells — the Delaunay dual,
+    extent rect ∩ neighbor-bisector half-planes; stages/overlay
+    .voronoi_diagram) over the mix32-scattered nation sites, with a
+    STREAMED 96x96 world sample grid assigned to cells via the ordinary
+    broadcast PIP join (stages/pip_join.PipJoiner). SQL-checkable because
+    a sample's containing cell must be its argmin-distance site; samples
+    near a bisector are excluded by an IDENTICAL float margin rule on both
+    sides (only IEEE add/sub/mul — bit-exact across numpy and DuckDB)."""
+    import ray
+
+    from .stages.overlay import voronoi_diagram
+    from .stages.pip_join import PipJoiner
+    from .stages.sample import mix32
+
+    nk = np.sort(_read(sf_dir, "nation", ["n_nationkey"]).to_pandas()
+                 ["n_nationkey"].to_numpy().astype(np.int64))
+    sx = -180.0 + mix32(nk).astype(np.float64) / 4294967296.0 * 360.0
+    sy = -85.0 + mix32(nk + 777).astype(np.float64) / 4294967296.0 * 170.0
+    sites = pa.table({"site_id": pa.array(nk, pa.int64()),
+                      "x": pa.array(sx, pa.float64()),
+                      "y": pa.array(sy, pa.float64())})
+    cells = voronoi_diagram(sites, (-180.0, -85.0, 180.0, 85.0))
+    G = 96
+    margin = 1e-6 * (360.0 * 360.0)
+
+    def grid(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = -180.0 + ((i % G).astype(np.float64) + 0.5) * (360.0 / G)
+        py = -85.0 + ((i // G).astype(np.float64) + 0.5) * (170.0 / G)
+        d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
+        part = np.partition(d2, 1, axis=1)
+        keep = part[:, 1] - part[:, 0] > margin
+        return pa.table({"sample_id": pa.array(i[keep], pa.int64()),
+                         "lon": pa.array(px[keep], pa.float64()),
+                         "lat": pa.array(py[keep], pa.float64())})
+
+    ds = ray.data.range(G * G, override_num_blocks=4).map_batches(
+        grid, batch_format="pyarrow", zero_copy_batch=True)
+    joined = ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": ray.put(cells), "mode": "inner"},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
+        concurrency=_pool_size(),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"sample_id": b["sample_id"],
+                         "site_id": b["polygon_id"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_voronoi() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    WITH sites AS (
+        SELECT n_nationkey AS sid,
+               -180.0 + ({sql_mix32('n_nationkey')}) / 4294967296.0 * 360.0 AS sx,
+               -85.0  + ({sql_mix32('(n_nationkey + 777)')}) / 4294967296.0 * 170.0 AS sy
+        FROM nation
+    ),
+    grid AS (
+        SELECT CAST(i AS BIGINT) AS sample_id,
+               -180.0 + (CAST(i % 96 AS DOUBLE) + 0.5) * (360.0 / 96) AS px,
+               -85.0  + (CAST(i // 96 AS DOUBLE) + 0.5) * (170.0 / 96) AS py
+        FROM range(0, 9216) t(i)
+    ),
+    d AS (
+        SELECT sample_id, sid,
+               (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+        FROM grid, sites
+    ),
+    r AS (
+        SELECT sample_id, sid, d2,
+               row_number() OVER (PARTITION BY sample_id ORDER BY d2, sid) AS rk
+        FROM d
+    )
+    SELECT a.sample_id, a.sid AS site_id
+    FROM r a JOIN r b USING (sample_id)
+    WHERE a.rk = 1 AND b.rk = 2 AND b.d2 - a.d2 > 1e-6 * (360.0 * 360.0)
+    """
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/ann.semantic_dedup): distributed
     k-means (per-batch matmul partials, k*d floats to the driver/iter) then
@@ -4514,6 +4599,7 @@ def build_queries() -> dict:
         "q_universal_kriging_toy": q_universal_kriging_toy,
         "q_approx_distinct": q_approx_distinct,
         "q_tin_toy": q_tin_toy,
+        "q_voronoi_assign": q_voronoi_assign,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
@@ -4565,7 +4651,7 @@ def build_queries() -> dict:
     sql_new_r4 = [
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
-        "q_flagship_tiles_events",
+        "q_flagship_tiles_events", "q_voronoi_assign",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -4685,6 +4771,7 @@ def build_oracle_sql() -> dict:
         "q_ngram_jaccard_pairs": _sql_ngram_jaccard(),
         "q_langid_docs": _sql_langid(),
         "q_flagship_tiles_events": _sql_flagship_tiles(),
+        "q_voronoi_assign": _sql_voronoi(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

@@ -289,3 +289,47 @@ def geom_measures(ds, wkb_col: str = "wkb", id_col: str = "polygon_id"):
                          "centroid_y": pa.array(cys, pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def voronoi_diagram(sites: pa.Table, extent, id_col: str = "site_id",
+                    x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Voronoi cells of a (small, broadcast-side) site table, clipped to a
+    rectangular extent — the reference's VoronoiDiagram family
+    (ref:vector/src/main/scala/geotrellis/vector/voronoi/VoronoiDiagram.scala,
+    L:unverified). Built as the Delaunay dual (core/delaunay.voronoi_cells:
+    extent rect ∩ neighbor-bisector half-planes, O(deg) clips per cell).
+
+    Returns a polygon table directly consumable by PolygonIndex/PipJoiner
+    (polygon_id, wkb, xmin..ymax) plus nverts/area, so assigning a STREAMED
+    point dataset to cells is the ordinary broadcast PIP join — the same
+    distributed shape as every other small-polygon-side spatial join here.
+    Sites whose cell misses the extent entirely are omitted."""
+    from ..core.delaunay import voronoi_cells
+
+    xs = sites[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    ys = sites[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    ids = sites[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = voronoi_cells(xs, ys, extent)
+    out_id, out_wkb, bxs = [], [], []
+    nverts, areas = [], []
+    for sid, poly in zip(ids, cells):
+        if len(poly) < 3:
+            continue
+        out_id.append(int(sid))
+        out_wkb.append(wkb.encode_polygon([poly]))
+        bxs.append((poly[:, 0].min(), poly[:, 1].min(),
+                    poly[:, 0].max(), poly[:, 1].max()))
+        nverts.append(len(poly))
+        x, y = poly[:, 0], poly[:, 1]
+        areas.append(0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))))
+    bx = np.asarray(bxs, dtype=np.float64).reshape(-1, 4)
+    return pa.table({
+        "polygon_id": pa.array(out_id, pa.int64()),
+        "wkb": pa.array(out_wkb, pa.binary()),
+        "xmin": pa.array(bx[:, 0], pa.float64()),
+        "ymin": pa.array(bx[:, 1], pa.float64()),
+        "xmax": pa.array(bx[:, 2], pa.float64()),
+        "ymax": pa.array(bx[:, 3], pa.float64()),
+        "nverts": pa.array(nverts, pa.int64()),
+        "area": pa.array(areas, pa.float64()),
+    })
