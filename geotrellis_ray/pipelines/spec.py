@@ -84,6 +84,27 @@ def _op_pip_join(ds, polygons, mode: str = "annotate", batch_size: int = 8192, c
     )
 
 
+def _op_voronoi_assign(ds, sites, extent, mode: str = "annotate",
+                       batch_size: int = 8192, concurrency=2, **kw):
+    """Assign streamed points to the Voronoi cells of a (small, broadcast)
+    site table: cells built once via stages/overlay.voronoi_diagram (the
+    Delaunay dual), then the ordinary broadcast PIP join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.overlay import voronoi_diagram
+    from ..stages.pip_join import PipJoiner
+
+    table = pq.read_table(sites) if isinstance(sites, str) else sites
+    cells = voronoi_diagram(table, tuple(extent))
+    return ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"polygons": ray.put(cells), "mode": mode, **kw},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
 def _op_tile_assignments(ds, **kw):
     from ..stages.tile_agg import tile_assignments
 
@@ -375,6 +396,7 @@ for _name, _fn in {
     "transform.enrich": _op_enrich,
     "transform.assign_keys": _op_assign_keys,
     "join.pip": _op_pip_join,
+    "join.voronoi": _op_voronoi_assign,
     "agg.tile_assignments": _op_tile_assignments,
     "filter.expr": _op_filter_expr,
     "transform.select": _op_select,

@@ -110,3 +110,37 @@ def test_cell_table_drives_pip_index():
     assigned[pi] = idx.ids[bi]
     clear = part[:, 1] - part[:, 0] > 1e-9
     assert (assigned[clear] == near[clear] + 10).all()
+
+
+def test_voronoi_spec_op(ray_session, tmp_path):
+    """join.voronoi runs through run_spec: streamed points annotated with
+    the cell (= nearest site) of a small parquet site table."""
+    import pyarrow.parquet as pq
+
+    from geotrellis_ray.pipelines.spec import run_spec
+
+    rng = np.random.default_rng(5)
+    sites = pa.table({
+        "site_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "x": pa.array([-5.0, 5.0, -5.0, 5.0], pa.float64()),
+        "y": pa.array([-5.0, -5.0, 5.0, 5.0], pa.float64()),
+    })
+    sp = str(tmp_path / "sites.parquet")
+    pq.write_table(sites, sp)
+    pts = pa.table({
+        "pid": pa.array(np.arange(200), pa.int64()),
+        "lon": pa.array(rng.uniform(-9, 9, 200), pa.float64()),
+        "lat": pa.array(rng.uniform(-9, 9, 200), pa.float64()),
+    })
+    pp = str(tmp_path / "pts.parquet")
+    pq.write_table(pts, pp)
+    out = run_spec([
+        {"op": "read.parquet", "path": pp},
+        {"op": "join.voronoi", "sites": sp, "extent": [-10, -10, 10, 10],
+         "mode": "inner", "concurrency": 2},
+    ]).to_pandas()
+    assert len(out) == 200
+    qx, qy = out["lon"].to_numpy(), out["lat"].to_numpy()
+    near = np.argmin((qx[:, None] - sites["x"].to_numpy()) ** 2
+                     + (qy[:, None] - sites["y"].to_numpy()) ** 2, axis=1)
+    assert (out["polygon_id"].to_numpy() == near + 1).all()
