@@ -252,6 +252,7 @@ def run_scaling_child(num_cpus: int, n_pages: int) -> None:
         # a burst-free run wins over a faster-but-contaminated one.
         runs = []
         for _ in range(3):
+            _wait_quiet()
             b0, o0 = _cpu_snapshot()
             r = run_flagship(SF_DIR, n_pages=n_pages)
             b1, o1 = _cpu_snapshot()
@@ -266,6 +267,24 @@ def run_scaling_child(num_cpus: int, n_pages: int) -> None:
         print("CHILD_RESULT " + json.dumps(flag))
     finally:
         ray.shutdown()
+
+
+def _wait_quiet(max_wait: float = 120.0, probe: float = 2.0) -> None:
+    """Hold the timed window until the host looks externally quiet, by the
+    SAME ext-load measure the timed runs record (busy minus own process
+    tree over a short probe). Tenant bursts here last minutes; waiting up
+    to max_wait is cheaper than burning a best-of-3 on a contaminated
+    window. Falls through after max_wait — the per-run ext_load_frac still
+    flags whatever happens inside the window itself."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait:
+        b0, o0 = _cpu_snapshot()
+        time.sleep(probe)
+        b1, o1 = _cpu_snapshot()
+        ext = max(0.0, (b1 - b0) - (o1 - o0)) / (probe * _CLK * _NCPU_HOST)
+        if ext <= EXT_LOAD_FRAC:
+            return
+        time.sleep(10.0)
 
 
 def _burn(secs: float) -> int:
