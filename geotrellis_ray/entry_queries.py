@@ -1594,6 +1594,130 @@ def q_rasterize_toy(sf_dir: str):
     return tiles.map_batches(count_painted, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_rasterize_rects(sf_dir: str):
+    """RasterizeRDD through the REAL salted paint path (stages/
+    rasterize_stage.rasterize_features, salt_k=4: hot keys paint per-shard
+    z-buffers merged by core.raster.zmerge) — made SQL-bit-exact by the
+    cell-aligned dyadic rect fixture (fixtures.gen_rect_features): the
+    cell-center rule reduces to integer interval membership, the paint
+    priority (zindex desc, value desc — OUR spec) is a SQL window argmax,
+    and per-tile sums of integer-valued doubles are order-independent
+    exact. Emits (key_col, key_row, n_painted, sum_val) per tile."""
+    import ray.data
+
+    from .core.raster import decode_tile
+    from .fixtures import gen_rect_features
+    from .stages.rasterize_stage import rasterize_features
+
+    rects = gen_rect_features()
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 8, 32, 32))
+    tiles = rasterize_features(ray.data.from_arrow(rects), layout, salt_k=4)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        ns, sv = [], []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            fin = np.isfinite(t)
+            ns.append(int(fin.sum()))
+            sv.append(int(t[fin].sum()))
+        return pa.table({"key_col": b["key_col"].cast(pa.int64()),
+                         "key_row": b["key_row"].cast(pa.int64()),
+                         "n_painted": pa.array(ns, pa.int64()),
+                         "sum_val": pa.array(sv, pa.int64())})
+
+    return tiles.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_rect_fixture() -> str:
+    """Shared CTE text reproducing fixtures.gen_rect_features in DuckDB."""
+    from .stages.sample import sql_mix32
+
+    return f"""
+    raw AS (
+        SELECT CAST(i AS BIGINT) AS fid,
+               ({sql_mix32('i')}) % 480 + 1 AS a,
+               ({sql_mix32('(i + 7001)')}) % 20 + 1 AS w,
+               ({sql_mix32('(i + 7002)')}) % 224 + 1 AS b,
+               ({sql_mix32('(i + 7003)')}) % 12 + 1 AS h,
+               ({sql_mix32('(i + 7004)')}) % 4 AS z,
+               CAST(({sql_mix32('(i + 7005)')}) % 1000 + 1 AS DOUBLE) AS v
+        FROM range(0, 160) t(i)
+    ),
+    r2 AS (
+        SELECT fid, z, v, w, h,
+               a + CASE WHEN a % 32 = 0 THEN 1 ELSE 0 END AS gx0,
+               b + CASE WHEN b % 32 = 0 THEN 1 ELSE 0 END AS gy0
+        FROM raw
+    ),
+    rects AS (
+        SELECT fid, z, v, gx0, gy0,
+               gx0 + w + CASE WHEN (gx0 + w) % 32 = 0 THEN 1 ELSE 0 END AS gx1,
+               gy0 + h + CASE WHEN (gy0 + h) % 32 = 0 THEN 1 ELSE 0 END AS gy1
+        FROM r2
+    )"""
+
+
+def _sql_rasterize_rects() -> str:
+    return f"""
+    WITH {_sql_rect_fixture()},
+    cx AS (SELECT fid, CAST(x AS BIGINT) AS gx
+           FROM rects, range(0, 512) s(x) WHERE x >= gx0 AND x < gx1),
+    cy AS (SELECT fid, CAST(y AS BIGINT) AS gy
+           FROM rects, range(0, 256) s(y) WHERE y >= gy0 AND y < gy1),
+    cells AS (
+        SELECT r.fid, r.z, r.v, cx.gx, cy.gy
+        FROM rects r JOIN cx ON cx.fid = r.fid JOIN cy ON cy.fid = r.fid
+    ),
+    win AS (
+        SELECT gx, gy, v,
+               row_number() OVER (PARTITION BY gx, gy ORDER BY z DESC, v DESC) AS rk
+        FROM cells
+    )
+    SELECT gx // 32 AS key_col, gy // 32 AS key_row,
+           count(*) AS n_painted, CAST(sum(v) AS BIGINT) AS sum_val
+    FROM win WHERE rk = 1
+    GROUP BY 1, 2
+    """
+
+
+def q_cliptogrid_rects(sf_dir: str):
+    """ClipToGrid cover + full-tile detection on the dyadic rect fixture:
+    per feature, the number of covering SpatialKeys and how many of them
+    are FULLY covered (the clip degenerates to the cell rect — the
+    reference's keep-whole-geometry predicate hook). Both have integer
+    closed forms in SQL because rect edges never touch tile boundaries."""
+    import ray.data
+
+    from .fixtures import gen_rect_features
+    from .stages.agg import partial_groupby
+    from .stages.clip import clip_to_grid_batch
+
+    rects = gen_rect_features()
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 8, 32, 32))
+    ds = ray.data.from_arrow(rects.select(["polygon_id", "wkb"]))
+    exploded = ds.map_batches(
+        lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: b.append_column("full_i", b["full"].cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial_groupby(
+        exploded, ["polygon_id"],
+        [("key_col", "count", "n_keys"), ("full_i", "sum", "n_full")],
+        final="single")
+
+
+def _sql_cliptogrid_rects() -> str:
+    return f"""
+    WITH {_sql_rect_fixture()}
+    SELECT fid AS polygon_id,
+           ((gx1 - 1) // 32 - gx0 // 32 + 1) * ((gy1 - 1) // 32 - gy0 // 32 + 1) AS n_keys,
+           greatest(0, gx1 // 32 - (gx0 + 31) // 32)
+             * greatest(0, gy1 // 32 - (gy0 + 31) // 32) AS n_full
+    FROM rects
+    """
+
+
 def q_cliptogrid_toy(sf_dir: str):
     import ray.data
 
@@ -4600,6 +4724,8 @@ def build_queries() -> dict:
         "q_approx_distinct": q_approx_distinct,
         "q_tin_toy": q_tin_toy,
         "q_voronoi_assign": q_voronoi_assign,
+        "q_rasterize_rects": q_rasterize_rects,
+        "q_cliptogrid_rects": q_cliptogrid_rects,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
@@ -4652,6 +4778,7 @@ def build_queries() -> dict:
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
+        "q_rasterize_rects", "q_cliptogrid_rects",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -4772,6 +4899,8 @@ def build_oracle_sql() -> dict:
         "q_langid_docs": _sql_langid(),
         "q_flagship_tiles_events": _sql_flagship_tiles(),
         "q_voronoi_assign": _sql_voronoi(),
+        "q_rasterize_rects": _sql_rasterize_rects(),
+        "q_cliptogrid_rects": _sql_cliptogrid_rects(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

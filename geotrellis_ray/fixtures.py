@@ -161,3 +161,56 @@ def gen_polygons_table() -> pa.Table:
             "value": pa.array([p["value"] for p in polys], pa.int32()),
         }
     )
+
+
+def gen_rect_features(n: int = 160) -> pa.Table:
+    """Cell-aligned dyadic rectangles on the 512x256 world grid (res =
+    360/512 = 180/256 = 0.703125, exactly representable in binary): every
+    edge lies on a CELL boundary and never on a TILE (32-cell) boundary —
+    the %32 bump below — so no cell center can sit on a rectangle edge and
+    no zero-width tile cover exists. Those are the two float ambiguities
+    that kept Rasterize/ClipToGrid out of SQL; with them gone, the
+    cell-center rule is integer interval membership and the DuckDB oracles
+    (_sql_rasterize_rects / _sql_cliptogrid_rects) reproduce the mix32
+    derivation verbatim. gy counts rows from the TOP (ymax), matching the
+    engine's key_row orientation."""
+    from .stages.sample import mix32
+
+    i = np.arange(n, dtype=np.int64)
+    a = (mix32(i) % 480 + 1).astype(np.int64)
+    w = (mix32(i + 7001) % 20 + 1).astype(np.int64)
+    b = (mix32(i + 7002) % 224 + 1).astype(np.int64)
+    h = (mix32(i + 7003) % 12 + 1).astype(np.int64)
+    z = (mix32(i + 7004) % 4).astype(np.int32)
+    v = (mix32(i + 7005) % 1000 + 1).astype(np.int32)
+    gx0 = a + (a % 32 == 0)
+    gy0 = b + (b % 32 == 0)
+    gx1 = gx0 + w
+    gx1 = gx1 + (gx1 % 32 == 0)
+    gy1 = gy0 + h
+    gy1 = gy1 + (gy1 % 32 == 0)
+    resx = 360.0 / 512.0
+    resy = 180.0 / 256.0
+    xmin = -180.0 + gx0 * resx
+    xmax = -180.0 + gx1 * resx
+    ymax = 90.0 - gy0 * resy
+    ymin = 90.0 - gy1 * resy
+    wkbs = [
+        encode_polygon([np.array([[xmin[k], ymin[k]], [xmax[k], ymin[k]],
+                                  [xmax[k], ymax[k]], [xmin[k], ymax[k]]])])
+        for k in range(n)
+    ]
+    return pa.table({
+        "polygon_id": pa.array(i, pa.int64()),
+        "wkb": pa.array(wkbs, pa.binary()),
+        "xmin": pa.array(xmin, pa.float64()),
+        "ymin": pa.array(ymin, pa.float64()),
+        "xmax": pa.array(xmax, pa.float64()),
+        "ymax": pa.array(ymax, pa.float64()),
+        "zindex": pa.array(z, pa.int32()),
+        "value": pa.array(v, pa.int32()),
+        "gx0": pa.array(gx0, pa.int64()),
+        "gx1": pa.array(gx1, pa.int64()),
+        "gy0": pa.array(gy0, pa.int64()),
+        "gy1": pa.array(gy1, pa.int64()),
+    })
