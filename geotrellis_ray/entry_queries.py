@@ -1859,6 +1859,75 @@ def q_audio_features(sf_dir: str):
     return decoded.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_geotiff_sums(sf_dir: str):
+    """GeoTiff ingest SQL-bit-exact: a 128x128 world of mix32 integer-valued
+    doubles split into 4 quadrant GeoTiffs written through core/geotiff.py
+    with four DIFFERENT codec configs (deflate/lzw x tiled/strip — all
+    lossless, so one oracle covers them all), ingested by the REAL
+    distributed path (read_geotiffs -> tile_to_layout at res 1.0, quadrant
+    edges on tile boundaries so no merge ambiguity), reduced to per-tile
+    (n_defined, sum, min, max). Sums of <=256 values <=997 are float64
+    integer-exact, so DuckDB reproduces everything from range(16384)."""
+    import os
+
+    from .core.layout import Extent as Ext2
+    from .core.raster import decode_tile
+    from .sources.raster_ingest import read_geotiffs, tile_to_layout
+    from .stages.sample import mix32
+
+    from .core.geotiff import encode_geotiff
+
+    d = f"/tmp/graft_gtiffs_sql_{os_basename(sf_dir)}"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        idx = np.arange(128 * 128, dtype=np.int64)
+        world = (mix32(idx) % 997 + 1).astype(np.float64).reshape(128, 128)
+        cfgs = [("deflate", 16), ("lzw", 32), ("deflate", None), ("lzw", None)]
+        for i, (qx, qy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+            sub = world[qy * 64:(qy + 1) * 64, qx * 64:(qx + 1) * 64]
+            ext = Ext2(qx * 64.0, 128.0 - (qy + 1) * 64.0,
+                       (qx + 1) * 64.0, 128.0 - qy * 64.0)
+            comp, ts = cfgs[i]
+            with open(f"{d}/q{i}.tif", "wb") as f:
+                f.write(encode_geotiff(ext, sub, compression=comp, tile_size=ts))
+    layout = LayoutDefinition(Extent(0.0, 0.0, 128.0, 128.0), TileLayout(8, 8, 16, 16))
+    tiles = tile_to_layout(read_geotiffs(d), layout)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        nd, sv, mn, mx = [], [], [], []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            fin = t[np.isfinite(t)]
+            nd.append(int(fin.size))
+            sv.append(int(fin.sum()))
+            mn.append(int(fin.min()))
+            mx.append(int(fin.max()))
+        return pa.table({"key_col": b["key_col"].cast(pa.int64()),
+                         "key_row": b["key_row"].cast(pa.int64()),
+                         "n_defined": pa.array(nd, pa.int64()),
+                         "sum_val": pa.array(sv, pa.int64()),
+                         "min_val": pa.array(mn, pa.int64()),
+                         "max_val": pa.array(mx, pa.int64())})
+
+    return tiles.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_geotiff_sums() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    WITH cells AS (
+        SELECT CAST(i // 128 AS BIGINT) AS r, CAST(i % 128 AS BIGINT) AS c,
+               ({sql_mix32('i')}) % 997 + 1 AS v
+        FROM range(0, 16384) t(i)
+    )
+    SELECT c // 16 AS key_col, r // 16 AS key_row,
+           count(*) AS n_defined, CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val, CAST(max(v) AS BIGINT) AS max_val
+    FROM cells GROUP BY 1, 2
+    """
+
+
 def q_geotiff_ingest(sf_dir: str):
     """Real GeoTiff ingest end-to-end: deterministic Deflate-tiled GeoTiffs
     (core/geotiff.py writer) -> read_geotiffs -> tileToLayout -> per-tile
@@ -4726,6 +4795,7 @@ def build_queries() -> dict:
         "q_voronoi_assign": q_voronoi_assign,
         "q_rasterize_rects": q_rasterize_rects,
         "q_cliptogrid_rects": q_cliptogrid_rects,
+        "q_geotiff_sums": q_geotiff_sums,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
@@ -4778,7 +4848,7 @@ def build_queries() -> dict:
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
-        "q_rasterize_rects", "q_cliptogrid_rects",
+        "q_rasterize_rects", "q_cliptogrid_rects", "q_geotiff_sums",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -4901,6 +4971,7 @@ def build_oracle_sql() -> dict:
         "q_voronoi_assign": _sql_voronoi(),
         "q_rasterize_rects": _sql_rasterize_rects(),
         "q_cliptogrid_rects": _sql_cliptogrid_rects(),
+        "q_geotiff_sums": _sql_geotiff_sums(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
