@@ -2598,6 +2598,120 @@ def _toy_layer(sf_dir: str, seed: int = 0):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
+def _mix_layer(seed: int):
+    """Deterministic 4x4-key layer of 16x16 tiles over a 64x64 world: cell
+    (gr, gc) -> value mix32(idx + seed*100000) % 997 + 1 (integer-valued
+    float64), NoData (NaN) iff mix32(idx + seed*100000 + 50000) % 7 == 0 —
+    both reproducible verbatim in DuckDB (idx + offsets stay < 2^27, the
+    sql_mix32 BIGINT bound). Same schema as _toy_layer (sfc = zorder)."""
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+    from .stages.sample import mix32
+
+    idx = np.arange(64 * 64, dtype=np.int64)
+    v = (mix32(idx + seed * 100000) % 997 + 1).astype(np.float64)
+    v[mix32(idx + seed * 100000 + 50000) % 7 == 0] = np.nan
+    world = v.reshape(64, 64)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            a = world[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16]
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(_z(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def _tile_stats_batch(b: pa.Table) -> pa.Table:
+    from .core.raster import decode_tile
+
+    nd, sv, mn, mx = [], [], [], []
+    for row in b.to_pylist():
+        t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+        fin = t[np.isfinite(t)]
+        nd.append(int(fin.size))
+        sv.append(int(fin.sum()))
+        mn.append(int(fin.min()))
+        mx.append(int(fin.max()))
+    return pa.table({"key_col": b["key_col"].cast(pa.int64()),
+                     "key_row": b["key_row"].cast(pa.int64()),
+                     "n_defined": pa.array(nd, pa.int64()),
+                     "sum_val": pa.array(sv, pa.int64()),
+                     "min_val": pa.array(mn, pa.int64()),
+                     "max_val": pa.array(mx, pa.int64())})
+
+
+def _sql_mix_layer_cells() -> str:
+    """Shared CTE: per-cell values + NoData flags of _mix_layer(1)/(2)."""
+    from .stages.sample import sql_mix32
+
+    return f"""
+    cells AS (
+        SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
+               ({sql_mix32('(i + 100000)')}) % 997 + 1 AS va,
+               ({sql_mix32('(i + 150000)')}) % 7 = 0 AS na,
+               ({sql_mix32('(i + 200000)')}) % 997 + 1 AS vb,
+               ({sql_mix32('(i + 250000)')}) % 7 = 0 AS nb
+        FROM range(0, 4096) t(i)
+    )"""
+
+
+def q_layer_algebra_sums(sf_dir: str):
+    """Local map algebra SQL-bit-exact through the REAL layer paths:
+    out = (A * 2) + B with layer_local_scalar (per-batch cube kernel) and
+    layer_local_binary (sfc hash-join then cell-wise op), over the
+    _mix_layer pair. NoData (NaN) propagates through both ops exactly as
+    SQL NULL does through CASE; integer-valued cells keep every sum exact.
+    Per-tile (n_defined, sum, min, max)."""
+    from .stages.layer_ops import layer_local_binary, layer_local_scalar
+
+    a = layer_local_scalar(_mix_layer(1), "multiply", 2.0)
+    out = layer_local_binary(a, _mix_layer(2), "add", num_partitions=4)
+    return out.map_batches(_tile_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_layer_algebra_sums() -> str:
+    return f"""
+    WITH {_sql_mix_layer_cells()},
+    vals AS (
+        SELECT gc // 16 AS key_col, gr // 16 AS key_row,
+               CASE WHEN na OR nb THEN NULL ELSE 2 * va + vb END AS v
+        FROM cells
+    )
+    SELECT key_col, key_row, count(v) AS n_defined,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val, CAST(max(v) AS BIGINT) AS max_val
+    FROM vals GROUP BY 1, 2
+    """
+
+
+def q_merge_layers_sums(sf_dir: str):
+    """merge_layers (union + groupby(key) left-wins-non-NoData merge)
+    SQL-bit-exact on the _mix_layer pair: cell = A if A defined else B
+    else NoData. Per-tile (n_defined, sum, min, max)."""
+    from .stages.layer_ops import merge_layers
+
+    out = merge_layers(_mix_layer(1), _mix_layer(2))
+    return out.map_batches(_tile_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_merge_layers_sums() -> str:
+    return f"""
+    WITH {_sql_mix_layer_cells()},
+    vals AS (
+        SELECT gc // 16 AS key_col, gr // 16 AS key_row,
+               CASE WHEN NOT na THEN va WHEN NOT nb THEN vb ELSE NULL END AS v
+        FROM cells
+    )
+    SELECT key_col, key_row, count(v) AS n_defined,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val, CAST(max(v) AS BIGINT) AS max_val
+    FROM vals GROUP BY 1, 2
+    """
+
+
 def q_layer_algebra_toy(sf_dir: str):
     from .stages.layer_ops import layer_local_binary, layer_local_scalar, layer_local_unary
 
@@ -4796,6 +4910,8 @@ def build_queries() -> dict:
         "q_rasterize_rects": q_rasterize_rects,
         "q_cliptogrid_rects": q_cliptogrid_rects,
         "q_geotiff_sums": q_geotiff_sums,
+        "q_layer_algebra_sums": q_layer_algebra_sums,
+        "q_merge_layers_sums": q_merge_layers_sums,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
@@ -4849,6 +4965,7 @@ def build_queries() -> dict:
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
         "q_rasterize_rects", "q_cliptogrid_rects", "q_geotiff_sums",
+        "q_layer_algebra_sums", "q_merge_layers_sums",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -4972,6 +5089,8 @@ def build_oracle_sql() -> dict:
         "q_rasterize_rects": _sql_rasterize_rects(),
         "q_cliptogrid_rects": _sql_cliptogrid_rects(),
         "q_geotiff_sums": _sql_geotiff_sums(),
+        "q_layer_algebra_sums": _sql_layer_algebra_sums(),
+        "q_merge_layers_sums": _sql_merge_layers_sums(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
