@@ -1488,6 +1488,66 @@ def _embedding_queries(sf_dir: str, nq: int = 4) -> np.ndarray:
     return m
 
 
+def q_ann_sqeuclid(sf_dir: str):
+    """Brute-force kNN SQL-BIT-EXACT through the real ANN path (per-batch
+    matmul partial top-k + grouped final): a 2000x16 integer lattice of
+    mix32 embeddings, 8 integer queries, metric sqeuclid — every distance
+    is an exact integer in float64, and the output is (query_id, rank,
+    dist) so the verdict is tie-robust (the top-5 DISTANCE multiset is
+    deterministic even where equal-distance ids are not)."""
+    import ray.data
+
+    from .stages.ann import ann_brute_force
+    from .stages.sample import mix32
+
+    n, d, nq = 2000, 16, 8
+    vi = np.arange(n * d, dtype=np.int64)
+    emb = (mix32(vi + 400000) % 16).astype(np.float64).reshape(n, d)
+    qi = np.arange(nq * d, dtype=np.int64)
+    queries = (mix32(qi + 450000) % 16).astype(np.float64).reshape(nq, d)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    })
+    out = ann_brute_force(ray.data.from_arrow(tab), queries, k=5, metric="sqeuclid")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"query_id": b["query_id"].cast(pa.int64()),
+                         "rank": b["rank"].cast(pa.int64()),
+                         "dist": b["dist"].cast(pa.int64())})
+
+    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_ann_sqeuclid() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    WITH v AS (
+        SELECT CAST(i // 16 AS BIGINT) AS vec_id, i % 16 AS j,
+               ({sql_mix32('(i + 400000)')}) % 16 AS x
+        FROM range(0, 32000) t(i)
+    ),
+    q AS (
+        SELECT CAST(i // 16 AS BIGINT) AS query_id, i % 16 AS j,
+               ({sql_mix32('(i + 450000)')}) % 16 AS x
+        FROM range(0, 128) t(i)
+    ),
+    d AS (
+        SELECT q.query_id, v.vec_id,
+               CAST(sum((q.x - v.x) * (q.x - v.x)) AS BIGINT) AS dist
+        FROM q JOIN v ON v.j = q.j GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT query_id, dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, vec_id) AS rank
+        FROM d
+    )
+    SELECT query_id, rank, dist FROM r WHERE rank <= 5
+    """
+
+
 def q_ann_embeddings(sf_dir: str):
     from .stages.ann import ann_brute_force
 
@@ -2769,6 +2829,102 @@ def q_geojson_cliptogrid(sf_dir: str):
         lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
     )
     return exploded.groupby("polygon_id").aggregate(Count(alias_name="n_keys"))
+
+
+_CD_SOURCES = (131, 3251)  # global cell ids: (gr=2,gc=3), (gr=50,gc=51)
+
+
+def q_cost_distance_grid(sf_dir: str):
+    """IterativeCostDistance SQL-BIT-EXACT. Cost distance is a min-plus
+    fixpoint: cell cost = min over 8-neighbor predecessors of
+    (pred_cost + (0.5*(f_pred+f_cell))*dist), dist 1 or sqrt(2). Every
+    term is float-reproducible — frictions are dyadic ({1.0, 1.25} from
+    mix32), sqrt(2) is correctly rounded in both numpy and DuckDB, float
+    '+' with a nonneg addend is monotone so the least fixpoint is a min
+    over per-path left-folds that both sides compute bit-identically —
+    so the engine's BSP collar-exchange rounds (stages/costdistance.py)
+    and the oracle's synchronous Bellman-Ford levels (unrolled CTE chain,
+    jenks-style) converge to the SAME float surface. Blocked (NoData)
+    cells: mix32 %41 (~2.4%), excluded from the graph on both sides.
+    Output: (gr, gc, cost) per reached cell."""
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+    from .stages.costdistance import cost_distance, cost_tile
+    from .stages.sample import mix32
+
+    idx = np.arange(64 * 64, dtype=np.int64)
+    f = (1.0 + 0.25 * (mix32(idx + 300000) % 2)).astype(np.float64)
+    blocked = (mix32(idx + 350000) % 41 == 0) & ~np.isin(idx, np.array(_CD_SOURCES))
+    f[blocked] = np.nan
+    world = f.reshape(64, 64)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            cells, cols, trows, ct = encode_tile(world[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16])
+            rows.append({"key_col": c, "key_row": r, "sfc": int(_z(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    friction = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    srcs = [(gid % 64 // 16, gid // 64 // 16, gid // 64 % 16, gid % 64 % 16)
+            for gid in _CD_SOURCES]
+    out = cost_distance(friction, srcs, max_rounds=16)
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        gr, gc, cost = [], [], []
+        for row in b.to_pylist():
+            ctile = cost_tile(row)
+            rr, cc = np.nonzero(np.isfinite(ctile))
+            gr.extend((row["key_row"] * 16 + rr).tolist())
+            gc.extend((row["key_col"] * 16 + cc).tolist())
+            cost.extend(ctile[rr, cc].tolist())
+        return pa.table({"gr": pa.array(gr, pa.int64()), "gc": pa.array(gc, pa.int64()),
+                         "cost": pa.array(cost, pa.float64())})
+
+    return out.map_batches(per_cell, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_cost_distance_grid(levels: int = 160) -> str:
+    from .stages.sample import sql_mix32
+
+    src = ", ".join(f"({g}, 0.0)" for g in _CD_SOURCES)
+    not_src = ", ".join(str(g) for g in _CD_SOURCES)
+    parts = [f"""
+    WITH nodes AS (
+        SELECT CAST(i AS BIGINT) AS cell, CAST(i // 64 AS BIGINT) AS gr,
+               CAST(i % 64 AS BIGINT) AS gc,
+               1.0 + 0.25 * (({sql_mix32('(i + 300000)')}) % 2) AS f
+        FROM range(0, 4096) t(i)
+        WHERE NOT (({sql_mix32('(i + 350000)')}) % 41 = 0
+                   AND i NOT IN ({not_src}))
+    ),
+    moves(dr, dc) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+                             (1,-1), (1,0), (1,1)),
+    edges AS (
+        SELECT a.cell AS src, b.cell AS dst,
+               (0.5 * (a.f + b.f))
+                 * (CASE WHEN m.dr != 0 AND m.dc != 0 THEN sqrt(2.0)
+                         ELSE 1.0 END) AS w
+        FROM nodes a
+        JOIN moves m ON TRUE
+        JOIN nodes b ON b.gr = a.gr + m.dr AND b.gc = a.gc + m.dc
+    ),
+    lvl0(cell, cost) AS (VALUES {src})"""]
+    for k in range(1, levels + 1):
+        parts.append(f""",
+    lvl{k} AS (
+        SELECT cell, min(cost) AS cost FROM (
+            SELECT cell, cost FROM lvl{k - 1}
+            UNION ALL
+            SELECT e.dst AS cell, l.cost + e.w AS cost
+            FROM lvl{k - 1} l JOIN edges e ON e.src = l.cell
+        ) GROUP BY cell
+    )""")
+    parts.append(f"""
+    SELECT n.gr, n.gc, l.cost
+    FROM lvl{levels} l JOIN nodes n ON n.cell = l.cell
+    """)
+    return "".join(parts)
 
 
 def q_cost_distance_toy(sf_dir: str):
@@ -4912,6 +5068,8 @@ def build_queries() -> dict:
         "q_geotiff_sums": q_geotiff_sums,
         "q_layer_algebra_sums": q_layer_algebra_sums,
         "q_merge_layers_sums": q_merge_layers_sums,
+        "q_cost_distance_grid": q_cost_distance_grid,
+        "q_ann_sqeuclid": q_ann_sqeuclid,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
@@ -4965,7 +5123,8 @@ def build_queries() -> dict:
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
         "q_rasterize_rects", "q_cliptogrid_rects", "q_geotiff_sums",
-        "q_layer_algebra_sums", "q_merge_layers_sums",
+        "q_layer_algebra_sums", "q_merge_layers_sums", "q_cost_distance_grid",
+        "q_ann_sqeuclid",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -5091,6 +5250,8 @@ def build_oracle_sql() -> dict:
         "q_geotiff_sums": _sql_geotiff_sums(),
         "q_layer_algebra_sums": _sql_layer_algebra_sums(),
         "q_merge_layers_sums": _sql_merge_layers_sums(),
+        "q_cost_distance_grid": _sql_cost_distance_grid(),
+        "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }

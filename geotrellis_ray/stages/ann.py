@@ -62,30 +62,47 @@ def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
-                    emb_col: str = "embedding"):
-    """Exact cosine top-k for a (nq, d) query matrix -> Dataset (query_id,
-    rank, id, cosine)."""
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+                    emb_col: str = "embedding", metric: str = "cosine"):
+    """Exact top-k for a (nq, d) query matrix -> Dataset (query_id, rank,
+    id, cosine|dist). metric: "cosine" (normalized dot, descending) or
+    "sqeuclid" (squared L2 via the ||q||^2 - 2 q.m + ||m||^2 expansion —
+    still one matmul per batch, ascending; on integer-valued embeddings
+    every distance is integer-exact in float64, which is what lets the
+    q_ann_sqeuclid SQL oracle replay it bit-for-bit)."""
+    if metric not in ("cosine", "sqeuclid"):
+        raise ValueError(f"unknown metric {metric!r}")
+    score_col = "cosine" if metric == "cosine" else "dist"
+    if metric == "cosine":
+        qn = _normalize(np.asarray(queries, dtype=np.float32))
+    else:
+        qn = np.asarray(queries, dtype=np.float64)
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, emb_col))
-        sims = qn @ m.T  # (nq, n) one matmul per batch
+        if metric == "cosine":
+            m = _normalize(_batch_matrix(batch, emb_col))
+            sims = -(qn @ m.T)  # negate: top-k below is "smallest first"
+        else:
+            m = _batch_matrix(batch, emb_col).astype(np.float64)
+            sims = (qn * qn).sum(1)[:, None] - 2.0 * (qn @ m.T) + (m * m).sum(1)[None, :]
         ids = batch[id_col]
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        part = np.argpartition(sims, kk - 1, axis=1)[:, :kk]  # (nq, kk)
         out_q = np.repeat(np.arange(len(qn), dtype=np.int64), kk)
         out_i = part.ravel()
         out_s = np.take_along_axis(sims, part, axis=1).ravel().astype(np.float64)
+        if metric == "cosine":
+            out_s = -out_s
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 id_col: ids.take(pa.array(out_i, pa.int64())),
-                "cosine": pa.array(out_s, pa.float64()),
+                score_col: pa.array(out_s, pa.float64()),
             }
         )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.sort_values([score_col, id_col],
+                          ascending=[metric != "cosine", True], kind="stable").head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
