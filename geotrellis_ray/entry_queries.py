@@ -2900,7 +2900,13 @@ def _sql_cost_distance_grid(levels: int = 160) -> str:
     ),
     moves(dr, dc) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
                              (1,-1), (1,0), (1,1)),
-    edges AS (
+    edges AS MATERIALIZED (
+        -- 8-neighbor moves plus a weight-0 self loop (cost + 0.0 == cost
+        -- exactly for costs >= 0), so each Bellman-Ford level references
+        -- the previous level ONCE. Every chained CTE is MATERIALIZED:
+        -- DuckDB 1.0 otherwise inlines the whole chain into one plan
+        -- (20 inlined levels = 10.5 s and superlinear; 160 materialized
+        -- levels = 2.5 s total, measured)
         SELECT a.cell AS src, b.cell AS dst,
                (0.5 * (a.f + b.f))
                  * (CASE WHEN m.dr != 0 AND m.dc != 0 THEN sqrt(2.0)
@@ -2908,17 +2914,16 @@ def _sql_cost_distance_grid(levels: int = 160) -> str:
         FROM nodes a
         JOIN moves m ON TRUE
         JOIN nodes b ON b.gr = a.gr + m.dr AND b.gc = a.gc + m.dc
+        UNION ALL
+        SELECT cell, cell, 0.0 FROM nodes
     ),
     lvl0(cell, cost) AS (VALUES {src})"""]
     for k in range(1, levels + 1):
         parts.append(f""",
-    lvl{k} AS (
-        SELECT cell, min(cost) AS cost FROM (
-            SELECT cell, cost FROM lvl{k - 1}
-            UNION ALL
-            SELECT e.dst AS cell, l.cost + e.w AS cost
-            FROM lvl{k - 1} l JOIN edges e ON e.src = l.cell
-        ) GROUP BY cell
+    lvl{k} AS MATERIALIZED (
+        SELECT e.dst AS cell, min(l.cost + e.w) AS cost
+        FROM lvl{k - 1} l JOIN edges e ON e.src = l.cell
+        GROUP BY e.dst
     )""")
     parts.append(f"""
     SELECT n.gr, n.gc, l.cost
