@@ -2932,6 +2932,60 @@ def _sql_cost_distance_grid(levels: int = 160) -> str:
     return "".join(parts)
 
 
+def q_render_png_grid(sf_dir: str):
+    """ColorMap + PNG render round-trip SQL-checked: _mix_layer(5) tiles ->
+    ColorMap (integer breaks, digitize right=True) -> encode_png_rgba ->
+    decode_png (the REAL codec pair from core/render.py + core/media.py),
+    then per-tile channel sums over the decoded pixels. NoData renders
+    transparent (0,0,0,0), so every output column has an integer closed
+    form on the mix32 cell stream."""
+    from .core.media import decode_png
+    from .core.raster import decode_tile
+    from .core.render import ColorMap, render_tile_png
+
+    breaks = [200, 400, 600, 800, 997]
+    colors = [(10 + 40 * i, 5 + 50 * i, 20 + 30 * i, 255) for i in range(5)]
+    cm = ColorMap(breaks, colors)
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        sums = {"sum_r": [], "sum_g": [], "sum_b": [], "sum_a": []}
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            rgba = decode_png(render_tile_png(t, cm))
+            for j, k in enumerate(("sum_r", "sum_g", "sum_b", "sum_a")):
+                sums[k].append(int(rgba[:, :, j].astype(np.int64).sum()))
+        return pa.table({"key_col": b["key_col"].cast(pa.int64()),
+                         "key_row": b["key_row"].cast(pa.int64()),
+                         **{k: pa.array(v, pa.int64()) for k, v in sums.items()}})
+
+    return _mix_layer(5).map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_render_png_grid() -> str:
+    from .stages.sample import sql_mix32
+
+    chan = []
+    for name, base, step in (("sum_r", 10, 40), ("sum_g", 5, 50),
+                             ("sum_b", 20, 30), ("sum_a", 255, 0)):
+        chan.append(f"""CAST(sum(CASE WHEN nd THEN 0
+               WHEN v <= 200 THEN {base} WHEN v <= 400 THEN {base + step}
+               WHEN v <= 600 THEN {base + 2 * step}
+               WHEN v <= 800 THEN {base + 3 * step}
+               ELSE {base + 4 * step} END) AS BIGINT) AS {name}""")
+    cols = ",\n           ".join(chan)
+    return f"""
+    WITH cells AS (
+        SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
+               ({sql_mix32('(i + 500000)')}) % 997 + 1 AS v,
+               ({sql_mix32('(i + 550000)')}) % 7 = 0 AS nd
+        FROM range(0, 4096) t(i)
+    )
+    SELECT gc // 16 AS key_col, gr // 16 AS key_row,
+           {cols}
+    FROM cells GROUP BY 1, 2
+    """
+
+
 def q_cost_distance_toy(sf_dir: str):
     """IterativeCostDistance (stages/costdistance.py): BSP rounds of collar
     exchange + vectorized in-tile relaxation over the toy friction layer;
@@ -4840,6 +4894,57 @@ def q_merge_layers_toy(sf_dir: str):
     return out.select_columns(["key_col", "key_row", "cols", "rows"])
 
 
+def q_vector_tiles_rects(sf_dir: str):
+    """Real MVT 2.1 protobuf round-trip SQL-checked: rect features ->
+    ClipToGrid -> encode_mvt per tile -> decode_mvt back (both directions
+    through core/mvt.py, no shortcuts), emitting per tile the decoded
+    feature count, the sum of decoded feature IDs, AND the sum of the
+    id-tagged property values — all three have integer closed forms from
+    the dyadic rect fixture (cover = tile-range membership, no rect edge
+    on a tile boundary)."""
+    import ray.data
+
+    from .core.mvt import decode_mvt
+    from .fixtures import gen_rect_features
+    from .stages.vector_tile import vector_tiles
+
+    rects = gen_rect_features()
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 8, 32, 32))
+    tiles = vector_tiles(ray.data.from_arrow(rects.select(["polygon_id", "wkb"])),
+                         layout, fmt="mvt")
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        nf, sid, sprop = [], [], []
+        for row in b.to_pylist():
+            feats = decode_mvt(row["mvt"])["layer"]["features"]
+            nf.append(len(feats))
+            sid.append(sum(f["id"] for f in feats))
+            sprop.append(sum(int(f["props"]["id"]) for f in feats))
+        return pa.table({"key_col": b["key_col"].cast(pa.int64()),
+                         "key_row": b["key_row"].cast(pa.int64()),
+                         "n_features": pa.array(nf, pa.int64()),
+                         "sum_ids": pa.array(sid, pa.int64()),
+                         "sum_prop_ids": pa.array(sprop, pa.int64())})
+
+    return tiles.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_vector_tiles_rects() -> str:
+    return f"""
+    WITH {_sql_rect_fixture()},
+    cover AS (
+        SELECT fid, tc.x AS key_col, tr.y AS key_row
+        FROM rects, range(0, 16) tc(x), range(0, 8) tr(y)
+        WHERE tc.x BETWEEN gx0 // 32 AND (gx1 - 1) // 32
+          AND tr.y BETWEEN gy0 // 32 AND (gy1 - 1) // 32
+    )
+    SELECT key_col, key_row, count(*) AS n_features,
+           CAST(sum(fid) AS BIGINT) AS sum_ids,
+           CAST(sum(fid) AS BIGINT) AS sum_prop_ids
+    FROM cover GROUP BY 1, 2
+    """
+
+
 def q_vector_tiles_toy(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
@@ -5075,6 +5180,8 @@ def build_queries() -> dict:
         "q_merge_layers_sums": q_merge_layers_sums,
         "q_cost_distance_grid": q_cost_distance_grid,
         "q_ann_sqeuclid": q_ann_sqeuclid,
+        "q_vector_tiles_rects": q_vector_tiles_rects,
+        "q_render_png_grid": q_render_png_grid,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
         "q_rasterize_toy": q_rasterize_toy,
@@ -5129,7 +5236,7 @@ def build_queries() -> dict:
         "q_flagship_tiles_events", "q_voronoi_assign",
         "q_rasterize_rects", "q_cliptogrid_rects", "q_geotiff_sums",
         "q_layer_algebra_sums", "q_merge_layers_sums", "q_cost_distance_grid",
-        "q_ann_sqeuclid",
+        "q_ann_sqeuclid", "q_vector_tiles_rects", "q_render_png_grid",
     ]
     never_captured = [
         "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
@@ -5257,6 +5364,8 @@ def build_oracle_sql() -> dict:
         "q_merge_layers_sums": _sql_merge_layers_sums(),
         "q_cost_distance_grid": _sql_cost_distance_grid(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
+        "q_vector_tiles_rects": _sql_vector_tiles_rects(),
+        "q_render_png_grid": _sql_render_png_grid(),
         # remaining queries are non-SQL-expressible (SFC curves, sketches,
         # ANN, tile payloads, pages corpus synth, stubs) -> rows-only check
     }
