@@ -2932,6 +2932,128 @@ def _sql_cost_distance_grid(levels: int = 160) -> str:
     return "".join(parts)
 
 
+_VS_VR, _VS_VC, _VS_OBS = 31, 33, 3.0
+
+
+def q_viewshed_grid(sf_dir: str):
+    """Distributed XDraw viewshed SQL-BIT-EXACT (rows-only family member
+    q_viewshed_toy remains). The XDraw recurrence is acyclic in Chebyshev
+    rings — each cell's horizon is max(own angle, linear interp of the two
+    ring-(k-1) upstream horizons) — so the engine's BSP collar-exchange
+    fixpoint (stages/viewshed.py) equals strict ring-order evaluation, and
+    every float op is reproducible: integer DEM, angles (z - vh) /
+    sqrt(dr^2 + dc^2) (correctly-rounded sqrt of an exact integer — NOT
+    np.hypot, which is only faithfully rounded), crossing weights
+    dc*(adr-1)/adr with one rounding each, and the literal
+    (1-w)*h0 + w*h1 interp shape. The oracle (_sql_viewshed_grid) replays
+    rings 1..33 as MATERIALIZED CTE levels and matched the full horizon
+    plane float-for-float (4096/4096) at build time. Output: (gr, gc,
+    horizon, visible) per cell."""
+    import ray.data
+
+    from .core.raster import encode_tile
+    from .core.sfc import zorder as _z
+    from .stages.sample import mix32
+    from .stages.viewshed import viewshed, visibility_tile
+
+    idx = np.arange(64 * 64, dtype=np.int64)
+    dem = (mix32(idx + 600000) % 400).astype(np.float64).reshape(64, 64)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            cells, cols, trows, ct = encode_tile(dem[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16])
+            rows.append({"key_col": c, "key_row": r, "sfc": int(_z(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out, (vr, vc, vh) = viewshed(ds, (_VS_VR, _VS_VC), observer_height=_VS_OBS,
+                                 max_rounds=24)
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        gr, gc, hz, vis = [], [], [], []
+        for row in b.to_pylist():
+            h = np.frombuffer(row["horizon"], dtype="<f8").reshape(16, 16)
+            v = visibility_tile(row, vr, vc, vh, 16, 16)
+            rr, cc = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+            gr.extend((row["key_row"] * 16 + rr).ravel().tolist())
+            gc.extend((row["key_col"] * 16 + cc).ravel().tolist())
+            hz.extend(h.ravel().tolist())
+            vis.extend(v.ravel().tolist())
+        return pa.table({"gr": pa.array(gr, pa.int64()), "gc": pa.array(gc, pa.int64()),
+                         "horizon": pa.array(hz, pa.float64()),
+                         "visible": pa.array(vis, pa.bool_())})
+
+    return out.map_batches(per_cell, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_viewshed_grid(max_ring: int = 33) -> str:
+    from .stages.sample import sql_mix32
+
+    vr, vc, obs = _VS_VR, _VS_VC, _VS_OBS
+    parts = [f"""
+    WITH cells AS MATERIALIZED (
+        SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
+               CAST(({sql_mix32('(i + 600000)')}) % 400 AS DOUBLE) AS z
+        FROM range(0, 4096) t(i)
+    ),
+    vh AS (SELECT z + {obs} AS v FROM cells WHERE gr = {vr} AND gc = {vc}),
+    base AS MATERIALIZED (
+        SELECT c.gr, c.gc,
+               greatest(abs(c.gr - {vr}), abs(c.gc - {vc})) AS ring,
+               CASE WHEN c.gr = {vr} AND c.gc = {vc}
+                    THEN CAST('-infinity' AS DOUBLE)
+                    ELSE (c.z - vh.v) / sqrt(CAST((c.gr - {vr}) * (c.gr - {vr})
+                                                + (c.gc - {vc}) * (c.gc - {vc}) AS DOUBLE))
+               END AS ang,
+               (abs(c.gr - {vr}) >= abs(c.gc - {vc})) AS row_major,
+               CAST(c.gr - {vr} AS DOUBLE) AS dr, CAST(c.gc - {vc} AS DOUBLE) AS dc,
+               CAST(abs(c.gr - {vr}) AS DOUBLE) AS adr,
+               CAST(abs(c.gc - {vc}) AS DOUBLE) AS adc
+        FROM cells c CROSS JOIN vh
+    ),
+    ups AS MATERIALIZED (
+        -- upstream pair one step closer along the dominant axis; both
+        -- endpoints land exactly on Chebyshev ring (k-1) (in-bounds for this
+        -- viewpoint by the |x_cross - vc| <= adr-1 bound)
+        SELECT gr, gc, ring, ang, row_major,
+               CASE WHEN row_major THEN gr - CAST(sign(dr) AS BIGINT)
+                    ELSE CAST(floor({vr} + (dr * (adc - 1.0)) / adc) AS BIGINT) END AS u0r,
+               CASE WHEN row_major THEN CAST(floor({vc} + (dc * (adr - 1.0)) / adr) AS BIGINT)
+                    ELSE gc - CAST(sign(dc) AS BIGINT) END AS u0c,
+               CASE WHEN row_major
+                    THEN ({vc} + (dc * (adr - 1.0)) / adr)
+                         - floor({vc} + (dc * (adr - 1.0)) / adr)
+                    ELSE ({vr} + (dr * (adc - 1.0)) / adc)
+                         - floor({vr} + (dr * (adc - 1.0)) / adc) END AS wgt
+        FROM base WHERE ring > 0
+    ),
+    r0 AS MATERIALIZED (
+        SELECT CAST({vr} AS BIGINT) AS gr, CAST({vc} AS BIGINT) AS gc,
+               CAST('-infinity' AS DOUBLE) AS h
+    )"""]
+    for k in range(1, max_ring + 1):
+        parts.append(f""",
+    r{k} AS MATERIALIZED (
+        SELECT b.gr, b.gc,
+               greatest(b.ang,
+                        CASE WHEN b.wgt = 0 THEN h0.h
+                             ELSE (1.0 - b.wgt) * h0.h + b.wgt * h1.h END) AS h
+        FROM ups b
+        JOIN r{k - 1} h0 ON h0.gr = b.u0r AND h0.gc = b.u0c
+        LEFT JOIN r{k - 1} h1
+               ON h1.gr = (CASE WHEN b.row_major THEN b.u0r ELSE b.u0r + 1 END)
+              AND h1.gc = (CASE WHEN b.row_major THEN b.u0c + 1 ELSE b.u0c END)
+        WHERE b.ring = {k}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{k}" for k in range(0, max_ring + 1))
+    parts.append(f""",
+    allh AS ({union})
+    SELECT a.gr, a.gc, a.h AS horizon,
+           (a.h <= b.ang + 1e-9) OR (a.gr = {vr} AND a.gc = {vc}) AS visible
+    FROM allh a JOIN base b ON b.gr = a.gr AND b.gc = a.gc
+    """)
+    return "".join(parts)
+
+
 def q_render_png_grid(sf_dir: str):
     """ColorMap + PNG render round-trip SQL-checked: _mix_layer(5) tiles ->
     ColorMap (integer breaks, digitize right=True) -> encode_png_rgba ->
@@ -5179,6 +5301,7 @@ def build_queries() -> dict:
         "q_layer_algebra_sums": q_layer_algebra_sums,
         "q_merge_layers_sums": q_merge_layers_sums,
         "q_cost_distance_grid": q_cost_distance_grid,
+        "q_viewshed_grid": q_viewshed_grid,
         "q_ann_sqeuclid": q_ann_sqeuclid,
         "q_vector_tiles_rects": q_vector_tiles_rects,
         "q_render_png_grid": q_render_png_grid,
@@ -5230,7 +5353,10 @@ def build_queries() -> dict:
     #   3. the 27 queries whose latest hash-green round is r02 (stale —
     #      rotate back in before the evidence ages out),
     #   4. r03-green (freshest evidence), then captured rows-only queries.
+    # conversions landed latest-in-round go first: each is that family's
+    # FIRST possible hash verification
     sql_new_r4 = [
+        "q_viewshed_grid",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5363,6 +5489,7 @@ def build_oracle_sql() -> dict:
         "q_layer_algebra_sums": _sql_layer_algebra_sums(),
         "q_merge_layers_sums": _sql_merge_layers_sums(),
         "q_cost_distance_grid": _sql_cost_distance_grid(),
+        "q_viewshed_grid": _sql_viewshed_grid(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

@@ -38,9 +38,14 @@ from .costdistance import bsp_round
 
 def _angles(dem: np.ndarray, r_abs: np.ndarray, c_abs: np.ndarray,
             vr: int, vc: int, v_height: float) -> np.ndarray:
-    dr = r_abs[:, None] - vr
-    dc = c_abs[None, :] - vc
-    dist = np.hypot(dr, dc)
+    dr = (r_abs[:, None] - vr).astype(np.float64)
+    dc = (c_abs[None, :] - vc).astype(np.float64)
+    # sqrt(dr^2+dc^2), NOT np.hypot: hypot is only faithfully rounded (glibc,
+    # ~1 ulp) while sqrt of the exactly-representable integer dr^2+dc^2 is
+    # correctly rounded — measured 10/4096 last-ulp hypot deviations on a
+    # 64x64 grid — which is what lets a SQL oracle replay the angle plane
+    # bit-for-bit (q_viewshed_grid). Overflow is not a concern at tile scale.
+    dist = np.sqrt(dr * dr + dc * dc)
     with np.errstate(divide="ignore", invalid="ignore"):
         ang = (dem - v_height) / dist
     ang[dist == 0] = -np.inf  # the viewpoint itself

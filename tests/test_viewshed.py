@@ -40,7 +40,8 @@ def _xdraw_reference(dem, vr, vc, v_height, nodata="transparent"):
         return -np.inf
 
     rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
-    dist = np.hypot(rr - vr, cc - vc)
+    _dr = (rr - vr).astype(float); _dc = (cc - vc).astype(float)
+    dist = np.sqrt(_dr * _dr + _dc * _dc)  # correctly-rounded, matches the spec
     with np.errstate(divide="ignore", invalid="ignore"):
         ang = (dem - v_height) / dist
     ang[dist == 0] = -np.inf
@@ -170,3 +171,24 @@ def test_viewshed_nodata_viewpoint_rejected(ray_session):
     big[5, 5] = np.nan
     with pytest.raises(ValueError, match="NoData"):
         viewshed(_layer_from(big), (5, 5))
+
+
+def test_angle_distance_is_correctly_rounded_sqrt():
+    """The q_viewshed_grid SQL oracle replays angles via DuckDB's
+    sqrt(dr^2+dc^2). _angles must therefore use correctly-rounded sqrt of
+    the exact integer square sum — np.hypot is only faithfully rounded
+    (measured 10/4096 last-ulp deviations on a 64x64 grid) and would break
+    the float-for-float horizon parity."""
+    import duckdb
+
+    from geotrellis_ray.stages.viewshed import _angles
+
+    dem = np.zeros((64, 64))
+    ang = _angles(dem, np.arange(64), np.arange(64), 0, 0, 7.0)
+    want = duckdb.sql(
+        "SELECT list((0.0 - 7.0) / sqrt(CAST(dr*dr + dc*dc AS DOUBLE))"
+        "            ORDER BY dr * 64 + dc) "
+        "FROM (SELECT i // 64 AS dr, i % 64 AS dc FROM range(1, 4096) t(i))"
+    ).fetchone()[0]
+    got = ang.ravel()[1:]
+    assert np.array_equal(got, np.array(want))
