@@ -2932,6 +2932,100 @@ def _sql_cost_distance_grid(levels: int = 160) -> str:
     return "".join(parts)
 
 
+def q_hydrology_grid(sf_dir: str):
+    """D8 hydrology SQL-BIT-EXACT (rows-only family member q_hydrology_toy
+    remains). Flow direction is an argmax-first scan over drops
+    (z_c - z_n) / dist with dist 1 or the correctly-rounded sqrt(2) — every
+    drop is float-reproducible on an integer DEM, and strict-> running-max
+    semantics equal "min D8 order among drops == max" — and flow
+    accumulation over the resulting functional graph is the exact integer
+    upstream count, which the oracle recomputes as a recursive-CTE
+    transitive closure (heights mix32 % 32, so flow paths are <= 31 steps).
+    Output: (gr, gc, dir, acc) per cell."""
+    import ray.data
+
+    from .core.raster import decode_tile, encode_tile
+    from .core.sfc import zorder as _z
+    from .stages.hydrology import acc_tile, flow_accumulation, flow_direction
+    from .stages.sample import mix32
+
+    idx = np.arange(64 * 64, dtype=np.int64)
+    dem = (mix32(idx + 650000) % 32).astype(np.float64).reshape(64, 64)
+    rows = []
+    for c in range(4):
+        for r in range(4):
+            cells, cols, trows, ct = encode_tile(dem[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16])
+            rows.append({"key_col": c, "key_row": r, "sfc": int(_z(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    dirs = flow_direction(ds).materialize()
+    acc = flow_accumulation(dirs, max_rounds=64)
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        gr, gc, dcode, av = [], [], [], []
+        for row in b.to_pylist():
+            d = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            a = acc_tile(row)
+            rr, cc = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+            gr.extend((row["key_row"] * 16 + rr).ravel().tolist())
+            gc.extend((row["key_col"] * 16 + cc).ravel().tolist())
+            dcode.extend(d.astype(np.int64).ravel().tolist())
+            av.extend(a.astype(np.int64).ravel().tolist())
+        return pa.table({"gr": pa.array(gr, pa.int64()), "gc": pa.array(gc, pa.int64()),
+                         "dir": pa.array(dcode, pa.int64()), "acc": pa.array(av, pa.int64())})
+
+    return acc.map_batches(per_cell, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_hydrology_grid() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    WITH RECURSIVE nodes AS MATERIALIZED (
+        SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
+               CAST(({sql_mix32('(i + 650000)')}) % 32 AS DOUBLE) AS z
+        FROM range(0, 4096) t(i)
+    ),
+    moves(ord, dr, dc, code) AS (
+        VALUES (0, 0, 1, 1), (1, 1, 1, 2), (2, 1, 0, 4), (3, 1, -1, 8),
+               (4, 0, -1, 16), (5, -1, -1, 32), (6, -1, 0, 64), (7, -1, 1, 128)
+    ),
+    drops AS MATERIALIZED (
+        SELECT a.gr, a.gc, m.ord, m.code,
+               (a.z - b.z) / (CASE WHEN m.dr != 0 AND m.dc != 0
+                                   THEN sqrt(2.0) ELSE 1.0 END) AS drop
+        FROM nodes a JOIN moves m ON TRUE
+        JOIN nodes b ON b.gr = a.gr + m.dr AND b.gc = a.gc + m.dc
+    ),
+    ranked AS MATERIALIZED (
+        SELECT gr, gc, code, drop,
+               row_number() OVER (PARTITION BY gr, gc
+                                  ORDER BY drop DESC, ord ASC) AS rn
+        FROM drops
+    ),
+    dirs AS MATERIALIZED (
+        SELECT gr, gc, CASE WHEN drop > 0 THEN code ELSE 0 END AS dir
+        FROM ranked WHERE rn = 1
+    ),
+    edges AS MATERIALIZED (
+        SELECT d.gr * 64 + d.gc AS src,
+               (d.gr + m.dr) * 64 + (d.gc + m.dc) AS dst
+        FROM dirs d JOIN moves m ON m.code = d.dir
+        WHERE d.dir != 0
+    ),
+    paths AS (
+        SELECT src AS u, dst AS c FROM edges
+        UNION ALL
+        SELECT p.u, e.dst FROM paths p JOIN edges e ON e.src = p.c
+    ),
+    accs AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS acc FROM paths GROUP BY c
+    )
+    SELECT d.gr, d.gc, CAST(d.dir AS BIGINT) AS dir, coalesce(a.acc, 0) AS acc
+    FROM dirs d LEFT JOIN accs a ON a.c = d.gr * 64 + d.gc
+    """
+
+
 _VS_VR, _VS_VC, _VS_OBS = 31, 33, 3.0
 
 
@@ -5302,6 +5396,7 @@ def build_queries() -> dict:
         "q_merge_layers_sums": q_merge_layers_sums,
         "q_cost_distance_grid": q_cost_distance_grid,
         "q_viewshed_grid": q_viewshed_grid,
+        "q_hydrology_grid": q_hydrology_grid,
         "q_ann_sqeuclid": q_ann_sqeuclid,
         "q_vector_tiles_rects": q_vector_tiles_rects,
         "q_render_png_grid": q_render_png_grid,
@@ -5356,7 +5451,7 @@ def build_queries() -> dict:
     # conversions landed latest-in-round go first: each is that family's
     # FIRST possible hash verification
     sql_new_r4 = [
-        "q_viewshed_grid",
+        "q_viewshed_grid", "q_hydrology_grid",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5490,6 +5585,7 @@ def build_oracle_sql() -> dict:
         "q_merge_layers_sums": _sql_merge_layers_sums(),
         "q_cost_distance_grid": _sql_cost_distance_grid(),
         "q_viewshed_grid": _sql_viewshed_grid(),
+        "q_hydrology_grid": _sql_hydrology_grid(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

@@ -132,3 +132,26 @@ def test_flow_accumulation_matches_topological(ray_session):
     np.testing.assert_allclose(got, exp, equal_nan=True)
     # the sloped plane must produce real drainage: some cell collects > 20
     assert np.nanmax(exp) > 20
+
+
+def test_d8_argmax_first_tie_break_matches_oracle_rule():
+    """The q_hydrology_grid SQL oracle picks min-D8-order among drops equal
+    to the max; the engine's running strict-> scan must agree on exact
+    float ties (equal integer height drops at equal distance class)."""
+    from geotrellis_ray.stages.hydrology import d8_direction
+
+    # center 5; E and S neighbors both 3 (drop 2/1): tie -> E (code 1)
+    buf = np.full((3, 3), 9.0)
+    buf[1, 1] = 5.0
+    buf[1, 2] = 3.0
+    buf[2, 1] = 3.0
+    assert d8_direction(buf)[0, 0] == 1.0
+    # SE and SW both 2 (drop 3/sqrt2): tie -> SE (code 2)
+    buf = np.full((3, 3), 9.0)
+    buf[1, 1] = 5.0
+    buf[2, 2] = 2.0
+    buf[2, 0] = 2.0
+    assert d8_direction(buf)[0, 0] == 2.0
+    # no lower neighbor -> 0
+    buf = np.full((3, 3), 5.0)
+    assert d8_direction(buf)[0, 0] == 0.0
