@@ -1468,16 +1468,63 @@ def q_langid_docs(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
-    import pyarrow.compute as pc
-
+    """Rolling-hash document fingerprints SQL-BIT-EXACT (round-4 late
+    conversion): the Rabin window hash (base 257 mod 2^61-1, window 32,
+    keep h % 8 == 0, distinct per doc — functions/hashing.py) is a pure
+    integer function of the utf-8 bytes, so DuckDB recomputes every window
+    hash directly (per-position byte extraction x 32 precomputed powers,
+    HUGEINT-exact). Output per doc: kept-fingerprint count + sum mod 2^63.
+    Precondition (holds at every sf dir, pinned in tests): all docs are
+    ASCII and >= 32 bytes, so the short-doc sha1 fallback never fires and
+    ord(substr) == byte."""
     from .functions.text_analysis import Fingerprinter
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool_size())
-    return out.map_batches(
-        lambda b: pa.table({"doc_id": b["doc_id"], "n_fp": pc.list_value_length(b["fingerprint"]).cast(pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True,
+
+    def summarize(b: pa.Table) -> pa.Table:
+        n_fp, summod = [], []
+        for fps in b["fingerprint"].to_pylist():
+            n_fp.append(len(fps))
+            summod.append(int(sum(int(x) for x in fps) % (1 << 63)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_fp": pa.array(n_fp, pa.int64()),
+                         "fp_summod": pa.array(summod, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_doc_fingerprints(window: int = 32, keep_mod: int = 8) -> str:
+    p = (1 << 61) - 1
+    pow_vals = ", ".join(f"({j}, {pow(257, window - 1 - j, p)}::BIGINT)"
+                         for j in range(window))
+    return f"""
+    WITH pw(j, v) AS (VALUES {pow_vals}),
+    b AS MATERIALIZED (
+        SELECT d.doc_id, p.i AS pos,
+               ord(substr(d.text, CAST(p.i AS INT), 1)) AS byte
+        FROM documents d,
+             LATERAL (SELECT unnest(range(1, strlen(d.text) + 1)) AS i) p
+    ),
+    fp AS MATERIALIZED (
+        SELECT b.doc_id, b.pos - pw.j AS start,
+               CAST(sum(CAST(b.byte AS HUGEINT) * pw.v) % {p} AS BIGINT) AS h,
+               count(*) AS nb
+        FROM b JOIN pw ON TRUE
+        GROUP BY b.doc_id, b.pos - pw.j
+    ),
+    kept AS (
+        SELECT DISTINCT doc_id, h FROM fp
+        WHERE nb = {window} AND h % {keep_mod} = 0
     )
+    SELECT d.doc_id, coalesce(k.n, 0) AS n_fp, coalesce(k.s, 0) AS fp_summod
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(h AS HUGEINT)) % 9223372036854775808 AS BIGINT) AS s
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = d.doc_id
+    """
 
 
 def _embedding_queries(sf_dir: str, nq: int = 4) -> np.ndarray:
@@ -5451,7 +5498,7 @@ def build_queries() -> dict:
     # conversions landed latest-in-round go first: each is that family's
     # FIRST possible hash verification
     sql_new_r4 = [
-        "q_viewshed_grid", "q_hydrology_grid",
+        "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5586,6 +5633,7 @@ def build_oracle_sql() -> dict:
         "q_cost_distance_grid": _sql_cost_distance_grid(),
         "q_viewshed_grid": _sql_viewshed_grid(),
         "q_hydrology_grid": _sql_hydrology_grid(),
+        "q_doc_fingerprints": _sql_doc_fingerprints(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

@@ -241,3 +241,35 @@ def test_script_stats_batch():
     # order (all-zero doc -> latin)
     assert out["dominant_script"].to_pylist() == [
         "latin", "cyrillic", "kana", "han", "latin"]
+
+
+def test_fingerprint_sql_replay_matches_engine():
+    """q_doc_fingerprints oracle precondition + parity: the Rabin window
+    hash replays in SQL byte-for-byte on ASCII docs >= window bytes."""
+    from geotrellis_ray.entry_queries import _sql_doc_fingerprints
+    from geotrellis_ray.functions.hashing import rolling_fingerprints_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "a" * 32,
+        "spark merge window batch " * 4,
+    ]
+    fps = rolling_fingerprints_batch(texts, 32, 8)
+    want = {i: (len(f), int(sum(int(x) for x in f) % (1 << 63)))
+            for i, f in enumerate(fps)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT unnest(range(3)) AS doc_id, "
+                "unnest(?) AS text", [texts])
+    got = {r[0]: (r[1], r[2])
+           for r in con.sql(_sql_doc_fingerprints()).fetchall()}
+    assert got == want
+
+
+def test_fingerprint_corpus_precondition_ascii_and_long():
+    """All sf docs are ASCII and >= 32 bytes, so ord(substr)==byte and the
+    short-doc sha1 fallback never fires (q_doc_fingerprints oracle)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    for x in t["text"].to_pylist():
+        assert x.isascii() and len(x) >= 32
