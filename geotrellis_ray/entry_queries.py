@@ -1887,8 +1887,13 @@ def q_audio_meta(sf_dir: str):
     """Header-only audio metadata over mixed WAV + synthesized MP3 frame
     streams (stages/multimodal.py:audio_meta_batch; core/media.py:mp3_meta —
     the round-4 MP3 metadata path). No decode: the walk touches only frame
-    headers. Rows-only; frame-walk exactness is pytest-verified
-    (test_media.test_mp3_meta_frame_walk)."""
+    headers. SQL-BIT-EXACT (round-4 late conversion): the payload synth
+    derives every header parameter from sha256(text) bytes, which DuckDB
+    recomputes (sha256 + hex-digit extraction), so the frame walk's outputs
+    have closed forms — n_frames = 1 + h1%4, the duration left-fold of
+    fl(fl(1152/44100)*1000), the bitrate-table mean, and the WAV header
+    constants (_sql_audio_meta). Frame-walk exactness on arbitrary streams
+    stays pytest-verified (test_media.test_mp3_meta_frame_walk)."""
     import hashlib as _hashlib
 
     from .core.media import encode_wav
@@ -1918,6 +1923,50 @@ def q_audio_meta(sf_dir: str):
     media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     return media.map_batches(audio_meta_batch, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=256)
+
+
+def _sql_audio_meta() -> str:
+    hexd = "strpos('0123456789abcdef', substr(s, {i}, 1)) - 1"
+
+    def hb(i: int) -> str:
+        return (f"(16 * ({hexd.format(i=2 * i + 1)})"
+                f" + ({hexd.format(i=2 * i + 2)}))")
+
+    d = "((1152.0 / 44100.0) * 1000.0)"  # one frame: fl(fl(1152/44100)*1000)
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents),
+    p AS (
+        SELECT doc_id, {hb(0)} AS h0, {hb(1)} AS h1, {hb(2)} AS h2 FROM h
+    ),
+    mp3 AS (
+        SELECT doc_id, 9 + h0 % 3 AS bi, 1 + h1 % 4 AS n, h2 % 2 = 0 AS cbr
+        FROM p WHERE doc_id % 2 = 0
+    ),
+    tbl(i, kbps) AS (VALUES (9, 128), (10, 160), (11, 192), (12, 224), (13, 256)),
+    mp3rows AS (
+        SELECT m.doc_id, 'mp3' AS codec, 44100 AS sample_rate, 1 AS channels,
+               CAST(m.n AS BIGINT) AS n_frames,
+               -- the engine's per-frame += left-fold, unrolled (n <= 4)
+               CASE m.n WHEN 1 THEN {d} WHEN 2 THEN {d} + {d}
+                        WHEN 3 THEN ({d} + {d}) + {d}
+                        ELSE (({d} + {d}) + {d}) + {d} END AS duration_ms,
+               CAST((SELECT sum(t.kbps) FROM tbl t
+                     WHERE (m.cbr AND t.i = m.bi)
+                        OR (NOT m.cbr AND t.i >= 9 AND t.i < 9 + m.n)) AS DOUBLE)
+                 / (CASE WHEN m.cbr THEN 1 ELSE m.n END) AS bitrate_kbps,
+               (NOT m.cbr AND m.n >= 2) AS vbr
+        FROM mp3 m
+    ),
+    wavrows AS (
+        SELECT doc_id, 'wav' AS codec, 16000 AS sample_rate, 1 AS channels,
+               CAST(1024 AS BIGINT) AS n_frames,
+               (1024.0 / 16000.0) * 1000.0 AS duration_ms,
+               CAST(16000 * 1 * 2 * 8 AS DOUBLE) / 1000.0 AS bitrate_kbps,
+               FALSE AS vbr
+        FROM p WHERE doc_id % 2 = 1
+    )
+    SELECT * FROM mp3rows UNION ALL SELECT * FROM wavrows
+    """
 
 
 def q_audio_features(sf_dir: str):
@@ -5499,6 +5548,7 @@ def build_queries() -> dict:
     # FIRST possible hash verification
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
+        "q_audio_meta",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5634,6 +5684,7 @@ def build_oracle_sql() -> dict:
         "q_viewshed_grid": _sql_viewshed_grid(),
         "q_hydrology_grid": _sql_hydrology_grid(),
         "q_doc_fingerprints": _sql_doc_fingerprints(),
+        "q_audio_meta": _sql_audio_meta(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),
