@@ -4844,6 +4844,78 @@ def q_approx_distinct(sf_dir: str):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog SQL-BIT-EXACT (round-4 late conversion; the estimate
+    query q_approx_distinct stays rows-only): the REAL distributed sketch
+    path (stages/stats.approx_distinct_sketch — per-block partials, one
+    tree-merge round) over two integer event columns, emitting the merged
+    4096-register state. Registers are a pure splitmix64 function of the
+    values, which the oracle replays in HUGEINT (split mulmod-2^64,
+    xor/shift, bucket = top-12 bits, rho = 53 - bit_length(low 52) via
+    bin()) — bit-for-bit. The estimate itself is a driver-local function of
+    these registers (pytest-covered); this pins the whole distributed
+    machinery: hash, bucketing, rho, partial build, register-max merge."""
+    import ray.data
+
+    from .stages.stats import approx_distinct_sketch
+
+    tabs = []
+    for col in ("event_id", "user_id"):
+        sk = approx_distinct_sketch(_read(sf_dir, "events", [col]), col)
+        tabs.append(pa.table({
+            "col": pa.array([col] * sk.m, pa.string()),
+            "idx": pa.array(np.arange(sk.m, dtype=np.int64), pa.int64()),
+            "reg": pa.array(sk.reg.astype(np.int64), pa.int64()),
+        }))
+    return ray.data.from_arrow(pa.concat_tables(tabs))
+
+
+def _sql_splitmix64(expr: str) -> str:
+    """DuckDB expression computing splitmix64(expr) for nonneg BIGINT input
+    — kept next to core/sketch.splitmix64's constants so they cannot drift.
+    64x64-bit products overflow HUGEINT, so each multiply is split into
+    32-bit halves mod 2^64."""
+    g, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(a: str, b: int) -> str:
+        return (f"((({a}) % 4294967296) * {b}"
+                f" + (((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296)"
+                f" % 18446744073709551616")
+
+    x = f"((CAST({expr} AS HUGEINT) + {g}) % 18446744073709551616)"
+    a = f"xor({x}, ({x}) >> 30)"
+    b = f"({mulmod(a, c1)})"
+    c = f"xor({b}, ({b}) >> 27)"
+    d = f"({mulmod(c, c2)})"
+    return f"xor({d}, ({d}) >> 31)"
+
+
+def _sql_hll_registers(p: int = 12) -> str:
+    m = 1 << p
+    low_mod = 1 << (64 - p)
+    nbits = 64 - p
+
+    def one(col: str) -> str:
+        return f"""
+    SELECT '{col}' AS col, CAST(i AS BIGINT) AS idx,
+           CAST(coalesce(reg_{col}.r, 0) AS BIGINT) AS reg
+    FROM range(0, {m}) t(i) LEFT JOIN reg_{col} ON reg_{col}.idx = i"""
+
+    def regs(col: str) -> str:
+        return f"""
+    hs_{col} AS (SELECT DISTINCT {_sql_splitmix64(col)} AS h FROM events),
+    reg_{col} AS (
+        SELECT CAST(h >> {64 - p} AS BIGINT) AS idx,
+               max({nbits} + 1 - (CASE WHEN h % {low_mod} = 0 THEN 0
+                                       ELSE length(bin(CAST(h % {low_mod} AS BIGINT)))
+                                  END)) AS r
+        FROM hs_{col} GROUP BY 1
+    )"""
+
+    return (f"WITH {regs('event_id')}, {regs('user_id')}"
+            f"{one('event_id')} UNION ALL {one('user_id')}")
+
+
 def q_kriging_toy(sf_dir: str):
     """Ordinary Kriging surface (stages/interpolation.ordinary_kriging):
     variogram FITTED from the sampled events (grid-search + weighted least
@@ -5483,6 +5555,7 @@ def build_queries() -> dict:
         "q_kriging_toy": q_kriging_toy,
         "q_universal_kriging_toy": q_universal_kriging_toy,
         "q_approx_distinct": q_approx_distinct,
+        "q_hll_registers": q_hll_registers,
         "q_tin_toy": q_tin_toy,
         "q_voronoi_assign": q_voronoi_assign,
         "q_rasterize_rects": q_rasterize_rects,
@@ -5548,7 +5621,7 @@ def build_queries() -> dict:
     # FIRST possible hash verification
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
-        "q_audio_meta",
+        "q_audio_meta", "q_hll_registers",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5685,6 +5758,7 @@ def build_oracle_sql() -> dict:
         "q_hydrology_grid": _sql_hydrology_grid(),
         "q_doc_fingerprints": _sql_doc_fingerprints(),
         "q_audio_meta": _sql_audio_meta(),
+        "q_hll_registers": _sql_hll_registers(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

@@ -144,11 +144,14 @@ def zonal_histogram(joined_ds, zone_col: str, value_col: str):
     return joined_ds.groupby(zone_col).map_groups(per_zone, batch_format="pandas")
 
 
-def approx_distinct(ds, value_col: str, p: int = 12) -> float:
-    """COUNT(DISTINCT) at corpus scale: HyperLogLog (core/sketch.py) — one
-    ~4 KB register sketch per block (map_batches partial), one distributed
-    tree-merge round, tiny driver merge. Error ~1.04/sqrt(2^p) (~1.6% at the
-    default p=12); the data itself never shuffles."""
+def approx_distinct_sketch(ds, value_col: str, p: int = 12):
+    """The distributed half of approx_distinct, returning the merged
+    HyperLogLog itself: one ~4 KB register sketch per block (map_batches
+    partial), one distributed tree-merge round, tiny driver merge. The
+    sketch is the mergeable/persistable artifact (cross-run union via
+    register max), and on integer columns its registers are a pure
+    splitmix64 function of the values — the q_hll_registers SQL oracle
+    replays them bit-for-bit."""
     import json
 
     from ..core.sketch import HyperLogLog
@@ -158,9 +161,15 @@ def approx_distinct(ds, value_col: str, p: int = 12) -> float:
         return pa.table({"sketch": pa.array([json.dumps(h.to_dict())], pa.string())})
 
     sketches = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = _tree_merge_sketches(sketches, lambda: HyperLogLog(p),
-                                  HyperLogLog.from_dict)
-    return merged.estimate()
+    return _tree_merge_sketches(sketches, lambda: HyperLogLog(p),
+                                HyperLogLog.from_dict)
+
+
+def approx_distinct(ds, value_col: str, p: int = 12) -> float:
+    """COUNT(DISTINCT) at corpus scale: HyperLogLog (core/sketch.py) via
+    approx_distinct_sketch. Error ~1.04/sqrt(2^p) (~1.6% at the default
+    p=12); the data itself never shuffles."""
+    return approx_distinct_sketch(ds, value_col, p).estimate()
 
 
 def approx_top_k(ds, value_col: str, k: int = 10, capacity: int = 2048,

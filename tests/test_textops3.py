@@ -273,3 +273,22 @@ def test_fingerprint_corpus_precondition_ascii_and_long():
     t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
     for x in t["text"].to_pylist():
         assert x.isascii() and len(x) >= 32
+
+
+def test_splitmix64_sql_matches_numpy():
+    """The q_hll_registers oracle's HUGEINT split-mulmod splitmix64 must
+    track core/sketch.splitmix64 exactly (including values whose
+    intermediate products overflow 64 bits)."""
+    from geotrellis_ray.core.sketch import splitmix64
+    from geotrellis_ray.entry_queries import _sql_splitmix64
+
+    vals = np.concatenate([np.arange(64), np.array(
+        [149, 10_000, 2**31, 2**52 - 1, 2**62, 2**63 - 1])]).astype(np.int64)
+    want = splitmix64(vals.astype(np.uint64))
+    con = duckdb.connect()
+    got = con.sql(
+        f"SELECT list({_sql_splitmix64('v')} ORDER BY rowid) FROM "
+        "(SELECT unnest(?) AS v, unnest(range(?)) AS rowid)",
+        params=[vals.tolist(), len(vals)],
+    ).fetchone()[0]
+    assert [int(x) for x in got] == [int(x) for x in want]
