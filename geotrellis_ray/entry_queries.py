@@ -1595,6 +1595,65 @@ def _sql_ann_sqeuclid() -> str:
     """
 
 
+def q_ann_dot(sf_dir: str):
+    """Maximum-inner-product (MIPS) kNN SQL-BIT-EXACT through the real ANN
+    path (round-4 late conversion; same mix32 lattice as q_ann_sqeuclid):
+    metric 'dot' scores are float64 matmuls of integer-valued embeddings,
+    so every inner product is integer-exact regardless of summation order.
+    Output (query_id, rank, dot) — tie-robust (the top-5 score multiset is
+    deterministic even where equal-score ids are not)."""
+    import ray.data
+
+    from .stages.ann import ann_brute_force
+    from .stages.sample import mix32
+
+    n, d, nq = 2000, 16, 8
+    vi = np.arange(n * d, dtype=np.int64)
+    emb = (mix32(vi + 400000) % 16).astype(np.float64).reshape(n, d)
+    qi = np.arange(nq * d, dtype=np.int64)
+    queries = (mix32(qi + 450000) % 16).astype(np.float64).reshape(nq, d)
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    })
+    out = ann_brute_force(ray.data.from_arrow(tab), queries, k=5, metric="dot")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({"query_id": b["query_id"].cast(pa.int64()),
+                         "rank": b["rank"].cast(pa.int64()),
+                         "dot": b["dot"].cast(pa.int64())})
+
+    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_ann_dot() -> str:
+    from .stages.sample import sql_mix32
+
+    return f"""
+    WITH v AS (
+        SELECT CAST(i // 16 AS BIGINT) AS vec_id, i % 16 AS j,
+               ({sql_mix32('(i + 400000)')}) % 16 AS x
+        FROM range(0, 32000) t(i)
+    ),
+    q AS (
+        SELECT CAST(i // 16 AS BIGINT) AS query_id, i % 16 AS j,
+               ({sql_mix32('(i + 450000)')}) % 16 AS x
+        FROM range(0, 128) t(i)
+    ),
+    d AS (
+        SELECT q.query_id, v.vec_id, CAST(sum(q.x * v.x) AS BIGINT) AS dot
+        FROM q JOIN v ON v.j = q.j GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT query_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, vec_id) AS rank
+        FROM d
+    )
+    SELECT query_id, rank, dot FROM r WHERE rank <= 5
+    """
+
+
 def q_ann_embeddings(sf_dir: str):
     from .stages.ann import ann_brute_force
 
@@ -5567,6 +5626,7 @@ def build_queries() -> dict:
         "q_viewshed_grid": q_viewshed_grid,
         "q_hydrology_grid": q_hydrology_grid,
         "q_ann_sqeuclid": q_ann_sqeuclid,
+        "q_ann_dot": q_ann_dot,
         "q_vector_tiles_rects": q_vector_tiles_rects,
         "q_render_png_grid": q_render_png_grid,
         "q_semantic_dedup": q_semantic_dedup,
@@ -5621,7 +5681,7 @@ def build_queries() -> dict:
     # FIRST possible hash verification
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
-        "q_audio_meta", "q_hll_registers",
+        "q_audio_meta", "q_hll_registers", "q_ann_dot",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5759,6 +5819,7 @@ def build_oracle_sql() -> dict:
         "q_doc_fingerprints": _sql_doc_fingerprints(),
         "q_audio_meta": _sql_audio_meta(),
         "q_hll_registers": _sql_hll_registers(),
+        "q_ann_dot": _sql_ann_dot(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

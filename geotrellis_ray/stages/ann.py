@@ -64,14 +64,16 @@ def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
                     emb_col: str = "embedding", metric: str = "cosine"):
     """Exact top-k for a (nq, d) query matrix -> Dataset (query_id, rank,
-    id, cosine|dist). metric: "cosine" (normalized dot, descending) or
+    id, cosine|dist|dot). metric: "cosine" (normalized dot, descending),
     "sqeuclid" (squared L2 via the ||q||^2 - 2 q.m + ||m||^2 expansion —
     still one matmul per batch, ascending; on integer-valued embeddings
     every distance is integer-exact in float64, which is what lets the
-    q_ann_sqeuclid SQL oracle replay it bit-for-bit)."""
-    if metric not in ("cosine", "sqeuclid"):
+    q_ann_sqeuclid SQL oracle replay it bit-for-bit), or "dot" (maximum
+    inner product search, descending — integer-exact the same way,
+    q_ann_dot)."""
+    if metric not in ("cosine", "sqeuclid", "dot"):
         raise ValueError(f"unknown metric {metric!r}")
-    score_col = "cosine" if metric == "cosine" else "dist"
+    score_col = {"cosine": "cosine", "sqeuclid": "dist", "dot": "dot"}[metric]
     if metric == "cosine":
         qn = _normalize(np.asarray(queries, dtype=np.float32))
     else:
@@ -81,6 +83,13 @@ def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
         if metric == "cosine":
             m = _normalize(_batch_matrix(batch, emb_col))
             sims = -(qn @ m.T)  # negate: top-k below is "smallest first"
+        elif metric == "dot":
+            # maximum inner product (MIPS): float64 matmul — on
+            # integer-valued embeddings every score is integer-exact
+            # (products < 2^53 sum exactly in any order), the q_ann_dot
+            # SQL oracle's lever
+            m = _batch_matrix(batch, emb_col).astype(np.float64)
+            sims = -(qn @ m.T)
         else:
             m = _batch_matrix(batch, emb_col).astype(np.float64)
             sims = (qn * qn).sum(1)[:, None] - 2.0 * (qn @ m.T) + (m * m).sum(1)[None, :]
@@ -90,7 +99,7 @@ def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
         out_q = np.repeat(np.arange(len(qn), dtype=np.int64), kk)
         out_i = part.ravel()
         out_s = np.take_along_axis(sims, part, axis=1).ravel().astype(np.float64)
-        if metric == "cosine":
+        if metric in ("cosine", "dot"):
             out_s = -out_s
         return pa.table(
             {
@@ -102,7 +111,7 @@ def ann_brute_force(ds, queries: np.ndarray, k: int = 5, id_col: str = "vec_id",
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([score_col, id_col],
-                          ascending=[metric != "cosine", True], kind="stable").head(k)
+                          ascending=[metric == "sqeuclid", True], kind="stable").head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g

@@ -731,3 +731,27 @@ def test_approx_distinct_by_group(ray_session):
         assert abs(got[k] - n) / n < 0.05  # ~1.6% expected at p=12
     # tiny groups sit in the linear-counting regime: near-exact
     assert got["c"] == pytest.approx(3.0, rel=1e-2)
+
+
+def test_ann_dot_metric_matches_numpy(ray_session):
+    """metric='dot' (MIPS): top-k by inner product, descending, id-tie
+    ascending — vs a brute numpy oracle on integer-valued embeddings."""
+    import ray.data
+
+    from geotrellis_ray.stages.ann import ann_brute_force
+
+    rng = np.random.default_rng(7)
+    emb = rng.integers(0, 9, size=(300, 8)).astype(np.float64)
+    q = rng.integers(0, 9, size=(3, 8)).astype(np.float64)
+    tab = pa.table({"vec_id": pa.array(np.arange(300), pa.int64()),
+                    "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+    got = ann_brute_force(ray.data.from_arrow(tab), q, k=5, metric="dot").to_pandas()
+    dots = q @ emb.T  # exact integers in float64
+    for qi in range(3):
+        g = got[got.query_id == qi].sort_values("rank")
+        # the top-k SCORE multiset is deterministic (ids are not under
+        # boundary ties — same convention as q_ann_sqeuclid/q_ann_dot)
+        want = np.sort(dots[qi])[::-1][:5]
+        assert g["dot"].tolist() == want.tolist()
+        # and every returned id really has the reported score
+        assert (dots[qi][g["vec_id"].to_numpy()] == g["dot"].to_numpy()).all()
