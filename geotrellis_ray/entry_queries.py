@@ -1884,6 +1884,62 @@ def _sql_cliptogrid_rects() -> str:
     """
 
 
+def q_geojson_rects(sf_dir: str):
+    """The GeoJSON SOURCE path SQL-BIT-EXACT (round-4 late conversion;
+    q_geojson_cliptogrid over the general polygon fixture remains
+    rows-only): the dyadic rect fixture is exported as GeoJSON
+    FeatureCollection files (dyadic coordinates survive json repr/parse
+    EXACTLY), read back distributed through the real read_geojson source,
+    and clipped to the grid — so the oracle's integer rect-cover closed
+    form (_sql_cliptogrid_rects shape) verifies the whole
+    encode -> file -> parse -> WKB -> clip chain: any coordinate
+    corruption anywhere in the codec would change a cover count."""
+    import json
+    import os
+
+    import ray.data
+
+    from .core import wkb as wkb_mod
+    from .core.geojson import geom_to_geojson, read_geojson
+    from .fixtures import gen_rect_features
+    from .stages.agg import partial_groupby
+    from .stages.clip import clip_to_grid_batch
+
+    d = "/tmp/graft_geojson_rects"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        tab = gen_rect_features()
+        geoms = [wkb_mod.decode(b) for b in tab["wkb"].to_pylist()]
+        pids = tab["polygon_id"].to_pylist()
+        for k in range(4):
+            feats = [
+                {"type": "Feature", "geometry": geom_to_geojson(geoms[i]),
+                 "properties": {"polygon_id": pids[i]}}
+                for i in range(len(geoms)) if i % 4 == k
+            ]
+            with open(f"{d}/part-{k}.geojson", "w") as f:
+                json.dump({"type": "FeatureCollection", "features": feats}, f)
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 8, 32, 32))
+    ds = read_geojson(d)
+
+    def with_pid(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        pids = pa.array([_json.loads(p)["polygon_id"] for p in b["properties"].to_pylist()], pa.int64())
+        return pa.table({"polygon_id": pids, "wkb": b["wkb"]})
+
+    exploded = ds.map_batches(with_pid, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: b.append_column("full_i", b["full"].cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial_groupby(
+        exploded, ["polygon_id"],
+        [("key_col", "count", "n_keys"), ("full_i", "sum", "n_full")],
+        final="single")
+
+
 def q_cliptogrid_toy(sf_dir: str):
     import ray.data
 
@@ -5619,6 +5675,7 @@ def build_queries() -> dict:
         "q_voronoi_assign": q_voronoi_assign,
         "q_rasterize_rects": q_rasterize_rects,
         "q_cliptogrid_rects": q_cliptogrid_rects,
+        "q_geojson_rects": q_geojson_rects,
         "q_geotiff_sums": q_geotiff_sums,
         "q_layer_algebra_sums": q_layer_algebra_sums,
         "q_merge_layers_sums": q_merge_layers_sums,
@@ -5681,7 +5738,7 @@ def build_queries() -> dict:
     # FIRST possible hash verification
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
-        "q_audio_meta", "q_hll_registers", "q_ann_dot",
+        "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5820,6 +5877,7 @@ def build_oracle_sql() -> dict:
         "q_audio_meta": _sql_audio_meta(),
         "q_hll_registers": _sql_hll_registers(),
         "q_ann_dot": _sql_ann_dot(),
+        "q_geojson_rects": _sql_cliptogrid_rects(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),
