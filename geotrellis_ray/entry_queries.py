@@ -4446,6 +4446,113 @@ def q_etl_pipeline(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_etl_grid(sf_dir: str):
+    """The composed GeoTrellis ETL spec SQL-BIT-EXACT (round-4 late
+    conversion; the byte-count variant q_etl_pipeline remains rows-only):
+    ONE JSON pipeline (pipelines/spec.py:run_spec) runs
+    read.geotiffs -> tile_to_layout -> pyramid.up_levels(2 -> 0) over a
+    32x32 world with the linear plane v = 3*col + 7*row + 1, then
+    render.png per zoom. Every stage output has an integer/dyadic closed
+    form: pyramid values are nested 2x2 averages (integer sums / 4.0,
+    exact dyadics at every level, order-independent), and the PNG pass is
+    verified by decode (encode_png -> decode_png round trip) into
+    per-tile channel sums of the ColorMap classification. Output per
+    (zoom, tile): value sum + decoded RGBA channel sums."""
+    import os
+    import tempfile
+
+    from .core.layout import Extent as Ext2
+    from .core.media import decode_png
+    from .core.raster import decode_tile
+    from .pipelines.spec import run_spec
+    from .sources.layer import read_layer
+
+    from .core.geotiff import encode_geotiff
+
+    rows_out = []
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        tifs = os.path.join(td, "tifs")
+        os.makedirs(tifs)
+        rr, cc = np.mgrid[0:32, 0:32]
+        world = (3 * cc + 7 * rr + 1).astype(np.float64)  # row 0 = world top
+        for qx in range(2):
+            for qy in range(2):
+                sub = world[qy * 16:(qy + 1) * 16, qx * 16:(qx + 1) * 16]
+                ext = Ext2(qx * 16.0, 32.0 - (qy + 1) * 16.0,
+                           (qx + 1) * 16.0, 32.0 - qy * 16.0)
+                with open(os.path.join(tifs, f"q{qx}{qy}.tif"), "wb") as f:
+                    f.write(encode_geotiff(ext, sub, epsg=4326, tile_size=None))
+        catalog = os.path.join(td, "catalog")
+        run_spec([
+            {"op": "read.geotiffs", "path": tifs},
+            {"op": "transform.tile_to_layout", "extent": [0.0, 0.0, 32.0, 32.0],
+             "tile_layout": [4, 4, 8, 8]},
+            {"op": "pyramid.up_levels", "catalog": catalog, "name": "etl",
+             "zoom": 2, "down_to": 0},
+        ])
+        for z in (2, 1, 0):
+            sums = {}
+            for row in read_layer(catalog, "etl", z).take_all():
+                t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+                sums[(row["key_col"], row["key_row"])] = float(t.sum())
+            pngs = run_spec([
+                {"op": "read.parquet", "path": os.path.join(catalog, "etl", str(z))},
+                {"op": "render.png", "breaks": [100.0, 200.0, 1000.0],
+                 "colors": [[10, 20, 30, 255], [60, 70, 80, 255],
+                            [110, 120, 130, 255]]},
+            ]).take_all()
+            for row in pngs:
+                rgba = decode_png(row["png"]).astype(np.int64)
+                k = (row["key_col"], row["key_row"])
+                rows_out.append({
+                    "zoom": z, "key_col": int(k[0]), "key_row": int(k[1]),
+                    "sum_val": sums[k],
+                    "sum_r": int(rgba[:, :, 0].sum()), "sum_g": int(rgba[:, :, 1].sum()),
+                    "sum_b": int(rgba[:, :, 2].sum()), "sum_a": int(rgba[:, :, 3].sum()),
+                })
+    import ray.data
+
+    schema = pa.schema([("zoom", pa.int64()), ("key_col", pa.int64()),
+                        ("key_row", pa.int64()), ("sum_val", pa.float64()),
+                        ("sum_r", pa.int64()), ("sum_g", pa.int64()),
+                        ("sum_b", pa.int64()), ("sum_a", pa.int64())])
+    return ray.data.from_arrow(pa.Table.from_pylist(rows_out, schema=schema))
+
+
+def _sql_etl_grid() -> str:
+    chan = []
+    for name, j in (("sum_r", 0), ("sum_g", 1), ("sum_b", 2)):
+        base, step = 10 + 10 * j, 50
+        chan.append(f"""CAST(sum(CASE WHEN v <= 100 THEN {base}
+               WHEN v <= 200 THEN {base + step}
+               ELSE {base + 2 * step} END) AS BIGINT) AS {name}""")
+    cols = ",\n           ".join(chan)
+
+    def level(src: str, out: str) -> str:
+        return f"""
+    {out} AS MATERIALIZED (
+        SELECT r // 2 AS r, c // 2 AS c, CAST(sum(v) AS DOUBLE) / 4.0 AS v
+        FROM {src} GROUP BY 1, 2
+    )"""
+
+    def per_zoom(src: str, z: int) -> str:
+        return f"""
+    SELECT {z} AS zoom, c // 8 AS key_col, r // 8 AS key_row,
+           sum(v) AS sum_val,
+           {cols},
+           CAST(sum(255) AS BIGINT) AS sum_a
+    FROM {src} GROUP BY 2, 3"""
+
+    return f"""
+    WITH z2 AS MATERIALIZED (
+        SELECT CAST(i // 32 AS BIGINT) AS r, CAST(i % 32 AS BIGINT) AS c,
+               CAST(3 * (i % 32) + 7 * (i // 32) + 1 AS DOUBLE) AS v
+        FROM range(0, 1024) t(i)
+    ),{level('z2', 'z1')},{level('z1', 'z0')}
+    {per_zoom('z2', 2)} UNION ALL {per_zoom('z1', 1)} UNION ALL {per_zoom('z0', 0)}
+    """
+
+
 def q_jpeg_features(sf_dir: str):
     """Multimodal pipeline over REAL JPEG payloads (core/jpeg.py — own
     baseline T.81 codec, round 3): deterministic structured image per doc
@@ -5642,6 +5749,7 @@ def build_queries() -> dict:
         "q_image_near_dups": q_image_near_dups,
         "q_jpeg_features": q_jpeg_features,
         "q_etl_pipeline": q_etl_pipeline,
+        "q_etl_grid": q_etl_grid,
         "q_script_stats": q_script_stats,
         "q_normalize_grid": q_normalize_grid,
         "q_temporal_median": q_temporal_median,
@@ -5739,6 +5847,7 @@ def build_queries() -> dict:
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
+        "q_etl_grid",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5878,6 +5987,7 @@ def build_oracle_sql() -> dict:
         "q_hll_registers": _sql_hll_registers(),
         "q_ann_dot": _sql_ann_dot(),
         "q_geojson_rects": _sql_cliptogrid_rects(),
+        "q_etl_grid": _sql_etl_grid(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),
