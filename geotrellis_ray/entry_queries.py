@@ -5049,6 +5049,82 @@ def q_idw_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_idw_grid(sf_dir: str):
+    """IDW interpolation SQL-BIT-EXACT (round-4 late conversion; the
+    per-tile-mean q_idw_toy remains rows-only). Three levers: (1) the
+    _kd_layout cell centers are exact dyadics, so DuckDB recomputes them
+    without rounding drift; (2) power=2 takes the reciprocal fast path
+    (w = 1/d2 — one correctly-rounded op, no np.power); (3) with EXACTLY 8
+    samples, numpy's axis-1 reduction is the fixed pairwise tree
+    ((w1+w2)+(w3+w4)) + ((w5+w6)+(w7+w8)) (verified), which the oracle
+    spells out literally. Samples: events with event_id % 1250 == 0,
+    ordered by event_id. Output: (gr, gc, val) per cell."""
+    from .core.raster import decode_tile
+    from .stages.interpolation import idw_interpolation
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    ds = ds.map_batches(_mod_filter("event_id", 1250), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
+                         batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    pts = pts.sort_values("event_id").reset_index(drop=True)
+    if len(pts) != 8:
+        raise ValueError(f"q_idw_grid needs exactly 8 samples, got {len(pts)}")
+    pts = pts.rename(columns={"lon": "x", "lat": "y"})
+    surf = idw_interpolation(pts, _kd_layout(), (0, 0, 3, 3), power=2.0)
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        gr, gc, vals = [], [], []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            rr, cc = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+            gr.extend((row["key_row"] * 16 + rr).ravel().tolist())
+            gc.extend((row["key_col"] * 16 + cc).ravel().tolist())
+            vals.extend(t.ravel().tolist())
+        return pa.table({"gr": pa.array(gr, pa.int64()), "gc": pa.array(gc, pa.int64()),
+                         "val": pa.array(vals, pa.float64())})
+
+    return surf.map_batches(per_cell, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_idw_grid() -> str:
+    wexprs = [f"max(CASE WHEN rn = {k} THEN w END)" for k in range(1, 9)]
+    nexprs = [f"max(CASE WHEN rn = {k} THEN w * v END)" for k in range(1, 9)]
+
+    def tree(e: list) -> str:
+        return (f"((({e[0]}) + ({e[1]})) + (({e[2]}) + ({e[3]})))"
+                f" + ((({e[4]}) + ({e[5]})) + (({e[6]}) + ({e[7]})))")
+
+    return f"""
+    WITH s AS (
+        SELECT value AS v,
+               -85.0  + CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 * 170.0 AS lat,
+               -180.0 + CAST((event_id * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon,
+               row_number() OVER (ORDER BY event_id) AS rn
+        FROM events WHERE event_id % 1250 = 0
+    ),
+    cells AS (
+        SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
+               (-180.0 + (i % 64 // 16) * 90.0)
+                 + ((i % 64 % 16) + 0.5) * (90.0 / 16.0) AS cx,
+               (85.0 - (i // 64 // 16) * 42.5)
+                 - ((i // 64 % 16) + 0.5) * (42.5 / 16.0) AS cy
+        FROM range(0, 4096) t(i)
+    ),
+    wts AS (
+        SELECT c.gr, c.gc, s.rn, s.v,
+               1.0 / ((c.cx - s.lon) * (c.cx - s.lon)
+                     + (c.cy - s.lat) * (c.cy - s.lat)) AS w
+        FROM cells c JOIN s ON TRUE
+    ),
+    piv AS (
+        SELECT gr, gc, {tree(wexprs)} AS wsum, {tree(nexprs)} AS num
+        FROM wts GROUP BY gr, gc
+    )
+    SELECT gr, gc, num / wsum AS val FROM piv
+    """
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct counts (stages/stats.approx_distinct): one ~4 KB
     sketch per block, tree-merged; the data never shuffles. Rows-only (the
@@ -5775,6 +5851,7 @@ def build_queries() -> dict:
         "q_convex_hull": q_convex_hull,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
+        "q_idw_grid": q_idw_grid,
         "q_kriging_toy": q_kriging_toy,
         "q_universal_kriging_toy": q_universal_kriging_toy,
         "q_approx_distinct": q_approx_distinct,
@@ -5847,7 +5924,7 @@ def build_queries() -> dict:
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
-        "q_etl_grid",
+        "q_etl_grid", "q_idw_grid",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -5988,6 +6065,7 @@ def build_oracle_sql() -> dict:
         "q_ann_dot": _sql_ann_dot(),
         "q_geojson_rects": _sql_cliptogrid_rects(),
         "q_etl_grid": _sql_etl_grid(),
+        "q_idw_grid": _sql_idw_grid(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

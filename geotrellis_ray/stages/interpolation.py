@@ -206,7 +206,14 @@ class _IdwSurface(_SampleSurface):
         if self.radius is not None:
             d2 = np.where(d2 > self.radius * self.radius, np.inf, d2)
         with np.errstate(divide="ignore", invalid="ignore"):
-            w = 1.0 / np.power(d2, self.power / 2.0)
+            if self.power == 2.0:
+                # the default case: one reciprocal, not a pow — ~10x less
+                # per-cell work AND reproducible (np.power(x, 1.0) is NOT
+                # the identity: ~1% last-ulp deviations, measured), which
+                # is what lets the q_idw_grid SQL oracle replay the surface
+                w = 1.0 / d2
+            else:
+                w = 1.0 / np.power(d2, self.power / 2.0)
             wsum = w.sum(axis=1)
             vals = (w * self.vals[None, :]).sum(axis=1) / wsum
         # exact/near hits (or an inf weight overflowing the sum): nearest

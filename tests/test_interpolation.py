@@ -500,3 +500,36 @@ def test_region_border_pairing_block_split_invariance():
     for cut in range(1, len(rows)):
         assert run([cut]) == want, f"cut at {cut}"
     assert run(list(range(1, len(rows)))) == want  # one row per block
+
+
+def test_numpy_8_sample_sum_is_the_fixed_pairwise_tree():
+    """The q_idw_grid SQL oracle spells numpy's axis-1 reduction out as
+    ((a+b)+(c+d)) + ((e+f)+(g+h)); pin that this IS what numpy computes for
+    exactly 8 contiguous elements (the fixture's sample count)."""
+    rng = np.random.default_rng(11)
+    w = rng.random((512, 8)) * 1e3
+    tree = ((w[:, 0] + w[:, 1]) + (w[:, 2] + w[:, 3])) + (
+        (w[:, 4] + w[:, 5]) + (w[:, 6] + w[:, 7]))
+    assert np.array_equal(w.sum(axis=1), tree)
+
+
+def test_idw_power2_reciprocal_fast_path_matches_pow():
+    """power=2 takes w=1/d2 (no np.power); same math, tolerance-level equal
+    to the generic pow path."""
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.stages.interpolation import _IdwSurface
+
+    layout = LayoutDefinition(Extent(0.0, 0.0, 16.0, 16.0), TileLayout(1, 1, 8, 8))
+
+    class Fake(_IdwSurface):
+        def __init__(self, power):
+            self.xs = np.array([1.0, 3.7, 9.2, 14.1])
+            self.ys = np.array([2.0, 8.8, 4.4, 12.3])
+            self.vals = np.array([5.0, 7.0, 1.0, 3.0])
+            self.layout = layout
+            self.power = power
+            self.radius = None
+
+    a = Fake(2.0).tile_values(layout.key_to_extent(0, 0))
+    b = Fake(2.0 + 1e-300).tile_values(layout.key_to_extent(0, 0))  # pow path
+    assert np.allclose(a, b, rtol=1e-12)
