@@ -1059,6 +1059,106 @@ def q_pages_extract_geocode(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_pages_extract_sql(sf_dir: str):
+    """THE north-star invariant SQL-BIT-EXACT (round-4 late conversion):
+    byte-identical extracted text per url, verified end-to-end by an
+    external oracle. Runs the REAL pipeline (read_parquet over the
+    2000-page corpus -> stages/enrich.enrich_batch with verify_text=True:
+    RE2-vectorized extract_text + geocode with geotag precedence) and
+    emits (url, sha256(text)[:16], lat, lon). The DuckDB oracle
+    reconstructs every page from scratch — sha256(url) -> word list ->
+    the extraction closed form 'Page i Page i <body>' -> sha256 — and
+    replays the geocode float chain (hash coords, skew remap, and the
+    %.6f geotag round trip via printf) bit-for-bit. Any byte drift in the
+    extractor, the entity/whitespace rules, or the geocoder flips the
+    sha/float and fails the hash compare. n is pinned at 2000 so the
+    oracle is sf-independent (q_pages_extract_geocode covers the
+    sf-scaled corpus, rows-only)."""
+    import hashlib
+
+    import ray.data
+
+    from .fixtures import write_pages_parquet
+    from .stages.enrich import enrich_batch
+
+    # dedicated dir (not the shared _pages_dir cache): read_parquet scans
+    # every file in the dir, so a cache shared with other shard layouts
+    # could add stale shards
+    write_pages_parquet("/tmp/graft_pages_sqloracle", 2_000, shard_rows=500)
+    ds = ray.data.read_parquet("/tmp/graft_pages_sqloracle")
+
+    def f(b: pa.Table) -> pa.Table:
+        e = enrich_batch(b, verify_text=True)
+        sha = pa.array(
+            [hashlib.sha256(t.encode()).hexdigest()[:16] for t in e["text"].to_pylist()], pa.string()
+        )
+        return pa.table({"url": e["url"], "text_sha": sha, "lat": e["lat"], "lon": e["lon"]})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_pages_extract(n: int = 2_000) -> str:
+    from .fixtures import WORDLIST
+
+    hexd = "strpos('0123456789abcdef', substr(s, {i}, 1)) - 1"
+
+    def hexbyte(pos: str) -> str:
+        return (f"(16 * ({hexd.format(i=f'2*({pos})+1')})"
+                f" + ({hexd.format(i=f'2*({pos})+2')}))")
+
+    h_fold = " + ".join(
+        f"CAST({hexd.format(i=k + 1)} AS HUGEINT) * {16 ** (15 - k)}"
+        for k in range(16))
+    words_vals = ", ".join(f"({k}, '{w}')" for k, w in enumerate(WORDLIST))
+    maxlat = "85.05112878"
+    return f"""
+    WITH pages AS MATERIALIZED (
+        SELECT i, 'https://site' || (i % 997) || '.example/p/' || i AS url
+        FROM range(0, {n}) t(i)
+    ),
+    hh AS MATERIALIZED (
+        SELECT i, url, s, {h_fold} AS h
+        FROM (SELECT i, url, sha256(url) AS s FROM pages)
+    ),
+    wl(widx, w) AS (VALUES {words_vals}),
+    clusters(cid, clat, clon) AS (VALUES
+        (0, 40.71, -74.01), (1, 51.51, -0.13), (2, 35.68, 139.69),
+        (3, -23.55, -46.63), (4, 19.08, 72.88)),
+    body AS MATERIALIZED (
+        SELECT hh.i, string_agg(wl.w, ' ' ORDER BY j.j) AS body
+        FROM hh
+        JOIN range(0, 81) j(j) ON j.j < 20 + hh.h % 61
+        JOIN wl ON wl.widx = ({hexbyte('j.j % 32')} + j.j) % 256
+        GROUP BY hh.i
+    ),
+    txt AS MATERIALIZED (
+        SELECT hh.i, hh.url, hh.h,
+               'Page ' || hh.i || ' Page ' || hh.i || ' ' || b.body AS text
+        FROM hh JOIN body b ON b.i = hh.i
+    ),
+    geo AS MATERIALIZED (
+        SELECT t.i, t.url, t.text,
+               CAST(t.h % 4294967296 AS DOUBLE) AS lo32,
+               CAST(t.h // 4294967296 AS DOUBLE) AS hi32,
+               t.h % 100 < 80 AS skew,
+               CAST((t.h // 65536) % 65536 AS DOUBLE) / 65535.0 AS f_lat,
+               CAST((t.h // 1099511627776) % 65536 AS DOUBLE) / 65535.0 AS f_lon,
+               c.clat, c.clon
+        FROM txt t JOIN clusters c ON c.cid = CAST(t.h % 5 AS BIGINT)
+    )
+    SELECT url, substr(sha256(text), 1, 16) AS text_sha,
+           CASE WHEN i % 5 = 0
+                THEN CAST(printf('%.6f', clat - 1.0 + f_lat * 2.0) AS DOUBLE)
+                WHEN skew THEN clat - 1.0 + f_lat * 2.0
+                ELSE -{maxlat} + lo32 / 4294967295.0 * 2.0 * {maxlat} END AS lat,
+           CASE WHEN i % 5 = 0
+                THEN CAST(printf('%.6f', clon - 1.0 + f_lon * 2.0) AS DOUBLE)
+                WHEN skew THEN clon - 1.0 + f_lon * 2.0
+                ELSE -180.0 + hi32 / 4294967295.0 * 360.0 END AS lon
+    FROM geo
+    """
+
+
 SQL_CELL_COUNTS_HEX = f"""
     WITH pts AS ({SQL_COORDS}),
     f AS (SELECT sqrt(3.0)/3.0*(lon/5.625) - (1.0/3.0)*(lat/5.625) AS xf,
@@ -5799,6 +5899,7 @@ def build_queries() -> dict:
         "q_flagship_pages": q_flagship_pages,
         "q_flagship_resumable": q_flagship_resumable,
         "q_pages_extract_geocode": q_pages_extract_geocode,
+        "q_pages_extract_sql": q_pages_extract_sql,
         "q_cell_counts_hex": q_cell_counts_hex,
         "q_cell_counts_s2": q_cell_counts_s2,
         "q_cell_counts_geohash": q_cell_counts_geohash,
@@ -5924,7 +6025,7 @@ def build_queries() -> dict:
     sql_new_r4 = [
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
-        "q_etl_grid", "q_idw_grid",
+        "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -6066,6 +6167,7 @@ def build_oracle_sql() -> dict:
         "q_geojson_rects": _sql_cliptogrid_rects(),
         "q_etl_grid": _sql_etl_grid(),
         "q_idw_grid": _sql_idw_grid(),
+        "q_pages_extract_sql": _sql_pages_extract(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),
