@@ -4268,9 +4268,14 @@ def q_image_near_dups(sf_dir: str):
     BMP payloads synthesized per doc (structured gradient image shared by a
     doc-id family + a tiny per-doc edit), actor-pool decode -> dHash ->
     shared band-blocked all-pairs Hamming verify. Pixels never leave the
-    decode stage; only (id, dhash) shuffles. Rows-only (binary payloads are
-    not SQL-expressible); planted-pair exactness is pytest-verified against
-    a brute pairwise oracle (test_media)."""
+    decode stage; only (id, dhash) shuffles. SQL-BIT-EXACT (round-4 late
+    conversion): BMP is lossless and dHash is integer arithmetic plus one
+    correctly-rounded division per box cell, so the oracle
+    (_sql_image_near_dups) recomputes pixels -> luma -> 8x9 box averages ->
+    gradient bits from the doc ids and verifies the exact (id_a, id_b,
+    hamming) pair set — any decode, luma, pooling, banding, or
+    boundary-stitch defect changes the pair set. Planted-pair pytest
+    (test_media) remains."""
     from .core.media import encode_bmp
     from .stages.multimodal import image_near_dups
 
@@ -4294,6 +4299,58 @@ def q_image_near_dups(sf_dir: str):
 
     media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
     return image_near_dups(media, max_hamming=3)
+
+
+def _sql_image_near_dups() -> str:
+    cbs = [(32 * j) // 9 for j in range(10)]
+    colmap = ", ".join(
+        f"({x}, {next(j for j in range(9) if cbs[j] <= x < cbs[j + 1])})"
+        for x in range(32))
+    areas = ", ".join(f"({j}, {4 * (cbs[j + 1] - cbs[j])})" for j in range(9))
+    patch = ("p.i // 32 >= d.er AND p.i // 32 < d.er + 2"
+             " AND p.i % 32 >= d.ec AND p.i % 32 < d.ec + 2")
+    return f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id AS d, doc_id % 150 AS f,
+               (doc_id // 150) % 28 AS er, (doc_id * 13) % 28 AS ec
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    colmap(x, j) AS (VALUES {colmap}),
+    areas(j, area) AS (VALUES {areas}),
+    px AS MATERIALIZED (
+        SELECT d.d, p.i % 32 AS x, p.i // 32 AS y,
+               CASE WHEN {patch} THEN 0
+                    ELSE ((p.i % 32) * (d.f % 7 + 2)) % 256 END AS r,
+               CASE WHEN {patch} THEN 0
+                    ELSE ((p.i // 32) * (d.f % 5 + 3)) % 256 END AS g,
+               CASE WHEN {patch} THEN 0
+                    ELSE (((p.i % 32) + (p.i // 32)) * (d.f % 11 + 1)) % 256
+               END AS b
+        FROM docs d JOIN range(0, 1024) p(i) ON TRUE
+    ),
+    luma AS MATERIALIZED (
+        SELECT d, x, y, (r * 299 + g * 587 + b * 114) // 1000 AS lum FROM px
+    ),
+    boxes AS MATERIALIZED (
+        SELECT l.d, l.y // 4 AS bi, c.j AS bj,
+               CAST(sum(l.lum) AS DOUBLE) / a.area AS small
+        FROM luma l JOIN colmap c ON c.x = l.x JOIN areas a ON a.j = c.j
+        GROUP BY l.d, l.y // 4, c.j, a.area
+    ),
+    bits AS MATERIALIZED (
+        SELECT b0.d, b0.bi * 8 + b0.bj AS bit, (b0.small < b1.small) AS v
+        FROM boxes b0 JOIN boxes b1
+          ON b1.d = b0.d AND b1.bi = b0.bi AND b1.bj = b0.bj + 1
+        WHERE b0.bj < 8
+    ),
+    pairs AS (
+        SELECT a.d AS id_a, b.d AS id_b,
+               CAST(sum(CASE WHEN a.v != b.v THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM bits a JOIN bits b ON b.bit = a.bit AND b.d > a.d
+        GROUP BY a.d, b.d
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """
 
 
 def q_script_stats(sf_dir: str):
@@ -6026,6 +6083,7 @@ def build_queries() -> dict:
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
         "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
+        "q_image_near_dups",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -6168,6 +6226,7 @@ def build_oracle_sql() -> dict:
         "q_etl_grid": _sql_etl_grid(),
         "q_idw_grid": _sql_idw_grid(),
         "q_pages_extract_sql": _sql_pages_extract(),
+        "q_image_near_dups": _sql_image_near_dups(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),
