@@ -5568,6 +5568,100 @@ def q_tin_toy(sf_dir: str):
     return surf.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tin_grid_samples():
+    """Integer-lattice sample sites + affine values for q_tin_grid."""
+    from .stages.sample import mix32
+
+    ids = np.arange(0, 10000, 400, dtype=np.int64)  # 25 sites
+    x = (-180 + (mix32(ids) % 360)).astype(np.float64)
+    y = (-85 + (mix32(ids + 777) % 170)).astype(np.float64)
+    return ids, x, y, 2.0 * x + 3.0 * y + 7.0
+
+
+def q_tin_grid(sf_dir: str):
+    """Delaunay TIN SQL-CHECKED via the exact-affine-reproduction property
+    (round-4 late conversion; q_tin_toy remains rows-only). Samples sit on
+    an integer lattice with AFFINE values v = 2x + 3y + 7, so (1) every
+    triangulation of the hull interpolates the same plane — the engine's
+    jittered Bowyer-Watson choice is value-irrelevant, fp noise ~1e-12 —
+    and (2) hull membership is exact integer cross-product arithmetic the
+    oracle replays verbatim. Output values round to 6 decimals; the exact
+    values have <= 6 decimal digits (dyadic cell centers x integer
+    coefficients), so round-6 is exact, the 5e-7 boundary margin dwarfs
+    the engine's ~1e-12 fp noise, and hull-edge clearance is pinned at
+    1e-3 (test_interpolation).
+    Any hole in the triangulation, wrong barycentric weights, or hull
+    over/under-coverage flips a cell."""
+    from .core.raster import decode_tile
+    from .stages.interpolation import tin_interpolation
+
+    import pandas as pd
+
+    ids, x, y, vals = _tin_grid_samples()
+    pts = pd.DataFrame({"x": x, "y": y, "value": vals, "event_id": ids})
+    surf = tin_interpolation(pts, _kd_layout(), (0, 0, 3, 3))
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        gr, gc, out = [], [], []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            rr, cc = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+            gr.extend((row["key_row"] * 16 + rr).ravel().tolist())
+            gc.extend((row["key_col"] * 16 + cc).ravel().tolist())
+            out.extend(None if np.isnan(v) else float(np.round(v, 6))
+                       for v in t.ravel())
+        return pa.table({"gr": pa.array(gr, pa.int64()), "gc": pa.array(gc, pa.int64()),
+                         "val": pa.array(out, pa.float64())})
+
+    return surf.map_batches(per_cell, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tin_hull() -> list:
+    """Convex hull (CCW) of the integer sample lattice — exact monotone
+    chain on ints."""
+    _ids, x, y, _v = _tin_grid_samples()
+    pts = sorted(set(zip(x.astype(int).tolist(), y.astype(int).tolist())))
+
+    def half(ps):
+        h = []
+        for p in ps:
+            while len(h) >= 2 and ((h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                                   - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lo, hi = half(pts), half(pts[::-1])
+    return lo[:-1] + hi[:-1]
+
+
+def _sql_tin_grid() -> str:
+    hull = _tin_hull()
+    hull_vals = ", ".join(f"({k}, {px}, {py})" for k, (px, py) in enumerate(hull))
+    return f"""
+    WITH hull(k, hx, hy) AS (VALUES {hull_vals}),
+    cells AS (
+        SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
+               (-180.0 + (i % 64 // 16) * 90.0)
+                 + ((i % 64 % 16) + 0.5) * (90.0 / 16.0) AS cx,
+               (85.0 - (i // 64 // 16) * 42.5)
+                 - ((i // 64 % 16) + 0.5) * (42.5 / 16.0) AS cy
+        FROM range(0, 4096) t(i)
+    ),
+    inhull AS (
+        SELECT c.gr, c.gc, c.cx, c.cy,
+               bool_and((h2.hx - h.hx) * (c.cy - h.hy)
+                        - (h2.hy - h.hy) * (c.cx - h.hx) >= 0) AS inside
+        FROM cells c JOIN hull h ON TRUE
+        JOIN hull h2 ON h2.k = (h.k + 1) % {len(hull)}
+        GROUP BY c.gr, c.gc, c.cx, c.cy
+    )
+    SELECT gr, gc,
+           CASE WHEN inside THEN round(2.0 * cx + 3.0 * cy + 7.0, 6) END AS val
+    FROM inhull
+    """
+
+
 def q_voronoi_assign(sf_dir: str):
     """Voronoi diagram (core/delaunay.voronoi_cells — the Delaunay dual,
     extent rect ∩ neighbor-bisector half-planes; stages/overlay
@@ -6015,6 +6109,7 @@ def build_queries() -> dict:
         "q_approx_distinct": q_approx_distinct,
         "q_hll_registers": q_hll_registers,
         "q_tin_toy": q_tin_toy,
+        "q_tin_grid": q_tin_grid,
         "q_voronoi_assign": q_voronoi_assign,
         "q_rasterize_rects": q_rasterize_rects,
         "q_cliptogrid_rects": q_cliptogrid_rects,
@@ -6083,7 +6178,7 @@ def build_queries() -> dict:
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
         "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
-        "q_image_near_dups",
+        "q_image_near_dups", "q_tin_grid",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -6227,6 +6322,7 @@ def build_oracle_sql() -> dict:
         "q_idw_grid": _sql_idw_grid(),
         "q_pages_extract_sql": _sql_pages_extract(),
         "q_image_near_dups": _sql_image_near_dups(),
+        "q_tin_grid": _sql_tin_grid(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

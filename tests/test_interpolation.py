@@ -533,3 +533,27 @@ def test_idw_power2_reciprocal_fast_path_matches_pow():
     a = Fake(2.0).tile_values(layout.key_to_extent(0, 0))
     b = Fake(2.0 + 1e-300).tile_values(layout.key_to_extent(0, 0))  # pow path
     assert np.allclose(a, b, rtol=1e-12)
+
+
+def test_tin_grid_fixture_margins():
+    """q_tin_grid oracle preconditions: every cell center is >= 1e-3 from
+    every hull edge (so the engine's 1e-7-jittered triangulation and the
+    oracle's exact hull agree on membership), and the exact affine values
+    have <= 4 decimal digits (so round-6 is noise-immune)."""
+    from geotrellis_ray.entry_queries import _tin_grid_samples, _tin_hull
+
+    _ids, x, y, vals = _tin_grid_samples()
+    hull = _tin_hull()
+    cgr, cgc = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    cx = (-180.0 + (cgc // 16) * 90.0) + ((cgc % 16) + 0.5) * (90.0 / 16.0)
+    cy = (85.0 - (cgr // 16) * 42.5) - ((cgr % 16) + 0.5) * (2.65625)
+    mind = np.inf
+    for k in range(len(hull)):
+        ax, ay = hull[k]
+        bx, by = hull[(k + 1) % len(hull)]
+        cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d = np.abs(cross) / np.hypot(bx - ax, by - ay)
+        mind = min(mind, float(d.min()))
+    assert mind > 1e-3
+    v = 2.0 * cx + 3.0 * cy + 7.0
+    assert np.array_equal(np.round(v, 6), v)  # <= 6 decimal digits exactly
