@@ -5994,6 +5994,52 @@ def q_vector_tiles_mvt(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_reproject_webmerc(sf_dir: str):
+    """Vector reproject SQL-CHECKED (round-4 late conversion; the
+    unrounded q_reproject_points and the UTM/OSGB/conic variants remain
+    rows-only — their series expansions are too transcendental-deep for a
+    safe margin). latlng -> WebMercator over events %13: x = R*radians(lon)
+    is BIT-exact vs DuckDB (one shared pi/180 constant multiply, verified),
+    and y = R*ln(tan(pi/4 + lat/2)) is emitted rounded to 2 decimals (cm)
+    with a pinned margin — DuckDB's libm differs from numpy's by < 4e-9 m
+    on this fixture while no y lands within 2.6e-6 m of a rounding
+    boundary (~700x safety, test_reproject_webmerc_margins)."""
+    import pyarrow.compute as pc
+
+    from .stages.reproject import reproject_points_batch
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: derive_coords_batch(b, "event_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = ds.map_batches(_mod_filter("event_id", 13), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = ds.map_batches(
+        lambda b: reproject_points_batch(b, "latlng", "webmercator"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.map_batches(
+        lambda b: pa.table({"event_id": b["event_id"], "x": b["x"],
+                            "y": pc.round(b["y"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _sql_reproject_webmerc() -> str:
+    clamp = ("CASE WHEN lat < -85.05112878 THEN -85.05112878 "
+             "WHEN lat > 85.05112878 THEN 85.05112878 ELSE lat END")
+    return f"""
+    WITH pts AS (
+        SELECT event_id,
+           -85.0  + CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 * 170.0 AS lat,
+           -180.0 + CAST((event_id * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon
+        FROM events WHERE event_id % 13 = 0
+    )
+    SELECT event_id, 6378137.0 * radians(lon) AS x,
+           round(6378137.0 * ln(tan(pi() / 4.0 + radians({clamp}) / 2.0)), 2) AS y
+    FROM pts
+    """
+
+
 def q_reproject_points(sf_dir: str):
     from .stages.reproject import reproject_points_batch
 
@@ -6159,6 +6205,7 @@ def build_queries() -> dict:
         "q_vector_tiles_toy": q_vector_tiles_toy,
         "q_vector_tiles_mvt": q_vector_tiles_mvt,
         "q_reproject_points": q_reproject_points,
+        "q_reproject_webmerc": q_reproject_webmerc,
         "q_reproject_utm": q_reproject_utm,
         "q_reproject_osgb": q_reproject_osgb,
         "q_reproject_conic": q_reproject_conic,
@@ -6178,7 +6225,7 @@ def build_queries() -> dict:
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
         "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
-        "q_image_near_dups", "q_tin_grid",
+        "q_image_near_dups", "q_tin_grid", "q_reproject_webmerc",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -6323,6 +6370,7 @@ def build_oracle_sql() -> dict:
         "q_pages_extract_sql": _sql_pages_extract(),
         "q_image_near_dups": _sql_image_near_dups(),
         "q_tin_grid": _sql_tin_grid(),
+        "q_reproject_webmerc": _sql_reproject_webmerc(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),

@@ -345,3 +345,32 @@ def test_sinusoidal_modis_invariants():
     la, lo = p.inverse(*p.forward(lat, lon))
     np.testing.assert_allclose(la, lat, atol=1e-9)
     np.testing.assert_allclose(lo, lon, atol=1e-9)
+
+
+def test_reproject_webmerc_margins():
+    """q_reproject_webmerc oracle safety: x is bit-exact vs DuckDB's
+    radians path; y's cross-library libm deviation is ~3 orders of
+    magnitude inside the 2-decimal rounding margin on the full fixture."""
+    import duckdb
+
+    from geotrellis_ray.core.mercator import latlng_to_webmercator
+
+    ids = np.arange(0, 10000, 13, dtype=np.int64)
+    lat = -85.0 + ((ids * 2654435761) % 4294967296).astype(np.float64) / 4294967296.0 * 170.0
+    lon = -180.0 + ((ids * 40503) % 65536).astype(np.float64) / 65536.0 * 360.0
+    x, y = latlng_to_webmercator(lat, lon)
+    s = y * 100.0
+    boundary = (np.abs(np.abs(s - np.round(s)) - 0.5) / 100.0).min()
+    assert boundary > 1e-6
+    con = duckdb.connect()
+    xs, ys = con.sql(
+        "SELECT list(6378137.0 * radians(lon) ORDER BY i), "
+        "       list(6378137.0 * ln(tan(pi() / 4.0 + radians("
+        "  CASE WHEN lat < -85.05112878 THEN -85.05112878 "
+        "       WHEN lat > 85.05112878 THEN 85.05112878 ELSE lat END) / 2.0)) ORDER BY i) "
+        "FROM (SELECT i, "
+        " -85.0 + CAST((i * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 * 170.0 AS lat, "
+        " -180.0 + CAST((i * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon "
+        " FROM range(0, 10000) t(i) WHERE i % 13 = 0)").fetchone()
+    assert np.array_equal(np.array(xs), x)
+    assert np.abs(np.array(ys) - y).max() < 1e-8
