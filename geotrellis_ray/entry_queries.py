@@ -4383,13 +4383,45 @@ SQL_SCRIPT_STATS = """
 def q_distinct_users_by_type(sf_dir: str):
     """Grouped approx COUNT(DISTINCT)
     (stages/stats.py:approx_distinct_by): distinct user_id per event_type
-    via one HLL sketch per (key, block), sketch-row shuffle only. Rows-only
-    (HLL is approximate); the 1.6% bound + merge correctness are
-    pytest-verified."""
+    via one HLL sketch per (key, block), sketch-row shuffle only.
+    SQL-CHECKED (round-4 late conversion): per-group cardinality (<= 150
+    users) forces the linear-counting branch m*ln(m/zeros), whose only
+    transcendental is one ln — the oracle replays the splitmix64 registers
+    exactly (same machinery as q_hll_registers), counts zero registers,
+    and matches the estimate rounded to 6 decimals (cross-libm ln
+    deviation ~1e-13 vs a 3.4e-7 boundary margin on this fixture). The
+    registers themselves are hash-verified bit-exact by q_hll_registers;
+    the 1.6% error bound + merge correctness stay pytest-verified."""
+    import pyarrow.compute as pc
+
     from .stages.stats import approx_distinct_by
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return approx_distinct_by(ds, "event_type", "user_id", p=12)
+    out = approx_distinct_by(ds, "event_type", "user_id", p=12)
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("approx_distinct"),
+                               "approx_distinct", pc.round(b["approx_distinct"], 6)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_distinct_users_by_type() -> str:
+    return f"""
+    WITH hs AS (
+        SELECT DISTINCT event_type, {_sql_splitmix64('user_id')} AS h FROM events
+    ),
+    reg AS (
+        SELECT event_type, CAST(h >> 52 AS BIGINT) AS idx,
+               max(53 - (CASE WHEN h % 4503599627370496 = 0 THEN 0
+                              ELSE length(bin(CAST(h % 4503599627370496 AS BIGINT)))
+                         END)) AS r
+        FROM hs GROUP BY 1, 2
+    ),
+    zeros AS (
+        SELECT event_type, 4096 - count(*) AS v FROM reg GROUP BY 1
+    )
+    SELECT event_type, round(4096.0 * ln(4096.0 / v), 6) AS approx_distinct
+    FROM zeros
+    """
 
 
 def q_geom_measures(sf_dir: str):
@@ -6226,6 +6258,7 @@ def build_queries() -> dict:
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
         "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
         "q_image_near_dups", "q_tin_grid", "q_reproject_webmerc",
+        "q_distinct_users_by_type",
         "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
         "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
         "q_flagship_tiles_events", "q_voronoi_assign",
@@ -6371,6 +6404,7 @@ def build_oracle_sql() -> dict:
         "q_image_near_dups": _sql_image_near_dups(),
         "q_tin_grid": _sql_tin_grid(),
         "q_reproject_webmerc": _sql_reproject_webmerc(),
+        "q_distinct_users_by_type": _sql_distinct_users_by_type(),
         "q_ann_sqeuclid": _sql_ann_sqeuclid(),
         "q_vector_tiles_rects": _sql_vector_tiles_rects(),
         "q_render_png_grid": _sql_render_png_grid(),
