@@ -4119,6 +4119,41 @@ SQL_FOCAL_MODE = """
 """
 
 
+def q_convolve_grid(sf_dir: str):
+    """Kernel convolution (stages/layer_ops.py:focal_convolve — GeoTrellis
+    Convolve with an arbitrary Kernel) over the mod-251 hash grid, using a
+    deliberately ASYMMETRIC integer 3x3 kernel [[0,1,2],[3,4,5],[6,7,8]] so
+    any orientation slip (kernel flip, row/col swap) breaks the hash.
+    Cross-tile collars via buffer_tiles; layer-edge neighbors are NoData and
+    drop out of the weighted sum. SQL-checked bit-exact (integer kernel x
+    integer layer -> every partial sum exact in float64)."""
+    from .stages.layer_ops import focal_convolve
+
+    kern = [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+    out = focal_convolve(_hash_grid_layer(3, 16, mod=251), kern)
+    return _explode_tiles_to_cells(out, value_cast="int64", drop_zero=False)
+
+
+SQL_CONVOLVE = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    kern(dx, dy, w) AS (VALUES
+        (-1, -1, 0), (0, -1, 1), (1, -1, 2),
+        (-1,  0, 3), (0,  0, 4), (1,  0, 5),
+        (-1,  1, 6), (0,  1, 7), (1,  1, 8)
+    )
+    SELECT a.x AS cell_x, a.y AS cell_y,
+           CAST(sum(k.w * b.v) AS BIGINT) AS density
+    FROM grid a
+    JOIN kern k ON true
+    JOIN grid b ON b.x = a.x + k.dx AND b.y = a.y + k.dy
+    GROUP BY a.x, a.y
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (stages/sample.py:weighted_sample_topk, Efraimidis–Spirakis keys from
@@ -6169,6 +6204,7 @@ def build_queries() -> dict:
         "q_distinct_users_by_type": q_distinct_users_by_type,
         "q_reclassify_grid": q_reclassify_grid,
         "q_focal_mode_grid": q_focal_mode_grid,
+        "q_convolve_grid": q_convolve_grid,
         "q_weighted_sample": q_weighted_sample,
         "q_focal_mean_grid": q_focal_mean_grid,
         "q_focal_stddev_grid": q_focal_stddev_grid,
@@ -6254,6 +6290,7 @@ def build_queries() -> dict:
     # conversions landed latest-in-round go first: each is that family's
     # FIRST possible hash verification
     sql_new_r4 = [
+        "q_convolve_grid", "q_gopher_repetition",
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
         "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
@@ -6359,6 +6396,7 @@ def build_oracle_sql() -> dict:
         "q_focal_circle_mean_grid": SQL_FOCAL_CIRCLE_MEAN,
         "q_reclassify_grid": SQL_RECLASSIFY,
         "q_focal_mode_grid": SQL_FOCAL_MODE,
+        "q_convolve_grid": SQL_CONVOLVE,
         "q_script_stats": SQL_SCRIPT_STATS,
         "q_normalize_grid": SQL_NORMALIZE,
         "q_temporal_median": SQL_TEMPORAL_MEDIAN,

@@ -158,6 +158,12 @@ def _op_focal(ds, stat: str = "mean", margin: int = 1):
     return focal_op(ds, stat, margin=margin)
 
 
+def _op_focal_convolve(ds, kernel):
+    from ..stages.layer_ops import focal_convolve
+
+    return focal_convolve(ds, kernel)
+
+
 def _op_focal_slope(ds, cell_width: float, cell_height: float, z_factor: float = 1.0):
     from ..stages.layer_ops import focal_slope
 
@@ -406,6 +412,7 @@ for _name, _fn in {
     "local.scalar": _op_local_scalar,
     "focal.mean": _op_focal_mean,
     "focal.op": _op_focal,
+    "focal.convolve": _op_focal_convolve,
     "focal.slope": _op_focal_slope,
     "focal.aspect": _op_focal_aspect,
     "focal.hillshade": _op_focal_hillshade,

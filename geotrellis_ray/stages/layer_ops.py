@@ -388,6 +388,50 @@ def focal_mean(ds, margin: int = 1):
     return focal_op(ds, "mean", margin)
 
 
+def focal_convolve(ds, kernel):
+    """Kernel convolution — geotrellis.raster.mapalgebra.focal.Convolve with
+    an arbitrary odd-square Kernel (ref:raster/.../mapalgebra/focal/
+    Convolve.scala + raster/.../Kernel.scala, L:unverified):
+    out[y, x] = sum over offsets (dy, dx) in [-m, m]^2 of
+    kernel[m+dy, m+dx] * v[y+dy, x+dx], with NoData NEIGHBORS contributing
+    nothing (their weight is dropped, not renormalized — GeoTrellis Kernel
+    semantics) and NoData CENTERS staying NoData. Correlation orientation:
+    the kernel is applied as given (row 0 = the northern row), not flipped.
+
+    Cross-tile windows via buffer_tiles (collar exchange); the reduce is a
+    shift-stack weighted accumulation in row-major offset order — with an
+    integer kernel over an integer-valued layer every partial sum is exact
+    in float64, which is what lets the q_convolve_grid SQL oracle replay the
+    surface bit-for-bit. Scale shape: identical to focal_op — one collar
+    shuffle of 2m-wide edge strips, then per-tile vectorized maps."""
+    kern = np.asarray(kernel, dtype=np.float64)
+    if kern.ndim != 2 or kern.shape[0] != kern.shape[1] or kern.shape[0] % 2 == 0:
+        raise ValueError(f"kernel must be odd-square, got shape {kern.shape}")
+    m = kern.shape[0] // 2
+    k = 2 * m + 1
+    buffered = buffer_tiles(ds, margin=m)
+
+    def fc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)  # (n, R+2m, C+2m)
+        R = cube.shape[1] - 2 * m
+        C = cube.shape[2] - 2 * m
+        center_def = ~np.isnan(cube[:, m:-m, m:-m])
+        out = np.zeros((cube.shape[0], R, C))
+        for dr in range(k):
+            for dc in range(k):
+                w = kern[dr, dc]
+                if w == 0.0:
+                    continue
+                v = cube[:, dr:dr + R, dc:dc + C]
+                out += np.where(np.isnan(v), 0.0, w * v)
+        out = np.where(center_def, out, np.nan)
+        return _tile_table(batch, out)
+
+    return buffered.map_batches(fc, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def layer_resample(ds, out_cols: int, out_rows: int, method: str = "nearest"):
     """Per-tile resample to (out_cols, out_rows) with any RESAMPLE_KERNELS
     method (nearest/bilinear/cubic/average/median/mode —

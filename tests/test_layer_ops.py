@@ -391,3 +391,35 @@ def test_focal_circle_matches_bruteforce(ray_session, op, npfn):
     for (c, r), tile in got.items():
         np.testing.assert_allclose(tile, exp_big[r * T:(r + 1) * T, c * T:(c + 1) * T],
                                    equal_nan=True)
+
+
+def test_focal_convolve_matches_bruteforce(ray_session):
+    """Arbitrary asymmetric 5x5 kernel across tile boundaries with NoData
+    holes: distributed convolve == per-cell double-loop weighted sum that
+    skips NaN neighbors; NaN centers stay NaN."""
+    from geotrellis_ray.stages.layer_ops import focal_convolve
+
+    rng = np.random.default_rng(42)
+    kern = rng.integers(-3, 7, size=(5, 5)).astype(np.float64)
+    m = 2
+    got = layer_to_dict(focal_convolve(make_layer(KEYS), kern))
+    big = _mosaic(KEYS)
+    pad = np.pad(big, m, constant_values=np.nan)
+    exp_big = np.full_like(big, np.nan)
+    for i in range(big.shape[0]):
+        for j in range(big.shape[1]):
+            if np.isnan(big[i, j]):
+                continue
+            w = pad[i:i + 2 * m + 1, j:j + 2 * m + 1]
+            exp_big[i, j] = np.sum(np.where(np.isnan(w), 0.0, kern * w))
+    for (c, r), tile in got.items():
+        assert tile.shape == (T, T)
+        exp = exp_big[r * T:(r + 1) * T, c * T:(c + 1) * T]
+        np.testing.assert_allclose(tile, exp, equal_nan=True, rtol=1e-12)
+
+
+def test_focal_convolve_rejects_even_kernel(ray_session):
+    from geotrellis_ray.stages.layer_ops import focal_convolve
+
+    with pytest.raises(ValueError):
+        focal_convolve(make_layer(KEYS[:1]), np.ones((2, 2)))

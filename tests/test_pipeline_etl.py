@@ -99,7 +99,8 @@ def test_new_spec_ops_run(ray_session, tmp_path):
                   [{"op": "enhance.normalize", "new_min": 0.0, "new_max": 1.0}],
                   [{"op": "enhance.sigmoidal", "alpha": 0.5, "beta": 4.0}],
                   [{"op": "local.reclassify", "breaks": [4.0, 9.0]}],
-                  [{"op": "focal.morans_local"}]):
+                  [{"op": "focal.morans_local"}],
+                  [{"op": "focal.convolve", "kernel": [[0, 1, 0], [1, 2, 1], [0, 1, 0]]}]):
         out = run_spec([{"op": "read.parquet", "path": layp}, *stage])
         assert out.count() == 1
 
