@@ -539,6 +539,96 @@ SQL_LINE_STATS = r"""
 """
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher word-n-gram repetition filters
+    (functions/text_analysis.ngram_repetition_batch): per doc, the char
+    fraction claimed by the most frequent 2-/3-gram and by duplicated
+    5-grams (overlap-union). Batch-local, shuffle-free. SQL-checked — all
+    counts are integers and the fractions are the same int64/int64 double
+    divisions DuckDB performs."""
+    from .functions.text_analysis import ngram_repetition_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ngram_repetition_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_GOPHER_REPETITION = r"""
+    WITH toks0 AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+               generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS sub
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, tok, length(tok) AS clen, sub
+        FROM toks0 WHERE tok <> ''
+    ),
+    tot AS (SELECT doc_id, CAST(sum(clen) AS BIGINT) AS total_chars
+            FROM toks GROUP BY doc_id),
+    w2 AS (
+        SELECT doc_id,
+               tok || chr(31) || lead(tok, 1) OVER w AS gram,
+               clen + lead(clen, 1) OVER w AS gclen
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY sub)
+    ),
+    c2 AS (SELECT doc_id, gram, gclen, count(*) AS cnt FROM w2
+           WHERE gram IS NOT NULL GROUP BY doc_id, gram, gclen),
+    t2 AS (SELECT doc_id, CAST(cnt * gclen AS BIGINT) AS top2_chars FROM c2
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) = 1),
+    w3 AS (
+        SELECT doc_id,
+               tok || chr(31) || lead(tok, 1) OVER w || chr(31) || lead(tok, 2) OVER w AS gram,
+               clen + lead(clen, 1) OVER w + lead(clen, 2) OVER w AS gclen
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY sub)
+    ),
+    c3 AS (SELECT doc_id, gram, gclen, count(*) AS cnt FROM w3
+           WHERE gram IS NOT NULL GROUP BY doc_id, gram, gclen),
+    t3 AS (SELECT doc_id, CAST(cnt * gclen AS BIGINT) AS top3_chars FROM c3
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) = 1),
+    w5 AS (
+        SELECT doc_id, sub, clen,
+               tok || chr(31) || lead(tok, 1) OVER w || chr(31) || lead(tok, 2) OVER w
+                   || chr(31) || lead(tok, 3) OVER w || chr(31) || lead(tok, 4) OVER w AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY sub)
+    ),
+    c5 AS (SELECT doc_id, gram FROM w5 WHERE gram IS NOT NULL
+           GROUP BY doc_id, gram HAVING count(*) > 1),
+    f5 AS (
+        SELECT w5.doc_id, w5.sub, w5.clen,
+               CASE WHEN c5.gram IS NOT NULL THEN 1 ELSE 0 END AS flg
+        FROM w5 LEFT JOIN c5 ON w5.doc_id = c5.doc_id AND w5.gram = c5.gram
+    ),
+    cov AS (
+        SELECT doc_id, clen,
+               max(flg) OVER (PARTITION BY doc_id ORDER BY sub
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+        FROM f5
+    ),
+    d5 AS (SELECT doc_id, CAST(sum(clen * covered) AS BIGINT) AS dup5_chars
+           FROM cov GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(tot.total_chars, 0) AS total_chars,
+           coalesce(t2.top2_chars, 0) AS top2_chars,
+           coalesce(t3.top3_chars, 0) AS top3_chars,
+           coalesce(d5.dup5_chars, 0) AS dup5_chars,
+           CASE WHEN coalesce(tot.total_chars, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(t2.top2_chars, 0) AS DOUBLE) / tot.total_chars
+           END AS top2_frac,
+           CASE WHEN coalesce(tot.total_chars, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(t3.top3_chars, 0) AS DOUBLE) / tot.total_chars
+           END AS top3_frac,
+           CASE WHEN coalesce(tot.total_chars, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(d5.dup5_chars, 0) AS DOUBLE) / tot.total_chars
+           END AS dup5_frac
+    FROM documents d
+    LEFT JOIN tot USING (doc_id) LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (functions/text_analysis.pii_redact_batch): emails ->
     IPv4 -> phone-like digit runs, sequentially, via RE2 kernels shared
@@ -6145,6 +6235,7 @@ def build_queries() -> dict:
         "q_doc_bpe_tokens": q_doc_bpe_tokens,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_line_stats": q_line_stats,
+        "q_gopher_repetition": q_gopher_repetition,
         "q_pii_redact": q_pii_redact,
         "q_domain_stats": q_domain_stats,
         "q_top_terms_sketch": q_top_terms_sketch,
@@ -6353,6 +6444,7 @@ def build_oracle_sql() -> dict:
         "q_doc_bpe_tokens": _sql_bpe(),
         "q_tfidf_top_terms": SQL_TFIDF,
         "q_line_stats": SQL_LINE_STATS,
+        "q_gopher_repetition": SQL_GOPHER_REPETITION,
         "q_pii_redact": _sql_pii(),
         "q_domain_stats": _sql_domain_stats(),
         "q_top_terms_sketch": SQL_TOP_TERMS,

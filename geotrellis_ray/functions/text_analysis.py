@@ -356,3 +356,94 @@ def script_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         out = out.append_column(f"n_{n}", counts[n])
     return out.append_column("dominant_script",
                              pa.array(names[best], pa.string()))
+
+
+def ngram_repetition_batch(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text", top_ns=(2, 3),
+                           dup_n: int = 5) -> pa.Table:
+    """Gopher-style word-n-gram repetition fractions (Rae et al. 2021 §A1.1
+    quality filters), integer-exact so the SQL oracle replays them:
+
+    - top{n}_chars / top{n}_frac (n in top_ns): characters claimed by the
+      MOST FREQUENT word n-gram = count x (sum of its token lengths); ties
+      break to the lexicographically smallest gram string.
+    - dup{dup_n}_chars / dup{dup_n}_frac: characters of tokens covered by
+      ANY word dup_n-gram that occurs more than once in the doc (overlapping
+      occurrences count each token once — interval-union semantics).
+    - total_chars: sum of token lengths (fraction denominators; docs with
+      no tokens emit 0 totals and 0.0 fractions).
+
+    Tokens are maximal [a-z0-9]+ runs of the lowercased text (split on the
+    complement, empties dropped — regexp_split_to_array semantics shared
+    with the DuckDB oracle). Batch-local and shuffle-free: token explode via
+    Arrow kernels, gram keys via vectorized pandas string concat, coverage
+    via a numpy running-max over duplicate-start flags (a VALID dup start's
+    window never crosses a doc boundary, so no per-doc guard is needed).
+    Fractions are int64/int64 double divisions — bit-identical in DuckDB."""
+    import pandas as pd
+
+    sep = "\x1f"  # below '0' in ASCII, so gram-string order == token-tuple order
+    n_rows = batch.num_rows
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]), "[^a-z0-9]+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    drow = np.repeat(np.arange(n_rows), lens)
+    flat = pc.list_flatten(toks)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    drow = drow[keep.to_numpy(zero_copy_only=False)]
+    clen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    tokpd = flat.to_pandas()
+    n_tok = len(drow)
+    total = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(total, drow, clen)
+
+    def gram_arrays(n: int):
+        """(start flat-indices, gram strings, gram char lens) of every
+        n-token window whose tokens share one doc."""
+        if n_tok < n:
+            return (np.zeros(0, np.int64), pd.Series([], dtype=object),
+                    np.zeros(0, np.int64))
+        valid = drow[:n_tok - n + 1] == drow[n - 1:]
+        idx = np.nonzero(valid)[0]
+        parts = [tokpd.iloc[idx + j].reset_index(drop=True) for j in range(n)]
+        gram = parts[0].str.cat(parts[1:], sep=sep) if n > 1 else parts[0]
+        gl = np.zeros(len(idx), np.int64)
+        for j in range(n):
+            gl += clen[idx + j]
+        return idx, gram, gl
+
+    out = {id_col: batch[id_col], "total_chars": pa.array(total, pa.int64())}
+    fracs = {}
+    denom = np.maximum(total, 1)
+    for n in top_ns:
+        idx, gram, gl = gram_arrays(int(n))
+        topc = np.zeros(n_rows, dtype=np.int64)
+        if len(idx):
+            df = pd.DataFrame({"d": drow[idx], "g": gram.to_numpy(), "gl": gl})
+            cnt = (df.groupby(["d", "g"], sort=False)
+                     .agg(c=("gl", "size"), gl=("gl", "first")).reset_index())
+            cnt = cnt.sort_values(["d", "c", "g"],
+                                  ascending=[True, False, True], kind="mergesort")
+            best = cnt.drop_duplicates("d")
+            topc[best["d"].to_numpy()] = (best["c"].to_numpy(dtype=np.int64)
+                                          * best["gl"].to_numpy(dtype=np.int64))
+        out[f"top{n}_chars"] = pa.array(topc, pa.int64())
+        fracs[f"top{n}_frac"] = np.where(total > 0, topc / denom, 0.0)
+
+    idx, gram, _ = gram_arrays(int(dup_n))
+    dupc = np.zeros(n_rows, dtype=np.int64)
+    if len(idx):
+        df = pd.DataFrame({"d": drow[idx], "g": gram.to_numpy()})
+        occ = df.groupby(["d", "g"], sort=False)["g"].transform("size").to_numpy()
+        flag = np.zeros(n_tok, dtype=np.int64)
+        flag[idx[occ > 1]] = 1
+        pos = np.arange(n_tok)
+        last = np.where(flag > 0, pos, -1)
+        np.maximum.accumulate(last, out=last)
+        covered = (last >= 0) & (last >= pos - (int(dup_n) - 1))
+        np.add.at(dupc, drow[covered], clen[covered])
+    out[f"dup{dup_n}_chars"] = pa.array(dupc, pa.int64())
+    fracs[f"dup{dup_n}_frac"] = np.where(total > 0, dupc / denom, 0.0)
+    for name, v in fracs.items():
+        out[name] = pa.array(v, pa.float64())
+    return pa.table(out)

@@ -354,6 +354,14 @@ def _op_url_canonicalize(ds, url_col: str = "url"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _op_gopher_repetition(ds, id_col: str = "doc_id", text_col: str = "text"):
+    from ..functions.text_analysis import ngram_repetition_batch
+
+    return ds.map_batches(
+        lambda b: ngram_repetition_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _op_weighted_sample(ds, id_col: str, weight_col: str, k: int):
     from ..stages.sample import weighted_sample_topk
 
@@ -438,6 +446,7 @@ for _name, _fn in {
     "temporal.composite": _op_temporal_composite,
     "temporal.trend": _op_temporal_trend,
     "transform.url_canonicalize": _op_url_canonicalize,
+    "transform.gopher_repetition": _op_gopher_repetition,
     "sample.weighted_topk": _op_weighted_sample,
     "read.rasters": _op_read_rasters,
     "read.geotiffs": _op_read_geotiffs,

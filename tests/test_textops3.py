@@ -292,3 +292,59 @@ def test_splitmix64_sql_matches_numpy():
         params=[vals.tolist(), len(vals)],
     ).fetchone()[0]
     assert [int(x) for x in got] == [int(x) for x in want]
+
+
+def test_ngram_repetition_hand_cases():
+    """Gopher repetition signals vs hand-computed values: tie-break to the
+    lexicographically smallest gram, overlap-union of duplicated 5-grams,
+    token-less docs."""
+    from geotrellis_ray.functions.text_analysis import ngram_repetition_batch
+
+    b = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": [
+        "the cat sat the cat sat on the mat",   # 9 toks, 26 chars
+        "a b c d e a b c d e x y",              # dup 5-gram, overlap-union
+        "!!! ???",                               # no tokens
+        "w1 W1 w1",                              # case-fold + digits in tokens
+    ]})
+    t = ngram_repetition_batch(b).to_pandas().set_index("doc_id")
+    # doc 1: "cat sat" and "the cat" both occur 2x; tie -> "cat sat" (6 ch)
+    assert t.loc[1, "total_chars"] == 26
+    assert t.loc[1, "top2_chars"] == 2 * 6
+    assert t.loc[1, "top3_chars"] == 2 * 9   # "the cat sat" twice
+    assert t.loc[1, "dup5_chars"] == 0       # every 5-gram unique
+    # doc 2: "a b c d e" occurs at starts 0 and 5 -> 10 covered tokens
+    assert t.loc[2, "total_chars"] == 12
+    assert t.loc[2, "dup5_chars"] == 10
+    assert t.loc[2, "dup5_frac"] == 10 / 12
+    # doc 3: no [a-z0-9] tokens at all
+    assert t.loc[3, "total_chars"] == 0
+    assert (t.loc[3, ["top2_chars", "top3_chars", "dup5_chars",
+                      "top2_frac", "top3_frac", "dup5_frac"]] == 0).all()
+    # doc 4: case-folds to three identical "w1" tokens -> top2 "w1 w1" x2
+    assert t.loc[4, "total_chars"] == 6
+    assert t.loc[4, "top2_chars"] == 2 * 4
+
+
+def test_ngram_repetition_matches_duckdb_inline():
+    """Engine batch == the q_gopher_repetition DuckDB oracle on a small
+    random-ish corpus with planted repetition (same SQL, inline table)."""
+    from geotrellis_ray.entry_queries import SQL_GOPHER_REPETITION
+    from geotrellis_ray.functions.text_analysis import ngram_repetition_batch
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "bb", "c3", "delta", "ee", "f"]
+    texts = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=rng.integers(0, 30)))
+        if i % 4 == 0 and len(toks) >= 5:
+            toks = toks + toks[:7]  # plant a duplicated block
+        texts.append(" ".join(toks) + (".,;" if i % 3 == 0 else ""))
+    b = pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": texts})
+    got = (ngram_repetition_batch(b).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", b)
+    exp = (con.sql(SQL_GOPHER_REPETITION).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = exp[got.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
