@@ -411,6 +411,44 @@ SQL_PARAGRAPH_DEDUP = """
 """
 
 
+def q_line_freq_filter(sf_dir: str):
+    """CCNet/RefinedWeb-style corpus-frequency line filter
+    (stages/dedup.py:line_frequency_filter): drop EVERY copy of a line the
+    corpus repeats >= 2 times (frequency-threshold boilerplate removal —
+    the keep-NONE complement of paragraph_dedup's keep-first). The corpus
+    has no newlines, so the fixture derives them deterministically
+    (' the ' -> '\\n', same replace on both sides). SQL-checked bit-exact
+    string-for-string: DuckDB replays split -> corpus count -> threshold ->
+    in-order reassembly."""
+    import pyarrow.compute as pc
+
+    from .stages.dedup import line_frequency_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lined = ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "text": pc.replace_substring(b["text"], " the ", "\n")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return line_frequency_filter(lined, min_count=2)
+
+
+SQL_LINE_FREQ_FILTER = """
+    WITH docs2 AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS t
+                   FROM documents),
+    lines AS (SELECT doc_id, unnest(str_split(t, chr(10))) AS line,
+                     generate_subscripts(str_split(t, chr(10)), 1) AS pos
+              FROM docs2),
+    cnt AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+    kept AS (SELECT l.doc_id, l.pos, l.line
+             FROM lines l JOIN cnt ON l.line = cnt.line WHERE cnt.c < 2),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT k.doc_id, t.n_lines, count(*) AS n_kept,
+           string_agg(k.line, chr(10) ORDER BY k.pos) AS text_filtered
+    FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.n_lines
+"""
+
+
 def q_duplicated_spans(sf_dir: str):
     """Chunk-based exact-substring duplication detector (stages/dedup.py:
     duplicated_spans — the windowed approximation of suffix-array training-
@@ -5116,6 +5154,89 @@ SQL_MORANS_LOCAL = """
 """
 
 
+def q_gearys_c(sf_dir: str):
+    """Global Geary's C (stages/autocorr.py:gearys_c_global) over the
+    mod-251 hash grid with queen weights — the Moran's-I complement
+    (squared pairwise differences instead of cross-products). Same slim
+    two-pass shape; SQL-checked to 9 decimals (all pairwise terms are
+    exact integer-valued doubles; only the final divisions round)."""
+    import pandas as pd
+
+    from .stages.autocorr import gearys_c_global
+
+    r = gearys_c_global(_hash_grid_layer(3, 16, mod=251))
+    return pd.DataFrame([{"gearys_c": round(r["gearys_c"], 9),
+                          "w_pairs": int(r["w_pairs"]),
+                          "n_cells": int(r["n_cells"])}])
+
+
+SQL_GEARYS_C = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    stats AS (SELECT sum(v) / count(*) AS mu, count(*) AS n,
+                     sum(v * v) AS s2, sum(v) AS s FROM grid),
+    nbr AS (
+        SELECT a.x, a.y, sum((a.v - b.v) * (a.v - b.v)) AS d2, count(*) AS w
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+         AND NOT (a.x = b.x AND a.y = b.y)
+        GROUP BY a.x, a.y
+    )
+    SELECT round(((st.n - 1) / (2.0 * sum(nb.w))) * sum(nb.d2)
+                 / (st.s2 - st.n * st.mu * st.mu), 9) AS gearys_c,
+           CAST(sum(nb.w) AS BIGINT) AS w_pairs,
+           st.n AS n_cells
+    FROM nbr nb, stats st
+    GROUP BY st.n, st.s2, st.mu
+"""
+
+
+def q_getis_ord(sf_dir: str):
+    """Getis–Ord Gi* hot-spot z-scores per cell (stages/autocorr.py:
+    getis_ord_gstar) — 3×3 window INCLUDING the center, same collar
+    exchange as the local Moran's. Exploded to (cell_x, cell_y, gi_star)
+    rows, rounded to 9 decimals for the SQL compare (window sums are exact
+    integers; mean/std divisions and the sqrt are correctly rounded from
+    identical operands on both sides)."""
+    import pyarrow.compute as pc
+
+    from .stages.autocorr import getis_ord_gstar
+
+    out = getis_ord_gstar(_hash_grid_layer(3, 16, mod=251))
+    cells = _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+    return cells.map_batches(
+        lambda b: pa.table({"cell_x": b["cell_x"], "cell_y": b["cell_y"],
+                            "gi_star": pc.round(b["density"], 9)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_GETIS_ORD = """
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    stats AS (SELECT sum(v) / count(*) AS mu, count(*) AS n,
+                     sqrt(sum(v * v) / count(*)
+                          - (sum(v) / count(*)) * (sum(v) / count(*))) AS sd
+              FROM grid),
+    win AS (
+        SELECT a.x, a.y, sum(b.v) AS sv, count(*) AS w
+        FROM grid a JOIN grid b
+          ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+        GROUP BY a.x, a.y
+    )
+    SELECT wn.x AS cell_x, wn.y AS cell_y,
+           round((wn.sv - st.mu * wn.w)
+                 / (st.sd * sqrt((st.n * wn.w - wn.w * wn.w) / (st.n - 1.0))),
+                 9) AS gi_star
+    FROM win wn, stats st
+"""
+
+
 def q_match_histogram(sf_dir: str):
     """Histogram matching (stages/enhance.py:match_histogram): remap the
     mod-251 hash grid so its value distribution follows the mod-17 hash
@@ -6229,6 +6350,7 @@ def build_queries() -> dict:
         "q_events_hourly": q_events_hourly,
         "q_dedup_docs_exact": q_dedup_docs_exact,
         "q_paragraph_dedup": q_paragraph_dedup,
+        "q_line_freq_filter": q_line_freq_filter,
         "q_duplicated_spans": q_duplicated_spans,
         "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
@@ -6305,6 +6427,8 @@ def build_queries() -> dict:
         "q_focal_circle_mean_grid": q_focal_circle_mean_grid,
         "q_morans_global": q_morans_global,
         "q_morans_local": q_morans_local,
+        "q_gearys_c": q_gearys_c,
+        "q_getis_ord": q_getis_ord,
         "q_convex_hull": q_convex_hull,
         "q_euclidean_distance": q_euclidean_distance,
         "q_idw_toy": q_idw_toy,
@@ -6381,6 +6505,7 @@ def build_queries() -> dict:
     # conversions landed latest-in-round go first: each is that family's
     # FIRST possible hash verification
     sql_new_r4 = [
+        "q_gearys_c", "q_getis_ord", "q_line_freq_filter",
         "q_convolve_grid", "q_gopher_repetition",
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
@@ -6438,6 +6563,7 @@ def build_oracle_sql() -> dict:
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
         "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "q_line_freq_filter": SQL_LINE_FREQ_FILTER,
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,
@@ -6501,6 +6627,8 @@ def build_oracle_sql() -> dict:
         "q_weighted_sample": _sql_weighted_sample(),
         "q_morans_global": SQL_MORANS_GLOBAL,
         "q_morans_local": SQL_MORANS_LOCAL,
+        "q_gearys_c": SQL_GEARYS_C,
+        "q_getis_ord": SQL_GETIS_ORD,
         "q_convex_hull": SQL_CONVEX_HULL,
         "q_euclidean_distance": SQL_EUCLID,
         "q_cell_counts_hex": SQL_CELL_COUNTS_HEX,

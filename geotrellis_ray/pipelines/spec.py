@@ -334,6 +334,21 @@ def _op_morans_local(ds):
     return morans_i_local(ds)
 
 
+def _op_getis_ord(ds):
+    from ..stages.autocorr import getis_ord_gstar
+
+    return getis_ord_gstar(ds)
+
+
+def _op_line_freq_filter(ds, min_count: int = 2, delim: str = "\n",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         key: str = "text"):
+    from ..stages.dedup import line_frequency_filter
+
+    return line_frequency_filter(ds, min_count=min_count, delim=delim,
+                                 id_col=id_col, text_col=text_col, key=key)
+
+
 def _op_temporal_composite(ds, fn: str = "median"):
     from ..stages.temporal import temporal_composite
 
@@ -443,6 +458,8 @@ for _name, _fn in {
     "enhance.sigmoidal": _op_sigmoidal,
     "local.reclassify": _op_reclassify,
     "focal.morans_local": _op_morans_local,
+    "focal.getis_ord": _op_getis_ord,
+    "dedup.line_freq": _op_line_freq_filter,
     "temporal.composite": _op_temporal_composite,
     "temporal.trend": _op_temporal_trend,
     "transform.url_canonicalize": _op_url_canonicalize,

@@ -1,13 +1,21 @@
-"""Spatial autocorrelation: global + local (Anselin) Moran's I.
+"""Spatial autocorrelation: Moran's I (global + local Anselin), Geary's C,
+and the Getis–Ord Gi* hot-spot statistic.
 
-GeoTrellis ships both as focal operations
+GeoTrellis ships Moran's I as focal operations
 (ref:raster/src/main/scala/geotrellis/raster/mapalgebra/focal/MoransICalculation.scala
 — ScalarMoransICalculation / TileMoransICalculation, L:unverified —
-/root/reference empty at survey time). Rebuilt layer-wide, Ray-Data-first,
+/root/reference empty at survey time); Geary's C and Gi* round out the
+standard ESDA trio on the same frame. Rebuilt layer-wide, Ray-Data-first,
 with the standard queen-contiguity (8-neighbor, w_ij = 1) weights:
 
-    global:  I   = (n / W) * sum_i z_i * S_i / sum_i z_i^2
-    local:   I_i = z_i * S_i / m2,     m2 = sum z^2 / n
+    global I:  I   = (n / W) * sum_i z_i * S_i / sum_i z_i^2
+    local  I:  I_i = z_i * S_i / m2,     m2 = sum z^2 / n
+    Geary C:   C   = ((n - 1) / (2 W)) * sum_i D_i / sum_i z_i^2,
+               D_i = sum over valid neighbors j of (x_i - x_j)^2
+    Gi*:       G_i = (S*_i - mu w*_i)
+                     / (s sqrt((n w*_i - w*_i^2) / (n - 1))),
+               S*_i = window sum INCLUDING self, w*_i = window cell count,
+               s = sqrt(sum x^2 / n - mu^2)
 
 where z_i = x_i - mean, S_i = sum of z over VALID neighbors of i, and
 W = number of ordered valid neighbor pairs. NoData (NaN) cells are excluded
@@ -26,7 +34,8 @@ import pyarrow as pa
 
 from .layer_ops import _tile_table, batch_to_cube, buffer_tiles
 
-__all__ = ["morans_i_global", "morans_i_local"]
+__all__ = ["gearys_c_global", "getis_ord_gstar", "morans_i_global",
+           "morans_i_local"]
 
 
 def _layer_moments(ds) -> tuple[int, float, float]:
@@ -108,6 +117,93 @@ def morans_i_local(ds):
         zc, S, _W = _centered_neighbor_sums(batch, mu)
         with np.errstate(invalid="ignore"):
             out = zc * S / m2
+        return _tile_table(batch, out)
+
+    return buffer_tiles(ds, margin=1).map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gearys_c_global(ds) -> dict:
+    """Global Geary's C of a tile layer (queen weights, w_ij = 1):
+
+        C = ((n - 1) / (2 W)) * sum_i D_i / sum_i z_i^2
+
+    with D_i the sum of (x_i - x_j)^2 over VALID neighbors j. Same two-pass
+    shape as morans_i_global: one slim moments aggregate, then the bounded
+    collar exchange with two scalars per block; the squared-difference
+    accumulation runs in the fixed (dr, dc) shift order so results are
+    deterministic across block splits. Returns {"gearys_c", "w_pairs",
+    "n_cells"}; C is NaN for constant or empty layers. C < 1 indicates
+    positive spatial autocorrelation (the Moran's-I complement)."""
+    n, s, s2 = _layer_moments(ds)
+    if n == 0:
+        return {"gearys_c": float("nan"), "w_pairs": 0, "n_cells": 0}
+    mu = s / n
+    den = s2 - n * mu * mu  # sum z^2
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"num": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        cube = batch_to_cube(batch)  # (n, R+2, C+2)
+        R, C = cube.shape[1] - 2, cube.shape[2] - 2
+        x = cube[:, 1:-1, 1:-1]
+        D = np.zeros((cube.shape[0], R, C))
+        W = np.zeros((cube.shape[0], R, C))
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                if dr == 1 and dc == 1:
+                    continue
+                v = cube[:, dr:dr + R, dc:dc + C]
+                ok = ~np.isnan(v)
+                d = x - v
+                D += np.where(ok, d * d, 0.0)
+                W += ok
+        ok = ~np.isnan(x)
+        return pa.table({"num": pa.array([float(D[ok].sum())]),
+                         "w": pa.array([float(W[ok].sum())])})
+
+    tot = buffer_tiles(ds, margin=1).map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True).sum(["num", "w"])
+    w = float(tot["sum(w)"])
+    c = ((n - 1) / (2.0 * w)) * float(tot["sum(num)"]) / den \
+        if (w > 0 and den > 0) else float("nan")
+    return {"gearys_c": c, "w_pairs": int(w), "n_cells": n}
+
+
+def getis_ord_gstar(ds):
+    """Getis–Ord Gi* hot-spot statistic per cell, as a new tile layer
+    (same keys/layout; NoData centers stay NoData):
+
+        G_i = (S*_i - mu w*_i) / (s sqrt((n w*_i - w*_i^2) / (n - 1)))
+
+    where the window INCLUDES the center (the * variant), S*_i / w*_i are
+    the window value-sum / valid-cell-count, mu and s are the layer mean
+    and population std. |G_i| is an approximate z-score: large positive =
+    hot spot, large negative = cold spot. Same collar-exchange frame as
+    morans_i_local; NaN neighbors are excluded from both sums."""
+    n, s, s2 = _layer_moments(ds)
+    mu = s / n if n else 0.0
+    var = s2 / n - mu * mu if n else float("nan")
+    sd = float(np.sqrt(var)) if var > 0 else float("nan")
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cube = batch_to_cube(batch)  # (m, R+2, C+2)
+        R, C = cube.shape[1] - 2, cube.shape[2] - 2
+        S = np.zeros((cube.shape[0], R, C))
+        W = np.zeros((cube.shape[0], R, C))
+        for dr in (0, 1, 2):  # full 3x3 window, center included
+            for dc in (0, 1, 2):
+                v = cube[:, dr:dr + R, dc:dc + C]
+                ok = ~np.isnan(v)
+                S += np.where(ok, v, 0.0)
+                W += ok
+        center = cube[:, 1:-1, 1:-1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = sd * np.sqrt((n * W - W * W) / (n - 1.0))
+            out = np.where(np.isnan(center), np.nan, (S - mu * W) / denom)
         return _tile_table(batch, out)
 
     return buffer_tiles(ds, margin=1).map_batches(

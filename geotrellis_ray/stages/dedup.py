@@ -930,6 +930,56 @@ def decontaminate(ds, bench_ds, gram_len: int = 50, id_col: str = "doc_id",
 _PARA_IDX_BITS = 20  # packed = doc_id << 20 | chunk_idx; docs stay < 2^43
 
 
+def _packed_to_kept_csv(kept, id_col: str, idx_bits: int = _PARA_IDX_BITS):
+    """(packed)-only Dataset -> (id_col, kept_csv) where kept_csv is the
+    doc's surviving chunk indices in order, as a csv string (primitive
+    columns survive every Ray join/pandas path). ONE range sort, per-block
+    per-doc run extraction, block-edge docs stitched on the driver
+    (O(#blocks) rows — same pattern as exact_substring_spans)."""
+    import ray.data as rd
+
+    idx_mask = (1 << idx_bits) - 1
+    sorted_kept = kept.sort("packed")
+
+    def block_assemble(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             id_col: pa.array([], pa.int64()),
+                             "kept_csv": pa.array([], pa.string())})
+        packed = b["packed"].to_numpy(zero_copy_only=False)
+        ids = packed >> idx_bits
+        idxs = packed & idx_mask
+        brk = np.nonzero(ids[1:] != ids[:-1])[0]
+        starts = np.r_[0, brk + 1]
+        ends = np.r_[brk + 1, n]
+        kind = np.zeros(len(starts), dtype=np.int8)
+        kind[0] = 1
+        kind[-1] = 1  # edge docs may continue in neighbor blocks
+        csvs = [",".join(map(str, idxs[s:e])) for s, e in zip(starts, ends)]
+        return pa.table({"kind": pa.array(kind, pa.int8()),
+                         id_col: pa.array(ids[starts], pa.int64()),
+                         "kept_csv": pa.array(csvs, pa.string())})
+
+    lists = sorted_kept.map_batches(block_assemble, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    inner = lists.filter(expr="kind == 0").drop_columns(["kind"])
+    edge = lists.filter(expr="kind == 1").to_pandas()  # <= 2 rows per block
+    if len(edge):
+        # rows arrive sorted within each block; order blocks by first idx
+        edge["first_idx"] = edge["kept_csv"].str.split(",").str[0].astype(np.int64)
+        edge = edge.sort_values([id_col, "first_idx"], kind="stable")
+        merged: dict[int, list[str]] = {}
+        for did, csv in zip(edge[id_col].to_numpy(), edge["kept_csv"]):
+            merged.setdefault(int(did), []).append(csv)
+        stitched = pa.table({
+            id_col: pa.array(list(merged), pa.int64()),
+            "kept_csv": pa.array([",".join(v) for v in merged.values()], pa.string()),
+        })
+        inner = inner.union(rd.from_arrow(stitched))
+    return inner
+
+
 def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
                     text_col: str = "text", key: str = "text"):
     """C4/RefinedWeb-style paragraph-level exact dedup: split every doc into
@@ -961,12 +1011,10 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
     """
     import pyarrow.compute as pc
     import ray
-    import ray.data as rd
 
     from .agg import partial_groupby
 
     pcol = "para" if key == "text" else "ph"
-    idx_mask = (1 << _PARA_IDX_BITS) - 1
 
     def explode(b: pa.Table) -> pa.Table:
         texts = b[text_col]
@@ -1005,44 +1053,9 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
                        num_partitions=nparts)
     kept = kept.filter(expr="packed == win").select_columns(["packed"])
 
-    sorted_kept = kept.sort("packed")
-
-    def block_assemble(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
-            return pa.table({"kind": pa.array([], pa.int8()),
-                             id_col: pa.array([], pa.int64()),
-                             "kept_csv": pa.array([], pa.string())})
-        packed = b["packed"].to_numpy(zero_copy_only=False)
-        ids = packed >> _PARA_IDX_BITS
-        idxs = packed & idx_mask
-        brk = np.nonzero(ids[1:] != ids[:-1])[0]
-        starts = np.r_[0, brk + 1]
-        ends = np.r_[brk + 1, n]
-        kind = np.zeros(len(starts), dtype=np.int8)
-        kind[0] = 1
-        kind[-1] = 1  # edge docs may continue in neighbor blocks
-        csvs = [",".join(map(str, idxs[s:e])) for s, e in zip(starts, ends)]
-        return pa.table({"kind": pa.array(kind, pa.int8()),
-                         id_col: pa.array(ids[starts], pa.int64()),
-                         "kept_csv": pa.array(csvs, pa.string())})
-
-    lists = sorted_kept.map_batches(block_assemble, batch_format="pyarrow",
-                                    zero_copy_batch=True).materialize()
-    inner = lists.filter(expr="kind == 0").drop_columns(["kind"])
-    edge = lists.filter(expr="kind == 1").to_pandas()  # <= 2 rows per block
-    if len(edge):
-        # rows arrive sorted within each block; order blocks by first idx
-        edge["first_idx"] = edge["kept_csv"].str.split(",").str[0].astype(np.int64)
-        edge = edge.sort_values([id_col, "first_idx"], kind="stable")
-        merged: dict[int, list[str]] = {}
-        for did, csv in zip(edge[id_col].to_numpy(), edge["kept_csv"]):
-            merged.setdefault(int(did), []).append(csv)
-        stitched = pa.table({
-            id_col: pa.array(list(merged), pa.int64()),
-            "kept_csv": pa.array([",".join(v) for v in merged.values()], pa.string()),
-        })
-        inner = inner.union(rd.from_arrow(stitched))
+    # filtered-join lineage can emit empty-schema blocks that break the
+    # next join (Ray 2.49, see join._normalize_blocks); rebuild blocks
+    inner = _packed_to_kept_csv(kept, id_col).repartition(nparts)
 
     docs = ds.select_columns([id_col, text_col])
     joined = inner.join(docs, join_type="inner", on=(id_col,),
@@ -1058,6 +1071,98 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
                 " ".join(w[i * words_per_para:(i + 1) * words_per_para])
                 for i in (int(x) for x in csv.split(","))))
         return pa.table({id_col: b[id_col], "text_dedup": pa.array(out, pa.string())})
+
+    return joined.map_batches(reassemble, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def line_frequency_filter(ds, min_count: int = 2, delim: str = "\n",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          key: str = "text"):
+    """CCNet/RefinedWeb-style corpus-frequency line filter: drop EVERY copy
+    of any line whose corpus-wide occurrence count reaches ``min_count``
+    (boilerplate headers, nav bars, cookie banners), then reassemble each
+    doc from its surviving lines in order. Docs that lose every line drop
+    out. -> Dataset (id_col, n_lines, n_kept, text_filtered).
+
+    Contrast with paragraph_dedup (keep-FIRST of each duplicate): the
+    frequency-threshold variant removes a too-common line EVERYWHERE,
+    including its first occurrence — the CCNet preprocessing semantics.
+
+    Scale shape (slim shuffles; doc text ships exactly twice — once into
+    the line explode, once into the final reassembly join):
+    1. explode docs -> (line, packed) rows fully vectorized
+       (pc.split_pattern + list_flatten + list_parent_indices — no Python
+       row loop); ``key="hash"`` swaps line text for a 64-bit hash so the
+       wide groupby/join carry 16 B/row at 100 TB; ``key="text"`` keeps
+       exact semantics (SQL-checkable).
+    2. corpus count per line via partial_groupby (map-side combine;
+       shuffle final — line cardinality is unbounded).
+    3. hash-join counts back to the slim rows; kept = count < min_count.
+    4. kept (packed) rows -> (doc, kept csv) via _packed_to_kept_csv
+       (ONE range sort + O(#blocks) driver stitch).
+    5. inner hash-join with the original docs, vectorized-ish re-split +
+       take per row; n_lines is recomputed from the joined text (free —
+       the text is already in hand), so the shuffled rows never carry it.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .agg import partial_groupby
+
+    kcol = "line" if key == "text" else "lh"
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lines = pc.split_pattern(texts, delim)
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        nl = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        off = np.zeros(len(nl), dtype=np.int64)
+        np.cumsum(nl[:-1], out=off[1:])
+        pos = np.arange(len(parent), dtype=np.int64) - off[parent]
+        packed = (ids[parent] << _PARA_IDX_BITS) | pos
+        if key == "text":
+            col = flat
+        else:  # variable-length rows: pandas' cython string hasher
+            col = pa.array(pd.util.hash_array(
+                np.asarray(flat.to_pylist(), dtype=object)).view(np.int64),
+                pa.int64())
+        return pa.table({kcol: col, "packed": pa.array(packed, pa.int64())})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partial_groupby(rows, [kcol], [("packed", "count", "c")])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus // 2))
+    kept = rows.join(counts, join_type="inner", on=(kcol,),
+                     num_partitions=nparts)
+    kept = kept.filter(expr=f"c < {int(min_count)}").select_columns(["packed"])
+
+    # filtered-join lineage can emit empty-schema blocks that break the
+    # next join (Ray 2.49, see join._normalize_blocks); rebuild blocks
+    inner = _packed_to_kept_csv(kept, id_col).repartition(nparts)
+
+    docs = ds.select_columns([id_col, text_col])
+    joined = inner.join(docs, join_type="inner", on=(id_col,),
+                        num_partitions=nparts)
+
+    def reassemble(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        csvs = b["kept_csv"].to_pylist()
+        out, n_lines, n_kept = [], [], []
+        for t, csv in zip(texts, csvs):
+            parts = t.split(delim)
+            idxs = [int(x) for x in csv.split(",")]
+            out.append(delim.join(parts[i] for i in idxs))
+            n_lines.append(len(parts))
+            n_kept.append(len(idxs))
+        return pa.table({id_col: b[id_col],
+                         "n_lines": pa.array(n_lines, pa.int64()),
+                         "n_kept": pa.array(n_kept, pa.int64()),
+                         "text_filtered": pa.array(out, pa.string())})
 
     return joined.map_batches(reassemble, batch_format="pyarrow",
                               zero_copy_batch=True)
