@@ -411,6 +411,56 @@ SQL_PARAGRAPH_DEDUP = """
 """
 
 
+def q_quality_scorer(sf_dir: str):
+    """Hashed char-4-gram linear quality scorer
+    (functions/text_analysis.py:HashedNgramScorer) — the batched
+    model-inference pattern: weight LUT built once per actor, applied as a
+    rolling polynomial hash + gather + per-doc range sum over the batch's
+    flat byte buffer. Integer-exact end to end, so the SQL oracle replays
+    the gram hash (HUGEINT mod-2^64 polynomial, same prime/powers as
+    dedup._gram_hash64) and the sha256-derived weights bit-for-bit."""
+    from .functions.text_analysis import HashedNgramScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(HashedNgramScorer, concurrency=2,
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_SCORER = """
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 2, 1))) AS i
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               (ascii(substr(text, CAST(i AS INT), 1))::HUGEINT
+                + ascii(substr(text, CAST(i + 1 AS INT), 1))::HUGEINT
+                  * 1099511628211
+                + ascii(substr(text, CAST(i + 2 AS INT), 1))::HUGEINT
+                  * 956575116354345
+                + ascii(substr(text, CAST(i + 3 AS INT), 1))::HUGEINT
+                  * 624165263380053675)
+               % 18446744073709551616 AS h
+        FROM pos
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256('quality-v1|'
+                     || CAST(h % 4096 AS VARCHAR)), 1, 16))::UBIGINT
+                    % 2001 AS BIGINT) - 1000 AS wt
+        FROM g
+    ),
+    agg AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score,
+                   count(*) AS n_grams FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.score, 0) AS score,
+           CAST(coalesce(a.score, 0) > 0 AS BIGINT) AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_line_freq_filter(sf_dir: str):
     """CCNet/RefinedWeb-style corpus-frequency line filter
     (stages/dedup.py:line_frequency_filter): drop EVERY copy of a line the
@@ -6351,6 +6401,7 @@ def build_queries() -> dict:
         "q_dedup_docs_exact": q_dedup_docs_exact,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_line_freq_filter": q_line_freq_filter,
+        "q_quality_scorer": q_quality_scorer,
         "q_duplicated_spans": q_duplicated_spans,
         "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
@@ -6506,6 +6557,7 @@ def build_queries() -> dict:
     # FIRST possible hash verification
     sql_new_r4 = [
         "q_gearys_c", "q_getis_ord", "q_line_freq_filter",
+        "q_quality_scorer",
         "q_convolve_grid", "q_gopher_repetition",
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
@@ -6564,6 +6616,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_docs_exact": SQL_DEDUP_EXACT,
         "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "q_line_freq_filter": SQL_LINE_FREQ_FILTER,
+        "q_quality_scorer": SQL_QUALITY_SCORER,
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,

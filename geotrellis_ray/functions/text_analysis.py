@@ -136,6 +136,78 @@ class Fingerprinter:
         return batch.append_column("fingerprint", pa.array(fps, pa.list_(pa.uint64())))
 
 
+class HashedNgramScorer:
+    """fastText-style hashed char-n-gram linear quality scorer — the batched
+    model-inference pattern as a first-class actor-pool stage: the
+    bucketized weight table (the "model") is built ONCE per actor in
+    ``__init__``; ``__call__`` applies it per batch as pure numpy — one
+    rolling polynomial gram hash over the batch's flat Arrow byte buffer
+    (same prime/powers as stages.dedup._gram_hash64), a LUT gather, and a
+    prefix-sum range reduction per doc. No per-row Python, no shuffle.
+
+    Weights are sha256-derived stand-ins (there is no training data
+    in-sandbox) chosen so the WHOLE score is integer-exact and
+    SQL-replayable; swapping in real trained weights is an ``np.load`` in
+    ``__init__``. Emits (id_col, n_grams, score, keep) with
+    keep = 1 iff score > 0."""
+
+    _PRIME = np.uint64(1099511628211)
+
+    def __init__(self, seed: str = "quality-v1", n: int = 4,
+                 buckets: int = 4096, scale: int = 1000,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        from .hashing import sha256_64
+
+        self.n = n
+        self.buckets = buckets
+        self.id_col = id_col
+        self.text_col = text_col
+        self.lut = np.array(
+            [sha256_64(f"{seed}|{j}") % (2 * scale + 1) - scale
+             for j in range(buckets)], dtype=np.int64)
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(1, n):
+                pows[j] = pows[j - 1] * self._PRIME
+        self.pows = pows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        nrows = len(texts)
+        b = texts.cast(pa.binary())
+        offs = np.frombuffer(b.buffers()[1], dtype=np.int32, count=nrows + 1,
+                             offset=b.offset * 4).astype(np.int64)
+        data = np.frombuffer(b.buffers()[2], dtype=np.uint8) if b.buffers()[2] \
+            else np.empty(0, dtype=np.uint8)
+        flat = data[offs[0]:offs[-1]]
+        starts = offs[:-1] - offs[0]
+        lens = offs[1:] - offs[:-1]
+        n = self.n
+        npos = max(len(flat) - n + 1, 0)
+        cw = np.zeros(npos + 1, dtype=np.int64)
+        if npos:
+            h = np.zeros(npos, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(n):
+                    h += flat[j:j + npos].astype(np.uint64) * self.pows[j]
+            w = self.lut[(h % np.uint64(self.buckets)).astype(np.int64)]
+            np.cumsum(w, out=cw[1:])
+        g = np.maximum(lens - n + 1, 0)
+        # docs shorter than n contribute no grams; clip their (degenerate)
+        # ranges into the prefix-sum so score = cw[x] - cw[x] = 0
+        s0 = np.minimum(starts, npos)
+        s1 = np.minimum(starts + g, npos)
+        score = cw[s1] - cw[s0]
+        return pa.table({self.id_col: batch[self.id_col],
+                         "n_grams": pa.array(g, pa.int64()),
+                         "score": pa.array(score, pa.int64()),
+                         "keep": pa.array((score > 0).astype(np.int64),
+                                          pa.int64())})
+
+
 def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds n_bpe_tokens: GPT-2-style pre-tokenizer piece count (ASCII
     simplification, RE2-compatible so pyarrow and DuckDB agree exactly):

@@ -340,6 +340,14 @@ def _op_getis_ord(ds):
     return getis_ord_gstar(ds)
 
 
+def _op_quality_scorer(ds, concurrency: int = 2, **kw):
+    from ..functions.text_analysis import HashedNgramScorer
+
+    return ds.map_batches(HashedNgramScorer, fn_constructor_kwargs=kw,
+                          concurrency=concurrency,
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _op_line_freq_filter(ds, min_count: int = 2, delim: str = "\n",
                          id_col: str = "doc_id", text_col: str = "text",
                          key: str = "text"):
@@ -460,6 +468,7 @@ for _name, _fn in {
     "focal.morans_local": _op_morans_local,
     "focal.getis_ord": _op_getis_ord,
     "dedup.line_freq": _op_line_freq_filter,
+    "transform.quality_score": _op_quality_scorer,
     "temporal.composite": _op_temporal_composite,
     "temporal.trend": _op_temporal_trend,
     "transform.url_canonicalize": _op_url_canonicalize,
