@@ -262,8 +262,14 @@ SQL_JOIN_NATION = """
 
 
 def q_topk_orders(sf_dir: str):
+    """Global top-10 by price (stages/agg.py:global_top_k): partial top-k
+    per block, one k-row-per-block coalesce, final head — shuffle-free,
+    vs the all-to-all range sort LIMIT-k-via-sort pays."""
+    from .stages.agg import global_top_k
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return global_top_k(ds, "o_totalprice", 10, descending=True,
+                        tie_col="o_orderkey")
 
 
 SQL_TOPK = """

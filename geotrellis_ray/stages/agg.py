@@ -148,6 +148,38 @@ def grouped_top_k(ds, keys, order_col: str, k: int, descending: bool = True,
     return partial.groupby(list(keys)).map_groups(final_topk, batch_format="pandas")
 
 
+def global_top_k(ds, order_col: str, k: int, descending: bool = True,
+                 tie_col: str | None = None):
+    """Global top-k (ORDER BY ... LIMIT k) with a PARTIAL top-k combiner —
+    shuffle-free: each block keeps its own top-k (vectorized pandas
+    sort+head), the <= k x #blocks partial rows coalesce into one block,
+    and the final head runs there. Replaces the full range sort (an
+    all-to-all exchange of the whole input) that LIMIT-k-via-sort pays;
+    at 10^12 rows the exchange is corpus-sized while this ships k rows
+    per block."""
+    import pandas as pd
+
+    sort_cols = [order_col] + ([tie_col] if tie_col else [])
+    ascending = [not descending] + ([True] if tie_col else [])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="stable").head(k)
+
+    # two map-only combine levels (per-block, then ~coalesced blocks), so
+    # the driver-side final sees <= k rows per ~128k-row partial batch —
+    # no repartition/sort operator anywhere (both pay the all-to-all
+    # machinery floor even for k rows; measured ~2 s at bench scale)
+    partial = ds.map_batches(partial_topk, batch_format="pandas")
+    partial = partial.map_batches(partial_topk, batch_format="pandas",
+                                  batch_size=131_072)
+    import ray.data
+
+    return ray.data.from_pandas(partial_topk(partial.to_pandas()))
+
+
 def exact_quantiles(ds, col: str, quantiles: list[float]):
     """EXACT distributed quantiles (discrete: the smallest element whose
     cumulative fraction >= q, i.e. sorted index max(0, ceil(q*n)-1) —

@@ -206,6 +206,100 @@ def _join_partitions() -> int:
     return max(2, min(16, cpus // 2))
 
 
+_PAIR_BROADCAST_MAX = 25_000  # pairs; ~2x that many texts gathered at most
+
+
+def _pair_texts(pairs, ds, id_col: str, text_col: str,
+                num_partitions: int | None = None):
+    """Attach (text_a, text_b) to a slim candidate-pair stream, inner-join
+    semantics on both sides. ``pairs`` MUST be materialized (count() free).
+
+    Two regimes, picked by measured pair count:
+    - <= _PAIR_BROADCAST_MAX (the common near-dup-sparse case and every
+      bench scale): gather ONLY pair-relevant texts with one pruned scan
+      (<= 2 * n_pairs rows reach the driver), ray.put the id->text table
+      ONCE, and attach texts in a plain map over the pair stream. No join
+      operator: each Ray hash join spawns num_partitions aggregator actors
+      with a ~1.7-3 s spin-up floor (measured 2.95 s at 250 pairs / 32
+      cpus), which dominated q_ngram_jaccard_pairs / q_minhash_dedup_docs.
+    - larger: the two pair->text hash joins exactly as before (pair-sparse;
+      the corpus text ships once per join) — the 10^12-doc scale shape.
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    n_pairs = pairs.count()
+    if n_pairs <= _PAIR_BROADCAST_MAX:
+        pair_df = pairs.to_pandas()  # slim (ids + small floats), <= 25k rows
+        want = np.unique(np.concatenate([
+            pair_df["id_a"].to_numpy(), pair_df["id_b"].to_numpy()])) \
+            if n_pairs else np.empty(0, dtype=np.int64)
+        want_ref = ray.put(want)
+
+        def gather(b: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(w, ids)
+            idx[idx >= len(w)] = 0
+            mask = pa.array((w[idx] == ids) if len(w) else
+                            np.zeros(len(ids), dtype=bool))
+            return pa.table({id_col: b[id_col].filter(mask),
+                             text_col: b[text_col].filter(mask)})
+
+        if n_pairs:
+            rel = ds.map_batches(gather, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+            order = np.argsort(rel[id_col].to_numpy())
+            rel_ids = rel[id_col].to_numpy()[order]
+            rel_texts = rel[text_col].to_numpy()[order]
+        else:  # empty-pair stream: skip the corpus scan entirely
+            rel_ids = np.empty(0, dtype=np.int64)
+            rel_texts = np.empty(0, dtype=object)
+        texts_ref = ray.put((rel_ids, rel_texts))
+
+        def attach(b: pa.Table) -> pa.Table:
+            rid, rtx = ray.get(texts_ref)
+            out = b
+            keep = np.ones(b.num_rows, dtype=bool)
+            side_vals = {}
+            for side in ("a", "b"):
+                ids = b[f"id_{side}"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(rid, ids)
+                idx[idx >= len(rid)] = 0
+                ok = (rid[idx] == ids) if len(rid) else \
+                    np.zeros(len(ids), dtype=bool)
+                keep &= ok
+                side_vals[side] = idx
+            mask = pa.array(keep)
+            out = out.filter(mask)
+            for side in ("a", "b"):
+                vals = rtx[side_vals[side][keep]] if keep.any() else \
+                    np.empty(0, dtype=object)
+                out = out.append_column(f"text_{side}",
+                                        pa.array(vals, pa.string()))
+            return out
+
+        return pairs.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # filtered/aggregate lineage can carry EMPTY-schema blocks that
+    # Dataset.join rejects; a repartition rebuilds uniform blocks
+    pairs = pairs.repartition(num_partitions)
+    docs_a = ds.map_batches(
+        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    docs_b = ds.map_batches(
+        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = pairs.join(docs_a, join_type="inner",
+                   num_partitions=num_partitions, on=("id_a",))
+    return j.join(docs_b, join_type="inner",
+                  num_partitions=num_partitions, on=("id_b",))
+
+
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                             id_col: str = "doc_id", text_col: str = "text",
                             concurrency=None, batch_size: int = 1024,
@@ -260,18 +354,9 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, ngram: int 
         return unique_pairs
 
     # est_jaccard: ship each pair its two texts, recompute both signatures
-    # per pair (pair-sparse work), compare
-    nparts = _join_partitions()
-    docs_a = ds.map_batches(
-        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    docs_b = ds.map_batches(
-        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    j = unique_pairs.join(docs_a, join_type="inner", num_partitions=nparts, on=("id_a",))
-    j = j.join(docs_b, join_type="inner", num_partitions=nparts, on=("id_b",))
+    # per pair (pair-sparse work), compare. Broadcast regime below
+    # _PAIR_BROADCAST_MAX pairs, hash joins above (see _pair_texts).
+    j = _pair_texts(unique_pairs.materialize(), ds, id_col, text_col)
 
     def est(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -601,33 +686,16 @@ def ngram_jaccard_pairs(texts_a: list[str], texts_b: list[str], n: int = 3) -> n
 def verify_pairs_exact_jaccard(pairs_ds, docs_ds, ngram: int = 3,
                                id_col: str = "doc_id", text_col: str = "text",
                                num_partitions: int | None = None):
-    """Exact n-gram Jaccard for candidate pairs, distributed: two hash joins
-    ship each pair's TWO texts (never the corpus cross-product), then a
-    vectorized shingle/Jaccard per batch. Output: (id_a, id_b, est_jaccard,
-    jaccard). The scale shape for 'n-gram Jaccard dedup': candidates come
-    from MinHash-LSH; exactness comes from this verify."""
-    if num_partitions is None:
-        # each Ray hash join spawns num_partitions aggregator ACTORS; two
-        # chained joins at a fixed 16 deadlock small clusters (needs 32 cpus
-        # of actors) — size to the cluster instead
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(16, cpus // 2))
-    # pairs that flow out of a filtered join can carry EMPTY-schema blocks,
-    # which Dataset.join rejects ("no match for key field"); a repartition
-    # rebuilds uniform blocks (same workaround as spatial_join)
-    pairs_ds = pairs_ds.repartition(num_partitions)
-    docs_a = docs_ds.map_batches(
-        lambda b: pa.table({"id_a": b[id_col], "text_a": b[text_col]}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    docs_b = docs_ds.map_batches(
-        lambda b: pa.table({"id_b": b[id_col], "text_b": b[text_col]}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    j = pairs_ds.join(docs_a, join_type="inner", num_partitions=num_partitions, on=("id_a",))
-    j = j.join(docs_b, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+    """Exact n-gram Jaccard for candidate pairs, distributed: each pair gets
+    its TWO texts (broadcast lookup when the pair set is small, pair-sparse
+    hash joins at scale — never the corpus cross-product), then a vectorized
+    shingle/Jaccard per batch. Output: (id_a, id_b, est_jaccard, jaccard).
+    The scale shape for 'n-gram Jaccard dedup': candidates come from
+    MinHash-LSH; exactness comes from this verify."""
+    # broadcast regime below _PAIR_BROADCAST_MAX pairs (no join-actor
+    # spin-up), pair-sparse hash joins above — see _pair_texts
+    j = _pair_texts(pairs_ds.materialize(), docs_ds, id_col, text_col,
+                    num_partitions=num_partitions)
 
     def exact(b: pa.Table) -> pa.Table:
         ja = ngram_jaccard_pairs(b["text_a"].to_pylist(), b["text_b"].to_pylist(), ngram)

@@ -240,3 +240,27 @@ def test_sessionize_matches_pandas(ray_session, n_blocks):
     pd.testing.assert_frame_equal(
         got[["event_id", "user_id", "session_no"]].astype(np.int64),
         exp.astype(np.int64))
+
+
+def test_global_top_k(ray_session):
+    """global_top_k (partial combiner, no sort/repartition operator) vs the
+    full-sort oracle, with duplicate order values exercising the tie col."""
+    rng = np.random.default_rng(43)
+    t = pa.table({"v": pa.array(rng.integers(0, 500, 4000), pa.int64()),
+                  "id": pa.array(np.arange(4000), pa.int64()),
+                  "tag": pa.array(rng.choice(["p", "q"], 4000))})
+    from geotrellis_ray.stages.agg import global_top_k
+
+    got = (global_top_k(ray.data.from_arrow(t).repartition(11), "v", 7,
+                        descending=True, tie_col="id")
+           .to_pandas().reset_index(drop=True))
+    exp = (t.to_pandas()
+           .sort_values(["v", "id"], ascending=[False, True], kind="stable")
+           .head(7).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # ascending + k larger than the input
+    got_all = global_top_k(ray.data.from_arrow(t).repartition(3), "v",
+                           10_000, descending=False, tie_col="id").to_pandas()
+    assert len(got_all) == 4000
+    assert got_all["v"].is_monotonic_increasing
