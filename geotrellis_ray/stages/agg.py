@@ -102,7 +102,17 @@ def partial_groupby(ds, keys, specs, final: str = "shuffle"):
         # materialize is fine here: partial rows are the small side by
         # construction.
         partial = partial.materialize()
-        if partial.count() <= _SINGLE_FINAL_MAX_ROWS:
+        n_partial = partial.count()
+        if 0 < n_partial <= _SINGLE_DRIVER_MAX_ROWS:
+            # tiny partial sets: concat on the driver and merge in-process —
+            # even repartition(1) pays the all-to-all operator (~0.25 s
+            # measured vs ~0.1 s for the driver concat)
+            import ray
+            import ray.data as rd
+
+            tab = pa.concat_tables(ray.get(partial.to_arrow_refs()))
+            return rd.from_arrow(_batch_partial(tab, keys, merge_specs))
+        if n_partial <= _SINGLE_FINAL_MAX_ROWS:
             # batch_size=None = the whole (single) block in one batch -> exact
             return partial.repartition(1).map_batches(
                 lambda b: _batch_partial(b, keys, merge_specs),
@@ -117,6 +127,9 @@ def partial_groupby(ds, keys, specs, final: str = "shuffle"):
 # the upper edge of comfortable. Above this the "single" merge falls back to
 # the shuffle merge automatically.
 _SINGLE_FINAL_MAX_ROWS = 4_000_000
+# below this, the final merge runs on the DRIVER (concat of the materialized
+# partial blocks) — a few MB at most, cheaper than even a repartition(1)
+_SINGLE_DRIVER_MAX_ROWS = 65_536
 
 
 def grouped_top_k(ds, keys, order_col: str, k: int, descending: bool = True,
