@@ -2235,9 +2235,10 @@ def q_cliptogrid_toy(sf_dir: str):
     exploded = ds.map_batches(
         lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
     )
-    from ray.data.aggregate import Count
+    from .stages.agg import partial_groupby
 
-    return exploded.groupby("polygon_id").aggregate(Count(alias_name="n_keys"))
+    return partial_groupby(exploded, ["polygon_id"],
+                           [("polygon_id", "count", "n_keys")], final="single")
 
 
 _POLY_CACHE: list = []
@@ -3291,8 +3292,6 @@ def q_geojson_cliptogrid(sf_dir: str):
     import json
     import os
 
-    from ray.data.aggregate import Count
-
     from .core import wkb as wkb_mod
     from .core.geojson import geom_to_geojson, read_geojson
     from .stages.clip import clip_to_grid_batch
@@ -3323,7 +3322,10 @@ def q_geojson_cliptogrid(sf_dir: str):
     exploded = ds.map_batches(with_pid, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
     )
-    return exploded.groupby("polygon_id").aggregate(Count(alias_name="n_keys"))
+    from .stages.agg import partial_groupby
+
+    return partial_groupby(exploded, ["polygon_id"],
+                           [("polygon_id", "count", "n_keys")], final="single")
 
 
 _CD_SOURCES = (131, 3251)  # global cell ids: (gr=2,gc=3), (gr=50,gc=51)

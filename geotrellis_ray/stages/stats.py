@@ -111,25 +111,38 @@ def layer_min_max_mean(ds, value_col: str) -> dict:
 def polygonal_summary(joined_ds, group_col: str = "polygon_id", value_col: str = "n_tokens",
                       drop_unmatched: bool = True):
     """Zonal stats over PIP-joined rows: groupby polygon, Sum/Min/Max/Mean/
-    Count. Mergeable -> plain grouped aggregate (partial+final under the
-    hood). ``drop_unmatched`` removes polygon_id == -1 (no-hit rows)."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    Count via partial_groupby's map-side combine (polygon cardinality is
+    bounded — the polygon side is the broadcast small side by design — so
+    the final merge takes the single/driver path instead of Ray's
+    sort-based Aggregate and its fixed floor; above 4M distinct keys it
+    auto-falls back to the shuffle merge). Mean is derived as sum/n, the
+    same double division Ray's Mean and DuckDB's avg perform.
+    ``drop_unmatched`` removes polygon_id == -1 (no-hit rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .agg import partial_groupby
 
     ds = joined_ds
     if drop_unmatched:
-        import pyarrow.compute as pc
-
         ds = ds.map_batches(
             lambda b: b.filter(pc.greater_equal(b[group_col], 0)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-    return ds.groupby(group_col).aggregate(
-        Count(alias_name="n"),
-        Sum(value_col, alias_name=f"sum_{value_col}"),
-        Min(value_col, alias_name=f"min_{value_col}"),
-        Max(value_col, alias_name=f"max_{value_col}"),
-        Mean(value_col, alias_name=f"mean_{value_col}"),
-    )
+    g = partial_groupby(ds, [group_col], [
+        (group_col, "count", "n"),
+        (value_col, "sum", f"sum_{value_col}"),
+        (value_col, "min", f"min_{value_col}"),
+        (value_col, "max", f"max_{value_col}"),
+    ], final="single")
+
+    def add_mean(b: "pa.Table") -> "pa.Table":
+        mean = pc.divide(pc.cast(b[f"sum_{value_col}"], pa.float64()),
+                         pc.cast(b["n"], pa.float64()))
+        return b.append_column(f"mean_{value_col}", mean)
+
+    return g.map_batches(add_mean, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def zonal_histogram(joined_ds, zone_col: str, value_col: str):
