@@ -417,6 +417,43 @@ SQL_PARAGRAPH_DEDUP = """
 """
 
 
+def q_pack_shards(sf_dir: str):
+    """GPT-style sequence packing (stages/agg.py:pack_token_shards): docs
+    in id order concatenate into one token stream; each doc gets the shard
+    where it starts (budget 4096 tokens) plus its offset. Distributed
+    prefix scan — block sums to the driver (O(#blocks)), offsets broadcast
+    back. SQL-checked bit-exact: integer window sums are exact in both
+    engines."""
+    from .functions.text_analysis import token_count_batch
+    from .stages.agg import pack_token_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b, "text").drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pack_token_shards(toks, budget=4096)
+
+
+SQL_PACK_SHARDS = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS prefix
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           prefix // 4096 AS shard_id,
+           prefix % 4096 AS offset_in_shard
+    FROM c
+"""
+
+
 def q_quality_scorer(sf_dir: str):
     """Hashed char-4-gram linear quality scorer
     (functions/text_analysis.py:HashedNgramScorer) — the batched
@@ -6410,6 +6447,7 @@ def build_queries() -> dict:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_line_freq_filter": q_line_freq_filter,
         "q_quality_scorer": q_quality_scorer,
+        "q_pack_shards": q_pack_shards,
         "q_duplicated_spans": q_duplicated_spans,
         "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
@@ -6565,7 +6603,7 @@ def build_queries() -> dict:
     # FIRST possible hash verification
     sql_new_r4 = [
         "q_gearys_c", "q_getis_ord", "q_line_freq_filter",
-        "q_quality_scorer",
+        "q_quality_scorer", "q_pack_shards",
         "q_convolve_grid", "q_gopher_repetition",
         "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
         "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
@@ -6625,6 +6663,7 @@ def build_oracle_sql() -> dict:
         "q_paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "q_line_freq_filter": SQL_LINE_FREQ_FILTER,
         "q_quality_scorer": SQL_QUALITY_SCORER,
+        "q_pack_shards": SQL_PACK_SHARDS,
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,

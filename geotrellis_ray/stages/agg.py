@@ -193,6 +193,62 @@ def global_top_k(ds, order_col: str, k: int, descending: bool = True,
     return ray.data.from_pandas(partial_topk(partial.to_pandas()))
 
 
+def pack_token_shards(ds, budget: int, id_col: str = "doc_id",
+                      tokens_col: str = "n_tokens"):
+    """GPT-style sequence packing: concatenate docs in id order into one
+    token stream and assign each doc the shard where it STARTS —
+    shard_id = exclusive_prefix // budget, offset_in_shard =
+    exclusive_prefix % budget (docs may straddle shard boundaries, the
+    training-data packing convention). -> Dataset (id_col, tokens_col,
+    shard_id, offset_in_shard).
+
+    Scale shape: ONE range sort by id (a global order is inherent to
+    packing), then a distributed prefix scan — pass 1 emits one
+    (first_id, block_sum) row per block; the driver cumsums that
+    O(#blocks) side channel; pass 2 re-maps the SAME materialized blocks
+    (batch_size=None = exactly one block per task, stable across both
+    passes) adding the broadcast block offset to a local cumsum. The
+    driver never sees a row, only block sums."""
+    import numpy as np
+    import ray
+
+    sorted_ds = ds.sort(id_col).materialize()
+
+    def block_sum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        t = b[tokens_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first_id": pa.array([int(b[id_col][0].as_py())], pa.int64()),
+                         "s": pa.array([int(t.sum())], pa.int64())})
+
+    side = sorted_ds.map_batches(block_sum, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=None).to_pandas()
+    side = side.sort_values("first_id")
+    block_offs = np.zeros(len(side), dtype=np.int64)
+    np.cumsum(side["s"].to_numpy()[:-1], out=block_offs[1:])
+    off_ref = ray.put((side["first_id"].to_numpy(), block_offs))
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             tokens_col: pa.array([], pa.int64()),
+                             "shard_id": pa.array([], pa.int64()),
+                             "offset_in_shard": pa.array([], pa.int64())})
+        fids, boffs = ray.get(off_ref)
+        t = b[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(boffs[np.searchsorted(fids, int(b[id_col][0].as_py()))])
+        ex = np.full(len(t), base, dtype=np.int64)
+        ex[1:] += np.cumsum(t[:-1])
+        return pa.table({id_col: b[id_col], tokens_col: b[tokens_col],
+                         "shard_id": pa.array(ex // budget, pa.int64()),
+                         "offset_in_shard": pa.array(ex % budget, pa.int64())})
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+
+
 def exact_quantiles(ds, col: str, quantiles: list[float]):
     """EXACT distributed quantiles (discrete: the smallest element whose
     cumulative fraction >= q, i.e. sorted index max(0, ceil(q*n)-1) —

@@ -264,3 +264,24 @@ def test_global_top_k(ray_session):
                            10_000, descending=False, tie_col="id").to_pandas()
     assert len(got_all) == 4000
     assert got_all["v"].is_monotonic_increasing
+
+
+def test_pack_token_shards(ray_session):
+    """Distributed prefix scan vs a driver cumsum oracle; docs straddle
+    shard boundaries; result invariant to input block layout."""
+    from geotrellis_ray.stages.agg import pack_token_shards
+
+    rng = np.random.default_rng(47)
+    toks = rng.integers(1, 900, 300).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(300), pa.int64()),
+                  "n_tokens": pa.array(toks)})
+    ex = np.zeros(300, dtype=np.int64)
+    ex[1:] = np.cumsum(toks[:-1])
+    for nparts in (1, 13):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = (pack_token_shards(ds, budget=1000).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        np.testing.assert_array_equal(got["shard_id"].to_numpy(), ex // 1000)
+        np.testing.assert_array_equal(got["offset_in_shard"].to_numpy(), ex % 1000)
+    # at least one doc must straddle a boundary for the test to mean much
+    assert ((ex % 1000) + toks > 1000).any()
