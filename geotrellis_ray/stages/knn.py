@@ -83,11 +83,22 @@ def knn_multi(ds, queries: pd.DataFrame, k: int, id_col: str = "url", metric: st
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    # the partial stream is <= nq x k rows per block; under 64k total rows
+    # the final per-query head runs on the driver — Ray's sort-based
+    # groupby/map_groups pays a ~2 s machinery floor for what is a
+    # millisecond pandas pass (same bounded-driver-final pattern as
+    # partial_groupby). Large query fleets keep the distributed final.
+    if part.count() <= 65_536:
+        import ray.data as rd
+
+        df = part.to_pandas()
+        df = df.sort_values(["query_id", "dist", id_col], kind="stable")
+        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
+        return rd.from_pandas(df)
+    return part.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
 def knn_cell_pruned(ds, queries: pd.DataFrame, k: int, hex_res: int, rings: int = 2,
