@@ -883,6 +883,38 @@ SQL_SESSIONIZE = """
 """
 
 
+def q_window_rank(sf_dir: str):
+    """Partitioned ranking window functions (stages/window.window_rank):
+    ROW_NUMBER / RANK / DENSE_RANK and the inclusive running value sum per
+    user over the event stream — ONE range sort + vectorized in-block ranks
+    + the O(#blocks) driver boundary stitch (rn/rsum additive, drnk
+    tie-aware additive, rnk with a leading-tie-run group override). Money is
+    integer cents so the running sum is bit-exact vs SQL."""
+    from .stages.window import window_rank
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        c = np.round(v * 100).astype(np.int64)
+        return b.drop_columns(["value"]).append_column(
+            "value_cents", pa.array(c, pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return window_rank(ds, "user_id", "ts", "event_id", "value_cents")
+
+
+SQL_WINDOW_RANK = """
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           RANK()       OVER (PARTITION BY user_id ORDER BY ts) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS drnk,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rsum
+    FROM events
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/dedup.decontaminate): every 101st
     doc plays the held-out benchmark; corpus docs sharing any 50-char
@@ -6460,6 +6492,7 @@ def build_queries() -> dict:
         "q_top_terms_sketch": q_top_terms_sketch,
         "q_stratified_sample": q_stratified_sample,
         "q_sessionize_events": q_sessionize_events,
+        "q_window_rank": q_window_rank,
         "q_decontaminate": q_decontaminate,
         "q_doc_quality": q_doc_quality,
         "q_lang_stats": q_lang_stats,
@@ -6602,6 +6635,7 @@ def build_queries() -> dict:
     # conversions landed latest-in-round go first: each is that family's
     # FIRST possible hash verification
     sql_new_r4 = [
+        "q_window_rank",
         "q_gearys_c", "q_getis_ord", "q_line_freq_filter",
         "q_quality_scorer", "q_pack_shards",
         "q_convolve_grid", "q_gopher_repetition",
@@ -6676,6 +6710,7 @@ def build_oracle_sql() -> dict:
         "q_top_terms_sketch": SQL_TOP_TERMS,
         "q_stratified_sample": _sql_stratified_sample(),
         "q_sessionize_events": SQL_SESSIONIZE,
+        "q_window_rank": SQL_WINDOW_RANK,
         "q_decontaminate": SQL_DECONTAMINATE,
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_lang_stats": SQL_LANG_STATS,

@@ -282,3 +282,164 @@ def sessionize(ds, part_col: str = "user_id", ts_col: str = "ts",
         lambda b: b.select([id_col, part_col, "session_no"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def _block_ranks(batch: pa.Table, part_col: str, ord_col: str, id_col: str,
+                 val_col: str | None) -> pa.Table:
+    """Sorted-stream block pass for window_rank: kind=0 rows carry IN-BLOCK
+    per-partition-segment row_number / rank / dense_rank / inclusive running
+    sum; kind=1/2 are the block's first/last rows — the O(#blocks) driver
+    side channel (same stitch shape as _block_sessions)."""
+    n = batch.num_rows
+    id_t = batch.schema.field(id_col).type
+    part_t = batch.schema.field(part_col).type
+    if n == 0:
+        return pa.table({
+            "kind": pa.array([], pa.int8()),
+            id_col: pa.array([], id_t),
+            part_col: pa.array([], part_t),
+            "__ord": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "drnk": pa.array([], pa.int64()),
+            "rsum": pa.array([], pa.int64()),
+            "__blk": pa.array([], pa.int64()),
+        })
+    part = batch[part_col].to_numpy(zero_copy_only=False)
+    ordv = batch[ord_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    val = (batch[val_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+           if val_col else np.zeros(n, dtype=np.int64))
+    idx = np.arange(n, dtype=np.int64)
+    same = part[1:] == part[:-1]
+    seg_first = np.ones(n, dtype=bool)
+    seg_first[1:] = ~same
+    seg_start = np.maximum.accumulate(np.where(seg_first, idx, 0))
+    rn = idx - seg_start + 1
+    new_val = np.ones(n, dtype=bool)
+    new_val[1:] = ~same | (ordv[1:] != ordv[:-1])
+    cs_val = np.cumsum(new_val)
+    drnk = cs_val - cs_val[seg_start] + 1
+    grp_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+    rnk = grp_start - seg_start + 1
+    cv = np.cumsum(val)
+    rsum = cv - cv[seg_start] + val[seg_start]
+    blk = np.full(n, int(ids[0]), dtype=np.int64)  # ids are globally unique
+    main = pa.table({
+        "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        id_col: batch[id_col],
+        part_col: batch[part_col],
+        "__ord": pa.array(ordv, pa.int64()),
+        "rn": pa.array(rn, pa.int64()),
+        "rnk": pa.array(rnk, pa.int64()),
+        "drnk": pa.array(drnk, pa.int64()),
+        "rsum": pa.array(rsum, pa.int64()),
+        "__blk": pa.array(blk, pa.int64()),
+    })
+    edge_idx = pa.array([0, n - 1], pa.int64())
+    edges = pa.table({
+        "kind": pa.array([1, 2], pa.int8()),
+        id_col: batch[id_col].take(edge_idx),
+        part_col: batch[part_col].take(edge_idx),
+        "__ord": pa.array(ordv[[0, n - 1]], pa.int64()),
+        "rn": pa.array(rn[[0, n - 1]], pa.int64()),
+        "rnk": pa.array(rnk[[0, n - 1]], pa.int64()),
+        "drnk": pa.array(drnk[[0, n - 1]], pa.int64()),
+        "rsum": pa.array(rsum[[0, n - 1]], pa.int64()),
+        "__blk": pa.array([int(ids[0])] * 2, pa.int64()),
+    })
+    return pa.concat_tables([main, edges])
+
+
+def window_rank(ds, part_col: str, ord_col: str, id_col: str,
+                val_col: str | None = None):
+    """Partitioned ranking window functions over a distributed stream —
+    ROW_NUMBER / RANK / DENSE_RANK over (PARTITION BY part ORDER BY ord
+    [, id]) plus, when ``val_col`` is given, the inclusive running sum
+    SUM(val) OVER (... ROWS UNBOUNDED PRECEDING). ``ord_col`` must be
+    integer-castable (int / timestamp); ``val_col`` integer (use cents for
+    money). -> Dataset (id_col, part_col, rn, rnk, drnk[, rsum]), exact SQL
+    window semantics with rn ties broken by id.
+
+    Distributed shape (100 TB): ONE global range sort on (part, ord, id);
+    each block computes its in-block ranks vectorized; only 2 rows per block
+    reach the driver, which walks blocks in order carrying per-open-partition
+    (row count R, distinct-value count D, last ord value, global rank of the
+    last tie group G, running sum S) and emits one additive patch per block
+    whose first segment continues a neighbor. rn/rsum stitch with +R/+S;
+    drnk with +D or +(D-1) on a value tie at the boundary; rnk with +R except
+    the leading tie run (in-block rnk==1, same ord as the carry) which is
+    overridden to G. Same O(#blocks) side-channel pattern as sessionize /
+    as_of_prev — the driver never sees a data row."""
+    mixed = (
+        ds.sort([part_col, ord_col, id_col])
+        .map_batches(lambda b: _block_ranks(b, part_col, ord_col, id_col, val_col),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    main = mixed.filter(expr="kind == 0")
+    edges = mixed.filter(expr="kind != 0").to_pandas()  # 2 rows per block
+
+    # blk -> (part, d_rn, d_drnk, d_rsum, group_override or -1)
+    patches: dict[int, tuple] = {}
+    if len(edges):
+        firsts = edges[edges["kind"] == 1].set_index("__blk")
+        lasts = edges[edges["kind"] == 2].set_index("__blk")
+        order = firsts.sort_values([part_col, "__ord", id_col], kind="stable").index
+        carry = None  # (part, R, D, last_ord, G, S)
+        for blk in order:
+            f, l = firsts.loc[blk], lasts.loc[blk]
+            if carry is not None and f[part_col] == carry[0]:
+                _, R, D, c_ord, G, S = carry
+                tie = int(f["__ord"]) == c_ord
+                patches[int(blk)] = (f[part_col], R, D - 1 if tie else D, S,
+                                     G if tie else -1)
+                if l[part_col] == f[part_col]:  # single-segment continuation
+                    new_g = G if (int(l["rnk"]) == 1 and tie) else int(l["rnk"]) + R
+                    carry = (f[part_col], R + int(l["rn"]),
+                             D + int(l["drnk"]) - (1 if tie else 0),
+                             int(l["__ord"]), new_g, S + int(l["rsum"]))
+                else:
+                    carry = (l[part_col], int(l["rn"]), int(l["drnk"]),
+                             int(l["__ord"]), int(l["rnk"]), int(l["rsum"]))
+            else:
+                carry = (l[part_col], int(l["rn"]), int(l["drnk"]),
+                         int(l["__ord"]), int(l["rnk"]), int(l["rsum"]))
+
+    out_cols = [id_col, part_col, "rn", "rnk", "drnk"] + (["rsum"] if val_col else [])
+
+    if patches:
+        pb = np.array(sorted(patches), dtype=np.int64)
+        pp = np.array([patches[int(k)][0] for k in pb], dtype=object)
+        p_rn = np.array([patches[int(k)][1] for k in pb], dtype=np.int64)
+        p_dr = np.array([patches[int(k)][2] for k in pb], dtype=np.int64)
+        p_sm = np.array([patches[int(k)][3] for k in pb], dtype=np.int64)
+        p_gv = np.array([patches[int(k)][4] for k in pb], dtype=np.int64)
+
+        def apply_patch(b: pa.Table) -> pa.Table:
+            blks = b["__blk"].to_numpy(zero_copy_only=False)
+            parts = np.asarray(b[part_col].to_numpy(zero_copy_only=False), dtype=object)
+            rn = b["rn"].to_numpy(zero_copy_only=False).copy()
+            rnk = b["rnk"].to_numpy(zero_copy_only=False).copy()
+            drnk = b["drnk"].to_numpy(zero_copy_only=False).copy()
+            rsum = b["rsum"].to_numpy(zero_copy_only=False).copy()
+            pos = np.searchsorted(pb, blks)
+            pos_c = np.clip(pos, 0, len(pb) - 1)
+            hit = (pb[pos_c] == blks) & (pp[pos_c] == parts)
+            # leading tie run detected BEFORE the additive patch
+            ghit = hit & (rnk == 1) & (p_gv[pos_c] >= 0)
+            rn[hit] += p_rn[pos_c[hit]]
+            rnk[hit] += p_rn[pos_c[hit]]
+            drnk[hit] += p_dr[pos_c[hit]]
+            rsum[hit] += p_sm[pos_c[hit]]
+            rnk[ghit] = p_gv[pos_c[ghit]]
+            t = pa.table({id_col: b[id_col], part_col: b[part_col],
+                          "rn": pa.array(rn, pa.int64()),
+                          "rnk": pa.array(rnk, pa.int64()),
+                          "drnk": pa.array(drnk, pa.int64()),
+                          "rsum": pa.array(rsum, pa.int64())})
+            return t.select(out_cols)
+
+        return main.map_batches(apply_patch, batch_format="pyarrow", zero_copy_batch=True)
+    return main.map_batches(lambda b: b.select(out_cols),
+                            batch_format="pyarrow", zero_copy_batch=True)

@@ -285,3 +285,67 @@ def test_pack_token_shards(ray_session):
         np.testing.assert_array_equal(got["offset_in_shard"].to_numpy(), ex % 1000)
     # at least one doc must straddle a boundary for the test to mean much
     assert ((ex % 1000) + toks > 1000).any()
+
+
+def _rank_oracle(df):
+    """Brute-force pandas window oracle: rn ties broken by id, rnk/drnk on
+    the order value alone, inclusive running sum in (ord, id) order."""
+    out = []
+    for uid, g in df.sort_values(["ordv", "event_id"]).groupby("part"):
+        n = len(g)
+        o = g["ordv"].to_numpy()
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = o[1:] != o[:-1]
+        grp_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        out.append(pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(), "part": uid, "rn": rn,
+            "rnk": grp_start + 1,
+            "drnk": np.cumsum(new).astype(np.int64),
+            "rsum": np.cumsum(g["val"].to_numpy()),
+        }))
+    return pd.concat(out).sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7, 53])
+def test_window_rank_matches_oracle(ray_session, n_blocks):
+    """Adversarial block splits: 3 partitions x heavy order-value ties so
+    boundaries cut partitions mid-tie-group (the rnk group-override path),
+    mid-partition (additive rn/rsum path), and at distinct-value edges
+    (the drnk tie branch)."""
+    from geotrellis_ray.stages.window import window_rank
+
+    rng = np.random.default_rng(11 + n_blocks)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "part": rng.choice(["a", "b", "c"], n),
+        "ordv": rng.integers(0, 6, n).astype(np.int64),  # ~33 rows per tie group
+        "val": rng.integers(-50, 100, n).astype(np.int64),
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = (window_rank(ds, "part", "ordv", "event_id", "val").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    exp = _rank_oracle(df)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "part", "rn", "rnk", "drnk", "rsum"]], exp)
+
+
+def test_window_rank_single_value_partition(ray_session):
+    """All rows one partition, one order value, tiny blocks: the entire
+    stream is one tie group — every block after the first takes the
+    group-override branch and rnk must stay 1 throughout."""
+    from geotrellis_ray.stages.window import window_rank
+
+    n = 64
+    t = pa.table({"event_id": pa.array(np.arange(n), pa.int64()),
+                  "part": pa.array(["x"] * n),
+                  "ordv": pa.array(np.zeros(n, dtype=np.int64)),
+                  "val": pa.array(np.ones(n, dtype=np.int64))})
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = (window_rank(ds, "part", "ordv", "event_id", "val").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    np.testing.assert_array_equal(got["rn"].to_numpy(), np.arange(1, n + 1))
+    np.testing.assert_array_equal(got["rnk"].to_numpy(), np.ones(n, dtype=np.int64))
+    np.testing.assert_array_equal(got["drnk"].to_numpy(), np.ones(n, dtype=np.int64))
+    np.testing.assert_array_equal(got["rsum"].to_numpy(), np.arange(1, n + 1))
