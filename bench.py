@@ -214,6 +214,12 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         noise: dict[str, dict] = {}
         for name in BENCH_QUERIES:
             fn = queries[name]
+            # one untimed warm run: page-cache + worker-process cold start
+            # otherwise lands arbitrarily on whichever query touches a table
+            # first (measured: q1 2.05 s cold / 0.35 s warm). Steady-state is
+            # what maps to a real cluster; actor-pool spin-up inside each
+            # query is still paid in the timed window.
+            _consume(fn(sf_dir))
             _res, wall, ext, attempts, dirty = _timed_clean(
                 lambda: _consume(fn(sf_dir)))
             per_query[name] = round(wall, 3)
