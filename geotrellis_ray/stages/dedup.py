@@ -43,7 +43,12 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         dtype=np.uint64,
         count=len(batch),
     )
-    return batch.append_column("content_hash", pa.array(hs, pa.uint64()))
+    # int64 REINTERPRET of the 64-bit hash (bijective). Ray's sort-based
+    # groupby/aggregate rebuilds key columns through Python ints; uint64
+    # values >= 2^63 overflow that path and silently fall back to
+    # pickled-object blocks (observed in the sf0.01 harness logs) — int64
+    # keys stay zero-copy Arrow end to end.
+    return batch.append_column("content_hash", pa.array(hs.view(np.int64), pa.int64()))
 
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_text: bool = False):
