@@ -915,6 +915,27 @@ SQL_WINDOW_RANK = """
 """
 
 
+def q_window_ntile(sf_dir: str):
+    """PERCENT_RANK + NTILE(7) per user over the event stream
+    (stages/window.window_rank_stats): window_rank's distributed ranks plus
+    ONE broadcast per-partition count; percent_rank is a single IEEE
+    division of exact ints (bit-identical to SQL), ntile the standard
+    first-(N%k)-buckets-get-ceil(N/k) rule. Bounded partition-cardinality
+    contract (user ids), counts tree-aggregated then ray.put-broadcast."""
+    from .stages.window import window_rank_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return window_rank_stats(ds, "user_id", "ts", "event_id", ntile=7)
+
+
+SQL_WINDOW_NTILE = """
+    SELECT event_id, user_id,
+           PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS pctr,
+           NTILE(7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bucket
+    FROM events
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/dedup.decontaminate): every 101st
     doc plays the held-out benchmark; corpus docs sharing any 50-char
@@ -6493,6 +6514,7 @@ def build_queries() -> dict:
         "q_stratified_sample": q_stratified_sample,
         "q_sessionize_events": q_sessionize_events,
         "q_window_rank": q_window_rank,
+        "q_window_ntile": q_window_ntile,
         "q_decontaminate": q_decontaminate,
         "q_doc_quality": q_doc_quality,
         "q_lang_stats": q_lang_stats,
@@ -6635,7 +6657,7 @@ def build_queries() -> dict:
     # conversions landed latest-in-round go first: each is that family's
     # FIRST possible hash verification
     sql_new_r4 = [
-        "q_window_rank",
+        "q_window_rank", "q_window_ntile",
         "q_gearys_c", "q_getis_ord", "q_line_freq_filter",
         "q_quality_scorer", "q_pack_shards",
         "q_convolve_grid", "q_gopher_repetition",
@@ -6711,6 +6733,7 @@ def build_oracle_sql() -> dict:
         "q_stratified_sample": _sql_stratified_sample(),
         "q_sessionize_events": SQL_SESSIONIZE,
         "q_window_rank": SQL_WINDOW_RANK,
+        "q_window_ntile": SQL_WINDOW_NTILE,
         "q_decontaminate": SQL_DECONTAMINATE,
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_lang_stats": SQL_LANG_STATS,

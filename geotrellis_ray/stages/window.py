@@ -443,3 +443,58 @@ def window_rank(ds, part_col: str, ord_col: str, id_col: str,
         return main.map_batches(apply_patch, batch_format="pyarrow", zero_copy_batch=True)
     return main.map_batches(lambda b: b.select(out_cols),
                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def window_rank_stats(ds, part_col: str, ord_col: str, id_col: str,
+                      ntile: int | None = None):
+    """PERCENT_RANK and NTILE(k) per partition, composed on window_rank plus
+    ONE broadcast per-partition row count: percent_rank = (rnk-1)/(N-1)
+    (exact — a single IEEE division of exact ints, bit-identical to SQL),
+    ntile by the standard first-(N%k)-buckets-get-ceil(N/k) rule, over
+    (PARTITION BY part ORDER BY ord, id). -> Dataset
+    (id_col, part_col, pctr[, bucket]).
+
+    Scale contract: partition CARDINALITY must be bounded (counts are
+    tree-aggregated, collected once on the driver, and ray.put-broadcast —
+    the same bounded-keys contract as partial_groupby(final='single')); row
+    count per partition is unbounded. For unbounded partition keys use
+    window_rank + an explicit join against the counts instead."""
+    import ray
+
+    from .agg import partial_groupby
+
+    counts = partial_groupby(
+        ds.select_columns([part_col]), [part_col],
+        [(part_col, "count", "n_part")],
+    ).to_pandas()
+    parts_sorted = counts.sort_values(part_col)
+    keys = parts_sorted[part_col].to_numpy()
+    ns = parts_sorted["n_part"].to_numpy().astype(np.int64)
+    ref = ray.put((keys, ns))
+
+    ranked = window_rank(ds, part_col, ord_col, id_col)
+
+    def stats(b: pa.Table) -> pa.Table:
+        k_arr, n_arr = ray.get(ref)
+        parts = b[part_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k_arr, parts)
+        N = n_arr[np.clip(pos, 0, len(n_arr) - 1)]
+        rnk = b["rnk"].to_numpy(zero_copy_only=False)
+        pctr = np.where(N > 1, (rnk - 1) / np.maximum(N - 1, 1), 0.0)
+        cols = {id_col: b[id_col], part_col: b[part_col],
+                "pctr": pa.array(pctr, pa.float64())}
+        if ntile:
+            rn = b["rn"].to_numpy(zero_copy_only=False)
+            n_big = N % ntile
+            size_big = N // ntile + 1
+            size_small = np.maximum(N // ntile, 1)
+            cut = n_big * size_big
+            bucket = np.where(
+                rn <= cut,
+                (rn - 1) // size_big + 1,
+                n_big + (rn - cut - 1) // size_small + 1,
+            ).astype(np.int64)
+            cols["bucket"] = pa.array(bucket, pa.int64())
+        return pa.table(cols)
+
+    return ranked.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

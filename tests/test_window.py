@@ -349,3 +349,33 @@ def test_window_rank_single_value_partition(ray_session):
     np.testing.assert_array_equal(got["rnk"].to_numpy(), np.ones(n, dtype=np.int64))
     np.testing.assert_array_equal(got["drnk"].to_numpy(), np.ones(n, dtype=np.int64))
     np.testing.assert_array_equal(got["rsum"].to_numpy(), np.arange(1, n + 1))
+
+
+@pytest.mark.parametrize("k", [1, 3, 7, 50])
+def test_window_rank_stats_matches_duckdb(ray_session, k):
+    """PERCENT_RANK + NTILE(k) vs DuckDB across k regimes including k > the
+    largest partition (every row its own bucket) and a 1-row partition
+    (pctr must be 0.0, bucket 1)."""
+    import duckdb
+
+    from geotrellis_ray.stages.window import window_rank_stats
+
+    rng = np.random.default_rng(5 + k)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "part": rng.choice(["a", "b", "solo"], n, p=[0.6, 0.398, 0.002]),
+        "ordv": rng.integers(0, 8, n).astype(np.int64),
+    })
+    if (df["part"] == "solo").sum() == 0:
+        df.loc[0, "part"] = "solo"
+    exp = duckdb.sql(f"""
+        SELECT event_id,
+               PERCENT_RANK() OVER (PARTITION BY part ORDER BY ordv) AS pctr,
+               NTILE({k}) OVER (PARTITION BY part ORDER BY ordv, event_id) AS bucket
+        FROM df ORDER BY event_id""").df()
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(11)
+    got = (window_rank_stats(ds, "part", "ordv", "event_id", ntile=k).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    np.testing.assert_array_equal(got["bucket"].to_numpy(), exp["bucket"].to_numpy())
+    np.testing.assert_array_equal(got["pctr"].to_numpy(), exp["pctr"].to_numpy())
