@@ -123,7 +123,9 @@ def _timed_clean(fn, max_attempts: int = 3):
             best = cand
         if ext <= EXT_LOAD_FRAC:
             return res, wall, ext, attempt, False
-    return best[0], best[1], best[2], best[3], True
+    # contaminated: report the TOTAL attempts made (not the best run's
+    # index) so "attempts: 1, contaminated: true" can't appear
+    return best[0], best[1], best[2], max_attempts, True
 
 
 def _consume(res) -> int:
