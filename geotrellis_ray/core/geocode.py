@@ -61,6 +61,14 @@ def url_hash64_batch(urls) -> np.ndarray:
     )
 
 
+def url_hash64_column(col) -> np.ndarray:
+    """url_hash64_batch over an Arrow string column, hashed off zero-copy
+    buffer views (bit-identical — Arrow strings are UTF-8 already)."""
+    from ..functions.hashing import sha256_prefix64_column
+
+    return sha256_prefix64_column(col)
+
+
 def hash_coords(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized base+skew coordinates from uint64 hashes (no geotag)."""
     h = np.asarray(h, dtype=np.uint64)

@@ -214,3 +214,36 @@ def gen_rect_features(n: int = 160) -> pa.Table:
         "gy0": pa.array(gy0, pa.int64()),
         "gy1": pa.array(gy1, pa.int64()),
     })
+
+
+def gen_halfcell_rects(n: int = 60) -> pa.Table:
+    """HALF-cell-aligned dyadic rectangles on the 48x48 unit-cell world
+    (Extent(0,0,48,48), cell = 1x1): every edge lies on a half-cell boundary
+    (coordinates k/2, exactly representable), so the fractional cell
+    coverage of any cell is an exact multiple of 1/4 and Sutherland-Hodgman
+    clip + shoelace reproduce it bit-for-bit — the fixture that makes the
+    FractionalRasterizer-style polygonal summary SQL-checkable. hx*/hy* are
+    the integer HALF-UNIT coordinates (y measured UP from the world ymin,
+    like the wkb geometry)."""
+    from .stages.sample import mix32
+
+    i = np.arange(n, dtype=np.int64)
+    hx0 = (mix32(i) % 80 + 1).astype(np.int64)
+    hy0 = (mix32(i + 9002) % 80 + 1).astype(np.int64)
+    hx1 = hx0 + (mix32(i + 9001) % 14 + 1).astype(np.int64)
+    hy1 = hy0 + (mix32(i + 9003) % 14 + 1).astype(np.int64)
+    x0, x1 = hx0 / 2.0, hx1 / 2.0
+    y0, y1 = hy0 / 2.0, hy1 / 2.0
+    wkbs = [
+        encode_polygon([np.array([[x0[k], y0[k]], [x1[k], y0[k]],
+                                  [x1[k], y1[k]], [x0[k], y1[k]]])])
+        for k in range(n)
+    ]
+    return pa.table({
+        "polygon_id": pa.array(i, pa.int64()),
+        "wkb": pa.array(wkbs, pa.binary()),
+        "hx0": pa.array(hx0, pa.int64()),
+        "hy0": pa.array(hy0, pa.int64()),
+        "hx1": pa.array(hx1, pa.int64()),
+        "hy1": pa.array(hy1, pa.int64()),
+    })

@@ -29,6 +29,7 @@ import pyarrow as pa
 from ..core.layout import Extent, LayoutDefinition
 from ..core.raster import decode_tile, encode_tile, merge as tile_merge
 from ..core.sfc import zorder
+from ..stages._arrow_groups import one_tile, views
 
 MAGIC = b"GRD1"
 
@@ -195,19 +196,18 @@ def tile_to_layout(rasters_ds, layout: LayoutDefinition):
 
     exploded = rasters_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(g: pa.Table) -> pa.Table:
         # deterministic merge order regardless of shuffle arrival: by source
-        if "src" in g.columns:
-            g = g.sort_values("src", kind="stable")
-        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
-        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
-        for i in range(1, len(g)):
-            out = tile_merge(out, decode_tile(g["cells"].iloc[i], cols, rows, ct))
-        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+        if "src" in g.column_names:
+            g = g.sort_by("src")
+        cols = int(g["cols"][0].as_py()); rows = int(g["rows"][0].as_py())
+        ct = g["cell_type"][0].as_py()
+        cv = views(g, "cells")
+        out = decode_tile(cv[0], cols, rows, ct)
+        for i in range(1, g.num_rows):
+            out = tile_merge(out, decode_tile(cv[i], cols, rows, ct))
+        c = int(g["key_col"][0].as_py()); r = int(g["key_row"][0].as_py())
         cells, cc, rr, ct2 = encode_tile(out)
-        return pd.DataFrame(
-            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
-             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct2]}
-        )
+        return one_tile(c, r, cells, cc, rr, ct2)
 
-    return exploded.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pandas")
+    return exploded.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pyarrow")

@@ -32,6 +32,7 @@ import pyarrow as pa
 
 from ..core.raster import decode_tile, encode_tile
 from ..core.sfc import zorder
+from ._arrow_groups import ints, one_tile, tile_table, views
 
 _SQRT2 = float(np.sqrt(2.0))
 # 8-neighborhood: (dr, dc, move distance)
@@ -151,25 +152,28 @@ def _exchange_and_relax(ds, margin: int = 1, plane_col: str = "cost",
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        own = g[(g["dc"] == 0) & (g["dr"] == 0)]
+    def assemble(g: pa.Table) -> pa.Table:
+        dcs, drs = ints(g, "dc"), ints(g, "dr")
+        own = np.flatnonzero((dcs == 0) & (drs == 0))
         if len(own) == 0:
-            return pd.DataFrame({c: [] for c in
-                                 ("key_col", "key_row", "sfc", "cells", "cols", "rows",
-                                  "cell_type", plane_col, "changed")})
-        rows = int(own["p_rows"].iloc[0])
-        cols = int(own["p_cols"].iloc[0])
+            return tile_table(None, extra={plane_col: (pa.binary(), []),
+                                           "changed": (pa.bool_(), [])})
+        prs, pcs = ints(g, "p_rows"), ints(g, "p_cols")
+        cost_v, fric_v = views(g, "cost_p"), views(g, "fric_p")
+        o = own[0]
+        rows = int(prs[o])
+        cols = int(pcs[o])
         cbuf = np.full((rows + 2 * m, cols + 2 * m), collar_fill)
         fbuf = np.full((rows + 2 * m, cols + 2 * m), np.nan)
-        for row in g.itertuples():
-            cp = np.frombuffer(row.cost_p, dtype="<f8").reshape(row.p_rows, row.p_cols)
-            fp = np.frombuffer(row.fric_p, dtype="<f8").reshape(row.p_rows, row.p_cols)
-            r0 = m if row.dr == 0 else (0 if row.dr == 1 else m + rows)
-            c0 = m if row.dc == 0 else (0 if row.dc == 1 else m + cols)
-            cbuf[r0:r0 + row.p_rows, c0:c0 + row.p_cols] = cp
-            fbuf[r0:r0 + row.p_rows, c0:c0 + row.p_cols] = fp
-        kc = int(own["t_col"].iloc[0])
-        kr = int(own["t_row"].iloc[0])
+        for i in range(g.num_rows):
+            cp = np.frombuffer(cost_v[i], dtype="<f8").reshape(prs[i], pcs[i])
+            fp = np.frombuffer(fric_v[i], dtype="<f8").reshape(prs[i], pcs[i])
+            r0 = m if drs[i] == 0 else (0 if drs[i] == 1 else m + rows)
+            c0 = m if dcs[i] == 0 else (0 if dcs[i] == 1 else m + cols)
+            cbuf[r0:r0 + prs[i], c0:c0 + pcs[i]] = cp
+            fbuf[r0:r0 + prs[i], c0:c0 + pcs[i]] = fp
+        kc = int(ints(g, "t_col")[o])
+        kr = int(ints(g, "t_row")[o])
         relaxed = relax_fn(cbuf, fbuf, kc, kr, m)
         old_core = cbuf[m:m + rows, m:m + cols]
         new_core = relaxed[m:m + rows, m:m + cols]
@@ -179,14 +183,12 @@ def _exchange_and_relax(ds, margin: int = 1, plane_col: str = "cost",
         changed = bool(np.any(np.abs(oc - nc) > 1e-12))
         fcore = fbuf[m:m + rows, m:m + cols]
         cells, cc, rr, ct = encode_tile(fcore)
-        return pd.DataFrame({
-            "key_col": [kc], "key_row": [kr], "sfc": [int(zorder(kc, kr))],
-            "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct],
-            plane_col: [new_core.astype("<f8").tobytes()],
-            "changed": [changed],
+        return one_tile(kc, kr, cells, cc, rr, ct, extra={
+            plane_col: (pa.binary(), [new_core.astype("<f8").tobytes()]),
+            "changed": (pa.bool_(), [changed]),
         })
 
-    return exploded.groupby(["t_col", "t_row"]).map_groups(assemble, batch_format="pandas")
+    return exploded.groupby(["t_col", "t_row"]).map_groups(assemble, batch_format="pyarrow")
 
 
 def cost_distance(friction_ds, source_cells, max_rounds: int = 64):

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.cellid import cell_hexlike, cell_s2like
-from ..core.geocode import geocode_batch, hash_coords, url_hash64_batch
+from ..core.geocode import geocode_batch, hash_coords, url_hash64_column
 from ..core.layout import LayoutDefinition, ZoomedLayoutScheme, latlng_to_key
 from ..core.sfc import sfc_key
 from ..core.text import extract_text_arrow
@@ -33,7 +33,6 @@ def enrich_batch(batch: pa.Table, keep_html: bool = False, verify_text: bool = F
     h (uint64 url hash). ``verify_text=True`` additionally asserts the
     byte-identity invariant against the incoming ``text`` column.
     """
-    urls = batch["url"].to_pylist()
     html_col = batch["html"].combine_chunks() if batch["html"].num_chunks > 1 else batch["html"]
     text = extract_text_arrow(html_col.chunk(0) if isinstance(html_col, pa.ChunkedArray) else html_col)
     if verify_text and "text" in batch.column_names:
@@ -49,7 +48,7 @@ def enrich_batch(batch: pa.Table, keep_html: bool = False, verify_text: bool = F
 
     from ..core.geocode import parse_geotag
 
-    h = url_hash64_batch(urls)
+    h = url_hash64_column(batch["url"])
     lat, lon = hash_coords(h)
     arr = html_col.chunk(0) if isinstance(html_col, pa.ChunkedArray) else html_col
     mask = pc.fill_null(pc.match_substring(arr, "geo.position"), False)
@@ -78,7 +77,7 @@ def enrich_batch(batch: pa.Table, keep_html: bool = False, verify_text: bool = F
 
 def geocode_only_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Hash-only geocode (no html/geotag) — for generic point tables."""
-    h = url_hash64_batch(batch[url_col].to_pylist())
+    h = url_hash64_column(batch[url_col])
     lat, lon = hash_coords(h)
     return batch.append_column("lat", pa.array(lat, pa.float64())) \
                 .append_column("lon", pa.array(lon, pa.float64())) \

@@ -25,6 +25,7 @@ import pyarrow as pa
 
 from ..core.raster import decode_tile, encode_tile, merge as tile_merge
 from ..core.sfc import zorder
+from ._arrow_groups import ints, one_tile, tile_table, views
 
 TILE_COLS = ["key_col", "key_row", "sfc", "cells", "cols", "rows", "cell_type"]
 
@@ -155,20 +156,19 @@ def merge_layers(ds_a, ds_b):
         ds_b.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("side", kind="stable")
-        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
-        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
-        for i in range(1, len(g)):
-            out = tile_merge(out, decode_tile(g["cells"].iloc[i], cols, rows, ct))
+    def merge_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by("side")
+        cols = int(g["cols"][0].as_py()); rows = int(g["rows"][0].as_py())
+        ct = g["cell_type"][0].as_py()
+        cv = views(g, "cells")
+        out = decode_tile(cv[0], cols, rows, ct)
+        for i in range(1, g.num_rows):
+            out = tile_merge(out, decode_tile(cv[i], cols, rows, ct))
         cells, c, r, ct2 = encode_tile(out)
-        return pd.DataFrame(
-            {"key_col": [g["key_col"].iloc[0]], "key_row": [g["key_row"].iloc[0]],
-             "sfc": [g["sfc"].iloc[0]], "cells": [cells], "cols": [c], "rows": [r],
-             "cell_type": [ct2]}
-        )
+        return one_tile(int(g["key_col"][0].as_py()), int(g["key_row"][0].as_py()),
+                        cells, c, r, ct2, sfc=int(g["sfc"][0].as_py()))
 
-    return u.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pandas")
+    return u.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -228,39 +228,40 @@ def buffer_tiles(ds, margin: int = 1):
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        own = g[(g["dc"] == 0) & (g["dr"] == 0)]
+    def assemble(g: pa.Table) -> pa.Table:
+        dcs, drs = ints(g, "dc"), ints(g, "dr")
+        own = np.flatnonzero((dcs == 0) & (drs == 0))
         if len(own) == 0:
-            return pd.DataFrame({c: [] for c in TILE_COLS})
-        rows = int(own["p_rows"].iloc[0]); cols = int(own["p_cols"].iloc[0])
+            return tile_table(None)
+        prs, pcs = ints(g, "p_rows"), ints(g, "p_cols")
+        pieces = views(g, "piece")
+        o = own[0]
+        rows = int(prs[o]); cols = int(pcs[o])
         out = np.full((rows + 2 * m, cols + 2 * m), np.nan)
-        for row in g.itertuples():
-            p = np.frombuffer(row.piece, dtype=np.float64).reshape(row.p_rows, row.p_cols)
+        for i in range(g.num_rows):
+            p = np.frombuffer(pieces[i], dtype=np.float64).reshape(prs[i], pcs[i])
             # piece from neighbor at offset (dc, dr) relative to TARGET:
             # dc=+1 means source is to the LEFT... offsets were emitted as
             # target = source + (dc, dr), so source sits at (-dc, -dr) of
             # target. Place accordingly in the collar frame.
-            if row.dr == 0:
+            if drs[i] == 0:
                 r0 = m
-            elif row.dr == 1:   # source is ABOVE target (row-1): its bottom rows -> top collar
+            elif drs[i] == 1:   # source is ABOVE target (row-1): its bottom rows -> top collar
                 r0 = 0
             else:               # source below: top rows -> bottom collar
                 r0 = m + rows
-            if row.dc == 0:
+            if dcs[i] == 0:
                 c0 = m
-            elif row.dc == 1:
+            elif dcs[i] == 1:
                 c0 = 0
             else:
                 c0 = m + cols
-            out[r0:r0 + row.p_rows, c0:c0 + row.p_cols] = p
-        c = int(own["t_col"].iloc[0]); r = int(own["t_row"].iloc[0])
+            out[r0:r0 + prs[i], c0:c0 + pcs[i]] = p
+        c = int(ints(g, "t_col")[o]); r = int(ints(g, "t_row")[o])
         cells, cc, rr, ct = encode_tile(out)
-        return pd.DataFrame(
-            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
-             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct]}
-        )
+        return one_tile(c, r, cells, cc, rr, ct)
 
-    return exploded.groupby(["t_col", "t_row"]).map_groups(assemble, batch_format="pandas")
+    return exploded.groupby(["t_col", "t_row"]).map_groups(assemble, batch_format="pyarrow")
 
 
 def focal_op(ds, op: str = "mean", margin: int = 1,

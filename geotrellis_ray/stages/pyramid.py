@@ -9,11 +9,11 @@ Re-expresses ref:spark/src/main/scala/geotrellis/spark/pyramid/Pyramid.scala
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core.raster import decode_tile, downsample_average_2x, encode_tile, is_nodata
 from ..core.sfc import zorder
+from ._arrow_groups import ints, one_tile, views
 
 
 def parent_keys_batch(batch: pa.Table) -> pa.Table:
@@ -25,41 +25,34 @@ def parent_keys_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("parent_sfc", pa.array(zorder(pc_, pr), pa.uint64()))
 
 
-def merge_children_group(g: pd.DataFrame) -> pd.DataFrame:
+def merge_children_group(g: pa.Table) -> pa.Table:
     """Merge the <=4 child tiles of one parent key: each child downsamples 2x
-    into its quadrant (decimating average, NoData-aware)."""
-    pcol = int(g["parent_col"].iloc[0])
-    prow = int(g["parent_row"].iloc[0])
-    first = g.iloc[0]
-    tc, tr = int(first["cols"]), int(first["rows"])
+    into its quadrant (decimating average, NoData-aware). Arrow-native group
+    assembly: cells read through zero-copy buffer views, never boxed."""
+    kc, kr = ints(g, "key_col"), ints(g, "key_row")
+    tcs, trs = ints(g, "cols"), ints(g, "rows")
+    cts = g["cell_type"].to_pylist()
+    cells_v = views(g, "cells")
+    pcol, prow = int(kc[0]) >> 1, int(kr[0]) >> 1
+    tc, tr = int(tcs[0]), int(trs[0])
     out = np.full((tr, tc), np.nan)
     hc, hr = tc // 2, tr // 2
-    for row in g.itertuples():
-        child = decode_tile(row.cells, int(row.cols), int(row.rows), row.cell_type).astype(np.float64)
+    for i in range(g.num_rows):
+        child = decode_tile(cells_v[i], int(tcs[i]), int(trs[i]), cts[i]).astype(np.float64)
         down = downsample_average_2x(child)
-        qx = (int(row.key_col) & 1) * hc
-        qy = (int(row.key_row) & 1) * hr
+        qx = (int(kc[i]) & 1) * hc
+        qy = (int(kr[i]) & 1) * hr
         dst = out[qy : qy + hr, qx : qx + hc]
         out[qy : qy + hr, qx : qx + hc] = np.where(is_nodata(dst), down, dst)
     cells, cols, rows, ct = encode_tile(out)
-    return pd.DataFrame(
-        {
-            "key_col": [pcol],
-            "key_row": [prow],
-            "sfc": [int(zorder(pcol, prow))],
-            "cells": [cells],
-            "cols": [cols],
-            "rows": [rows],
-            "cell_type": [ct],
-        }
-    )
+    return one_tile(pcol, prow, cells, cols, rows, ct)
 
 
 def pyramid_up(tiles_ds):
     """One pyramid level up: tile layer at zoom z -> layer at z-1."""
     withp = tiles_ds.map_batches(parent_keys_batch, batch_format="pyarrow", zero_copy_batch=True)
     return withp.groupby(["parent_col", "parent_row"]).map_groups(
-        merge_children_group, batch_format="pandas"
+        merge_children_group, batch_format="pyarrow"
     )
 
 

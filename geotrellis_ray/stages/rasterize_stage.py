@@ -15,62 +15,58 @@ at survey time).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core import wkb
 from ..core.layout import LayoutDefinition
 from ..core.raster import encode_tile, rasterize_value
 from ..core.sfc import zorder
+from ._arrow_groups import ints, one_tile, tile_table, views
 from .clip import clip_to_grid_batch
 
 
-def paint_group(g: pd.DataFrame, layout: LayoutDefinition) -> pd.DataFrame:
+def _group_geoms(g: pa.Table) -> list[tuple[dict, int, float]]:
+    """(geometry, zindex, value) triples of one group — clipped_wkb decoded
+    straight off zero-copy Arrow buffer views."""
+    zs = ints(g, "zindex")
+    vals = ints(g, "value")
+    return [(wkb.decode(v), int(zs[i]), float(vals[i]))
+            for i, v in enumerate(views(g, "clipped_wkb"))]
+
+
+def paint_group(g: pa.Table, layout: LayoutDefinition) -> pa.Table:
     """Paint all clipped geometries of ONE SpatialKey into one tile."""
-    c = int(g["key_col"].iloc[0])
-    r = int(g["key_row"].iloc[0])
+    c = int(g["key_col"][0].as_py())
+    r = int(g["key_row"][0].as_py())
     cell = layout.key_to_extent(c, r)
-    geoms = [
-        (wkb.decode(row.clipped_wkb), int(row.zindex), float(row.value))
-        for row in g.itertuples()
-    ]
+    geoms = _group_geoms(g)
     tile = rasterize_value(geoms, cell, layout.tile_layout.tile_cols, layout.tile_layout.tile_rows)
     if np.isnan(tile).all():
         # bbox/clip candidate but no cell CENTER inside — emit no tile
         # (all-NoData tiles are not part of the layer)
-        return pd.DataFrame(
-            {"key_col": [], "key_row": [], "sfc": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
-        )
+        return tile_table(None)
     cells, cols, rows, ct = encode_tile(tile)
-    return pd.DataFrame(
-        {
-            "key_col": [c],
-            "key_row": [r],
-            "sfc": [int(zorder(c, r))],
-            "cells": [cells],
-            "cols": [cols],
-            "rows": [rows],
-            "cell_type": [ct],
-        }
-    )
+    return one_tile(c, r, cells, cols, rows, ct)
 
 
-def paint_group_salted(g: pd.DataFrame, layout: LayoutDefinition) -> pd.DataFrame:
+def paint_group_salted(g: pa.Table, layout: LayoutDefinition) -> pa.Table:
     """Paint ONE (key, salt) shard; keeps the per-cell z plane so shards
     merge associatively (core.raster.zmerge)."""
     from ..core.raster import rasterize_value as rv
 
-    c = int(g["key_col"].iloc[0])
-    r = int(g["key_row"].iloc[0])
+    c = int(g["key_col"][0].as_py())
+    r = int(g["key_row"][0].as_py())
     cell = layout.key_to_extent(c, r)
-    geoms = [(wkb.decode(row.clipped_wkb), int(row.zindex), float(row.value)) for row in g.itertuples()]
+    geoms = _group_geoms(g)
     tile, zbuf = rv(geoms, cell, layout.tile_layout.tile_cols, layout.tile_layout.tile_rows,
                     return_zbuf=True)
     cells, cols, rows, ct = encode_tile(tile)
     zcells, _, _, _ = encode_tile(zbuf)
-    return pd.DataFrame(
-        {"key_col": [c], "key_row": [r], "cells": [cells], "zcells": [zcells],
-         "cols": [cols], "rows": [rows], "cell_type": [ct]}
+    return pa.table(
+        {"key_col": pa.array([c], pa.int64()), "key_row": pa.array([r], pa.int64()),
+         "cells": pa.array([cells], pa.binary()), "zcells": pa.array([zcells], pa.binary()),
+         "cols": pa.array([cols], pa.int64()), "rows": pa.array([rows], pa.int64()),
+         "cell_type": pa.array([ct], pa.string())}
     )
 
 
@@ -91,7 +87,7 @@ def rasterize_features(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
     )
     if salt_k <= 0:
         return exploded.groupby(["key_col", "key_row"]).map_groups(
-            lambda g: paint_group(g, layout), batch_format="pandas"
+            lambda g: paint_group(g, layout), batch_format="pyarrow"
         )
 
     from ..core.raster import decode_tile, zmerge
@@ -120,25 +116,22 @@ def rasterize_features(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
 
     salted = exploded.map_batches(salt_batch, batch_format="pyarrow", zero_copy_batch=True)
     shards = salted.groupby(["key_col", "key_row", "salt"]).map_groups(
-        lambda g: paint_group_salted(g, layout), batch_format="pandas"
+        lambda g: paint_group_salted(g, layout), batch_format="pyarrow"
     )
 
-    def zmerge_group(g: pd.DataFrame) -> pd.DataFrame:
-        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
-        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
-        zb = decode_tile(g["zcells"].iloc[0], cols, rows, ct)
-        for i in range(1, len(g)):
-            out, zb = zmerge(out, zb, decode_tile(g["cells"].iloc[i], cols, rows, ct),
-                             decode_tile(g["zcells"].iloc[i], cols, rows, ct))
+    def zmerge_group(g: pa.Table) -> pa.Table:
+        cols = int(g["cols"][0].as_py()); rows = int(g["rows"][0].as_py())
+        ct = g["cell_type"][0].as_py()
+        cv, zv = views(g, "cells"), views(g, "zcells")
+        out = decode_tile(cv[0], cols, rows, ct)
+        zb = decode_tile(zv[0], cols, rows, ct)
+        for i in range(1, g.num_rows):
+            out, zb = zmerge(out, zb, decode_tile(cv[i], cols, rows, ct),
+                             decode_tile(zv[i], cols, rows, ct))
         if np.isnan(out).all():
-            return pd.DataFrame(
-                {"key_col": [], "key_row": [], "sfc": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
-            )
-        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+            return tile_table(None)
+        c = int(g["key_col"][0].as_py()); r = int(g["key_row"][0].as_py())
         cells, cc, rr, ct2 = encode_tile(out)
-        return pd.DataFrame(
-            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
-             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct2]}
-        )
+        return one_tile(c, r, cells, cc, rr, ct2)
 
-    return shards.groupby(["key_col", "key_row"]).map_groups(zmerge_group, batch_format="pandas")
+    return shards.groupby(["key_col", "key_row"]).map_groups(zmerge_group, batch_format="pyarrow")

@@ -23,6 +23,7 @@ from ..core.layout import Extent, LayoutDefinition
 from ..core.mercator import latlng_to_webmercator, webmercator_to_latlng
 from ..core.raster import decode_tile, encode_tile, merge as tile_merge
 from ..core.sfc import zorder
+from ._arrow_groups import one_tile, views
 
 
 def _to_latlng(crs: str, xs, ys):
@@ -167,16 +168,15 @@ def reproject_layer(ds, src_layout: LayoutDefinition, dst_layout: LayoutDefiniti
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        cols = int(g["cols"].iloc[0]); rows = int(g["rows"].iloc[0]); ct = g["cell_type"].iloc[0]
-        out = decode_tile(g["cells"].iloc[0], cols, rows, ct)
-        for i in range(1, len(g)):
-            out = tile_merge(out, decode_tile(g["cells"].iloc[i], cols, rows, ct))
-        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+    def merge_group(g: pa.Table) -> pa.Table:
+        cols = int(g["cols"][0].as_py()); rows = int(g["rows"][0].as_py())
+        ct = g["cell_type"][0].as_py()
+        cv = views(g, "cells")
+        out = decode_tile(cv[0], cols, rows, ct)
+        for i in range(1, g.num_rows):
+            out = tile_merge(out, decode_tile(cv[i], cols, rows, ct))
+        c = int(g["key_col"][0].as_py()); r = int(g["key_row"][0].as_py())
         cells, cc, rr, ct2 = encode_tile(out)
-        return pd.DataFrame(
-            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
-             "cells": [cells], "cols": [cc], "rows": [rr], "cell_type": [ct2]}
-        )
+        return one_tile(c, r, cells, cc, rr, ct2)
 
-    return exploded.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pandas")
+    return exploded.groupby(["key_col", "key_row"]).map_groups(merge_group, batch_format="pyarrow")

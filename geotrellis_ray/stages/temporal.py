@@ -14,31 +14,29 @@ the SQL oracle exact; relax upstream by filling if needed).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core.raster import decode_tile, encode_tile
+from ._arrow_groups import one_tile, views
 
 __all__ = ["temporal_composite", "temporal_trend", "temporal_theil_sen"]
 
 _OPS = {"median": np.median, "mean": np.mean, "min": np.min, "max": np.max}
 
 
-def _group_stack(g: pd.DataFrame):
-    g = g.sort_values("time_bin", kind="stable")
-    cols = int(g["cols"].iloc[0])
-    rows = int(g["rows"].iloc[0])
-    ct = g["cell_type"].iloc[0]
-    cube = np.stack([decode_tile(c, cols, rows, ct) for c in g["cells"]])
+def _group_stack(g: pa.Table):
+    g = g.sort_by("time_bin")
+    cols = int(g["cols"][0].as_py())
+    rows = int(g["rows"][0].as_py())
+    ct = g["cell_type"][0].as_py()
+    cube = np.stack([decode_tile(v, cols, rows, ct) for v in views(g, "cells")])
     return g, cube
 
 
-def _tile_row(g: pd.DataFrame, out: np.ndarray) -> pd.DataFrame:
+def _tile_row(g: pa.Table, out: np.ndarray) -> pa.Table:
     cells, c, r, ct = encode_tile(out)
-    return pd.DataFrame({
-        "key_col": [g["key_col"].iloc[0]], "key_row": [g["key_row"].iloc[0]],
-        "sfc": [g["sfc"].iloc[0]], "cells": [cells], "cols": [c], "rows": [r],
-        "cell_type": [ct]})
+    return one_tile(int(g["key_col"][0].as_py()), int(g["key_row"][0].as_py()),
+                    cells, c, r, ct, sfc=int(g["sfc"][0].as_py()))
 
 
 def temporal_composite(st_ds, op: str = "median"):
@@ -46,14 +44,14 @@ def temporal_composite(st_ds, op: str = "median"):
     layer of the per-pixel ``op`` across time bins."""
     fn = _OPS[op]
 
-    def comp(g: pd.DataFrame) -> pd.DataFrame:
+    def comp(g: pa.Table) -> pa.Table:
         g, cube = _group_stack(g)
         out = fn(cube, axis=0)
         out[np.isnan(cube).any(axis=0)] = np.nan
         return _tile_row(g, out)
 
     return st_ds.groupby(["key_col", "key_row"]).map_groups(
-        comp, batch_format="pandas")
+        comp, batch_format="pyarrow")
 
 
 def temporal_trend(st_ds):
@@ -63,9 +61,9 @@ def temporal_trend(st_ds):
     on integer inputs. Cells NaN in any bin (or with a single bin) are
     NaN."""
 
-    def trend(g: pd.DataFrame) -> pd.DataFrame:
+    def trend(g: pa.Table) -> pa.Table:
         g, cube = _group_stack(g)
-        t = g["time_bin"].to_numpy(dtype=np.float64)
+        t = g["time_bin"].to_numpy(zero_copy_only=False).astype(np.float64)
         T = float(len(t))
         if len(t) < 2:
             return _tile_row(g, np.full(cube.shape[1:], np.nan))
@@ -79,7 +77,7 @@ def temporal_trend(st_ds):
         return _tile_row(g, out)
 
     return st_ds.groupby(["key_col", "key_row"]).map_groups(
-        trend, batch_format="pandas")
+        trend, batch_format="pyarrow")
 
 
 def temporal_theil_sen(st_ds):
@@ -89,9 +87,9 @@ def temporal_theil_sen(st_ds):
     groupby as temporal_trend; the pairwise slopes are a vectorized
     (T*(T-1)/2, R, C) stack. NaN-in-any-bin cells are NaN."""
 
-    def ts(g: pd.DataFrame) -> pd.DataFrame:
+    def ts(g: pa.Table) -> pa.Table:
         g, cube = _group_stack(g)
-        t = g["time_bin"].to_numpy(dtype=np.float64)
+        t = g["time_bin"].to_numpy(zero_copy_only=False).astype(np.float64)
         T = len(t)
         if T < 2:
             return _tile_row(g, np.full(cube.shape[1:], np.nan))
@@ -104,4 +102,4 @@ def temporal_theil_sen(st_ds):
         return _tile_row(g, out)
 
     return st_ds.groupby(["key_col", "key_row"]).map_groups(
-        ts, batch_format="pandas")
+        ts, batch_format="pyarrow")

@@ -20,12 +20,12 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core import wkb
 from ..core.layout import LayoutDefinition
 from ..core.sfc import zorder
+from ._arrow_groups import ints, views
 from .clip import clip_to_grid_batch
 
 MAGIC = b"GVT1"
@@ -86,10 +86,12 @@ def vector_tiles(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    def encode_group(g: pd.DataFrame) -> pd.DataFrame:
-        c = int(g["key_col"].iloc[0]); r = int(g["key_row"].iloc[0])
+    def encode_group(g: pa.Table) -> pa.Table:
+        c = int(g["key_col"][0].as_py()); r = int(g["key_row"][0].as_py())
         ext = layout.key_to_extent(c, r)
-        feats = [(int(row[id_col]), wkb.decode(row["clipped_wkb"])) for _, row in g.iterrows()]
+        fids = ints(g, id_col)
+        feats = [(int(fids[i]), wkb.decode(v))
+                 for i, v in enumerate(views(g, "clipped_wkb"))]
         if fmt == "mvt":
             from ..core.mvt import encode_mvt, geom_to_mvt_parts
 
@@ -101,9 +103,11 @@ def vector_tiles(ds, layout: LayoutDefinition, wkb_col: str = "wkb",
             buf = encode_mvt({layer_name: mfeats}, extent=grid)
         else:
             buf = encode_tile_features(feats, ext, grid)
-        return pd.DataFrame(
-            {"key_col": [c], "key_row": [r], "sfc": [int(zorder(c, r))],
-             "mvt": [buf], "n_features": [len(feats)]}
+        return pa.table(
+            {"key_col": pa.array([c], pa.int64()), "key_row": pa.array([r], pa.int64()),
+             "sfc": pa.array([int(zorder(c, r))], pa.int64()),
+             "mvt": pa.array([buf], pa.binary()),
+             "n_features": pa.array([len(feats)], pa.int64())}
         )
 
-    return exploded.groupby(["key_col", "key_row"]).map_groups(encode_group, batch_format="pandas")
+    return exploded.groupby(["key_col", "key_row"]).map_groups(encode_group, batch_format="pyarrow")
