@@ -647,10 +647,113 @@ def run_rehearsal(n_docs: int, num_cpus: int) -> dict:
         ray.shutdown()
 
 
+def run_text_rehearsal(n_docs: int, num_cpus: int) -> dict:
+    """Text-dedup family at 10x bench corpus (VERDICT r04 next-round #7):
+    paragraph_dedup, line_frequency_filter and exact_substring_spans at
+    ``n_docs`` documents. Structural constants (docs out, kept-line ratio,
+    span rows) are load-independent rerun anchors; walls and store peaks
+    evidence the slim-row shuffles survive scale-up."""
+    import threading
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from geotrellis_ray.fixtures import write_pages_parquet
+
+    _init_ray(num_cpus)
+    peak = {"used": 0.0}
+    total_store = ray.cluster_resources().get("object_store_memory", 0.0)
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.wait(0.25):
+            avail = ray.available_resources().get("object_store_memory", total_store)
+            peak["used"] = max(peak["used"], total_store - avail)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        pages_path = f"/tmp/graft_pages_{n_docs}"
+        write_pages_parquet(pages_path, n_docs, shard_rows=100_000)
+
+        from geotrellis_ray.functions.hashing import sha256_prefix64_column
+        from geotrellis_ray.stages.dedup import (
+            exact_substring_spans,
+            line_frequency_filter,
+            paragraph_dedup,
+        )
+
+        def with_id(b: pa.Table) -> pa.Table:
+            h = sha256_prefix64_column(b["url"])
+            return pa.table({"doc_id": pa.array(h.view(np.int64), pa.int64()),
+                             "text": b["text"]})
+
+        def plant_dups(b: pa.Table) -> pa.Table:
+            # ~1% planted full-text duplicates (id offset) so every op's
+            # duplicate path carries rows at scale
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = np.nonzero(ids % 100 == 0)[0]
+            return pa.table({
+                "doc_id": pa.array(ids[sel] ^ np.int64(1 << 62), pa.int64()),
+                "text": b["text"].take(pa.array(sel, pa.int64())),
+            })
+
+        def corpus():
+            docs = ray.data.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+                with_id, batch_format="pyarrow", zero_copy_batch=True)
+            return docs.union(docs.map_batches(
+                plant_dups, batch_format="pyarrow", zero_copy_batch=True))
+
+        n_total = int(n_docs * 1.01)
+        out = {"metric": f"text-dedup rehearsal at {n_docs} docs", "unit": "sec",
+               "num_cpus": num_cpus, "docs_in": n_total}
+
+        # key="hash": the 8-byte-key scale path (key="text" is the
+        # SQL-oracle variant used by the driver harness at sf0.01)
+        t0 = time.monotonic()
+        n_para = paragraph_dedup(corpus(), key="hash").count()
+        w = time.monotonic() - t0
+        out["paragraph_dedup"] = {
+            "sec": round(w, 2), "docs_out": int(n_para),
+            "docs_per_sec": round(n_total / w, 1),
+            "peak_frac_after": round(peak["used"] / total_store, 4) if total_store else None}
+
+        t0 = time.monotonic()
+        n_line = line_frequency_filter(corpus(), key="hash").count()
+        w = time.monotonic() - t0
+        out["line_frequency_filter"] = {
+            "sec": round(w, 2), "docs_out": int(n_line),
+            "docs_per_sec": round(n_total / w, 1),
+            "peak_frac_after": round(peak["used"] / total_store, 4) if total_store else None}
+
+        # hash-gram scale path (key="text" is the SQL-oracle variant; the
+        # 8-byte-hash shuffle is what a 100 TB corpus would run)
+        t0 = time.monotonic()
+        n_spans = exact_substring_spans(corpus(), key="hash").count()
+        w = time.monotonic() - t0
+        out["exact_substring_spans"] = {
+            "sec": round(w, 2), "span_rows": int(n_spans),
+            "docs_per_sec": round(n_total / w, 1),
+            "peak_frac_after": round(peak["used"] / total_store, 4) if total_store else None}
+
+        out["object_store_total_bytes"] = int(total_store)
+        out["object_store_peak_bytes"] = int(peak["used"])
+        out["object_store_peak_frac"] = (
+            round(peak["used"] / total_store, 4) if total_store else None)
+        return out
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        ray.shutdown()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--rehearsal", action="store_true")
+    ap.add_argument("--rehearsal-text", action="store_true")
     ap.add_argument("--n-docs", type=int, default=2_000_000)
     ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
@@ -671,6 +774,9 @@ def main(argv=None) -> int:
         return 0
     if args.rehearsal:
         print(json.dumps(run_rehearsal(args.n_docs, args.cpus)))
+        return 0
+    if args.rehearsal_text:
+        print(json.dumps(run_text_rehearsal(args.n_docs, args.cpus)))
         return 0
     print(json.dumps(run_default(SF_DIR, args.cpus)))
     return 0

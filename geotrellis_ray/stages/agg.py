@@ -132,6 +132,122 @@ _SINGLE_FINAL_MAX_ROWS = 4_000_000
 _SINGLE_DRIVER_MAX_ROWS = 65_536
 
 
+def sort_group_aggregate(ds, key_col: str, specs, having_min_count: int | None = None):
+    """Grouped aggregate at UNBOUNDED key cardinality (#groups ~ #rows) —
+    the regime where BOTH partial_groupby paths collapse: the map-side
+    combine reduces nothing (keys are near-unique) and Ray's sort-based
+    Aggregate pays a ~300x per-group overhead (measured on this host,
+    6.3M unique int64 keys: Dataset.sort 0.6 s vs groupby().aggregate()
+    189.5 s — found by the r5 text-dedup rehearsal).
+
+    Shape: ONE range sort on ``key_col`` -> per-block vectorized segment
+    reduce (np.*.reduceat over run boundaries) -> the <=2 EDGE segments per
+    block (whose key may continue in a neighboring block) are merged in a
+    single tiny driver pass and unioned back. Driver traffic is O(#blocks),
+    like the window/sessionize stitches.
+
+    specs: [(col, fn, alias)] with fn in {count,sum,min,max}; agg columns
+    must be numeric. ``having_min_count`` (requires a count spec) pushes
+    ``count >= N`` into the blocks — interior singleton groups never leave
+    the block, which is the 99% case for duplicate-gram detection."""
+    import numpy as np
+
+    specs = [tuple(s) for s in specs]
+    count_aliases = [a for _c, f, a in specs if f == "count"]
+    if having_min_count is not None and not count_aliases:
+        raise ValueError("having_min_count requires a count spec")
+    need_cols = list(dict.fromkeys(
+        [key_col] + [c for c, f, _a in specs if f != "count"]))
+
+    def block_fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        key_t = b.schema.field(key_col).type
+        out_fields = [("__edge", pa.int8()), (key_col, key_t)]
+        for c, f, a in specs:
+            out_fields.append((a, pa.int64() if f == "count" else b.schema.field(c).type))
+        if n == 0:
+            return pa.table({name: pa.array([], t) for name, t in out_fields})
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        cols = {}
+        for c, f, a in specs:
+            if f == "count":
+                cols[a] = counts.astype(np.int64)
+                continue
+            v = b[c].to_numpy(zero_copy_only=False)
+            if f == "sum":
+                cols[a] = np.add.reduceat(v, starts)
+            elif f == "min":
+                cols[a] = np.minimum.reduceat(v, starts)
+            elif f == "max":
+                cols[a] = np.maximum.reduceat(v, starts)
+            else:
+                raise ValueError(f)
+        nseg = len(starts)
+        edge = np.zeros(nseg, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        keep = ~edge
+        if having_min_count is not None:
+            ok = np.ones(nseg, dtype=bool)
+            for a in count_aliases:
+                ok &= cols[a] >= having_min_count
+            keep &= ok
+        sel = np.r_[np.flatnonzero(keep), np.flatnonzero(edge)]
+        kind = np.r_[np.zeros(keep.sum(), np.int8), np.ones(int(edge.sum()), np.int8)]
+        data = {"__edge": pa.array(kind, pa.int8()),
+                key_col: pa.array(keys[starts[sel]]).cast(key_t)}
+        for _c, f, a in specs:
+            data[a] = pa.array(cols[a][sel])
+        return pa.table(data)
+
+    segs = (ds.map_batches(lambda b: b.select(need_cols), batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .sort(key_col)
+              .map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+              .materialize())
+    import pyarrow.compute as pc
+
+    interior = segs.map_batches(
+        lambda b: b.filter(pc.equal(b["__edge"], 0)).drop_columns(["__edge"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    import ray
+
+    edge_parts = ray.get(
+        segs.filter(expr="__edge == 1").drop_columns(["__edge"]).to_arrow_refs())
+    edge_all = pa.concat_tables([t for t in edge_parts if t.num_rows]) if any(
+        t.num_rows for t in edge_parts) else None
+    if edge_all is None or edge_all.num_rows == 0:
+        return interior
+    # merge edge segments per key (tiny: <=2 rows per block). After the range
+    # sort a key's rows are contiguous, so edge rows with equal keys are the
+    # same global group split across neighboring blocks.
+    ek = edge_all[key_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ek, kind="stable")
+    eko = ek[order]
+    starts = np.flatnonzero(np.r_[True, eko[1:] != eko[:-1]])
+    merged = {key_col: pa.array(eko[starts]).cast(edge_all.schema.field(key_col).type)}
+    for _c, f, a in specs:
+        v = edge_all[a].to_numpy(zero_copy_only=False)[order]
+        if f in ("count", "sum"):
+            merged[a] = pa.array(np.add.reduceat(v, starts))
+        elif f == "min":
+            merged[a] = pa.array(np.minimum.reduceat(v, starts))
+        else:
+            merged[a] = pa.array(np.maximum.reduceat(v, starts))
+    mt = pa.table(merged)
+    if having_min_count is not None:
+        m = None
+        for a in count_aliases:
+            c = pc.greater_equal(mt[a], having_min_count)
+            m = c if m is None else pc.and_(m, c)
+        mt = mt.filter(m)
+    import ray.data as rd
+
+    return interior.union(rd.from_arrow(mt))
+
+
 def grouped_top_k(ds, keys, order_col: str, k: int, descending: bool = True,
                   tie_col: str | None = None):
     """Per-group top-k (the ROW_NUMBER() <= k window shape) with a PARTIAL

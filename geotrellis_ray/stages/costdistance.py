@@ -27,7 +27,6 @@ the standard IterativeCostDistance bound.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core.raster import decode_tile, encode_tile

@@ -51,16 +51,22 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_text: bool = False):
     """Exact dedup: one surviving row (min id) per distinct text. Returns
     Dataset (content_hash, doc_id=min id, n_dupes). The shuffle carries only
-    (hash, id) — text is projected away before the groupby."""
-    from ray.data.aggregate import Count, Min
+    (hash, id) — text is projected away before the groupby.
+
+    Group cardinality ~ #docs (near-unique keys), so this uses
+    sort_group_aggregate — ONE range sort + vectorized segment reduce —
+    instead of Ray's sort-based Aggregate, which pays a ~300x per-group
+    overhead in exactly this regime (r5 rehearsal measurement, stages/
+    agg.py:sort_group_aggregate)."""
+    from .agg import sort_group_aggregate
 
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow", zero_copy_batch=True
     )
     slim = hashed.select_columns(["content_hash", id_col])
-    return slim.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_dupes")
-    )
+    return sort_group_aggregate(
+        slim, "content_hash",
+        [(id_col, "min", id_col), ("content_hash", "count", "n_dupes")])
 
 
 def _default_pool() -> int:
@@ -856,17 +862,43 @@ def exact_substring_spans(ds, min_len: int = 40, min_count: int = 2,
             return pa.table(sch)
         return pa.concat_tables(parts)
 
-    counts = partial_groupby(
-        ds.map_batches(lambda b: explode(b, False), batch_format="pyarrow",
-                       zero_copy_batch=True),
-        [gcol], [(gcol, "count", "n")],
-    ).filter(expr=f"n >= {min_count}").drop_columns(["n"])
+    exploded0 = ds.map_batches(lambda b: explode(b, False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    if key == "hash":
+        # scale path: gram keys are near-unique, the regime where Ray's
+        # sort-based Aggregate pays ~300x per group (r5 rehearsal finding —
+        # 6.3M unique keys: sort 0.6 s vs aggregate 189.5 s). ONE range sort
+        # + segment reduce + having pushdown keeps only dup grams.
+        from .agg import sort_group_aggregate
+
+        counts = sort_group_aggregate(
+            exploded0, gcol, [(gcol, "count", "n")],
+            having_min_count=min_count).drop_columns(["n"])
+    else:
+        # key="text" (the SQL-oracle variant): string keys, small fixtures
+        counts = partial_groupby(
+            exploded0, [gcol], [(gcol, "count", "n")],
+        ).filter(expr=f"n >= {min_count}").drop_columns(["n"])
 
     grams = ds.map_batches(lambda b: explode(b, True), batch_format="pyarrow",
                            zero_copy_batch=True)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus // 2))
+    # normalize the union/filter lineage before the join (Ray 2.49 rejects
+    # an all-empty join side — see join._normalize_blocks), and short-circuit
+    # the no-duplicates corpus: the dup set is the SMALL side by
+    # construction, so counting it here is cheap, and joining against an
+    # empty right side is a hard ArrowInvalid.
+    counts = counts.repartition(nparts).materialize()
+    if counts.count() == 0:
+        import ray.data as rd
+
+        id_t = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table({id_col: pa.array([], id_t),
+                                       "span_start": pa.array([], pa.int64()),
+                                       "span_end": pa.array([], pa.int64())}))
     covered = grams.join(counts, join_type="inner", on=(gcol,),
-                         num_partitions=max(2, min(16, cpus // 2)))
+                         num_partitions=nparts)
 
     covered = covered.select_columns([id_col, "off"]).sort([id_col, "off"])
 
@@ -1116,7 +1148,15 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
         return pa.concat_tables(parts)
 
     chunks = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    winners = partial_groupby(chunks, [pcol], [("packed", "min", "win")])
+    if key == "hash":
+        # near-unique key cardinality: ONE range sort + segment reduce beats
+        # Ray's sort-based Aggregate ~300x per group here (agg.py:
+        # sort_group_aggregate, r5 rehearsal finding)
+        from .agg import sort_group_aggregate
+
+        winners = sort_group_aggregate(chunks, pcol, [("packed", "min", "win")])
+    else:
+        winners = partial_groupby(chunks, [pcol], [("packed", "min", "win")])
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, min(16, cpus // 2))
     kept = chunks.join(winners, join_type="inner", on=(pcol,),
@@ -1204,7 +1244,12 @@ def line_frequency_filter(ds, min_count: int = 2, delim: str = "\n",
         return pa.table({kcol: col, "packed": pa.array(packed, pa.int64())})
 
     rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    counts = partial_groupby(rows, [kcol], [("packed", "count", "c")])
+    if key == "hash":
+        from .agg import sort_group_aggregate
+
+        counts = sort_group_aggregate(rows, kcol, [("packed", "count", "c")])
+    else:
+        counts = partial_groupby(rows, [kcol], [("packed", "count", "c")])
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, min(16, cpus // 2))
     kept = rows.join(counts, join_type="inner", on=(kcol,),

@@ -435,9 +435,10 @@ def focal_convolve(ds, kernel):
 
 def layer_resample(ds, out_cols: int, out_rows: int, method: str = "nearest"):
     """Per-tile resample to (out_cols, out_rows) with any RESAMPLE_KERNELS
-    method (nearest/bilinear/cubic/average/median/mode —
-    ref:raster/.../resample/*.scala, L:unverified). Pure per-tile map, no
-    shuffle; pair with tile_to_layout for cross-tile regridding."""
+    method (nearest/bilinear/cubic/cubic-spline/lanczos/average/median/mode/
+    max/min/sum — ref:raster/.../resample/*.scala, L:unverified). Pure
+    per-tile map, no shuffle; pair with tile_to_layout for cross-tile
+    regridding."""
     from ..core.raster import resample
 
     def fn(batch: pa.Table) -> pa.Table:

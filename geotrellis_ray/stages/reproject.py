@@ -16,7 +16,6 @@ the shuffle key is the destination SpatialKey.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core.layout import Extent, LayoutDefinition

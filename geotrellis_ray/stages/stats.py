@@ -145,6 +145,140 @@ def polygonal_summary(joined_ds, group_col: str = "polygon_id", value_col: str =
                          zero_copy_batch=True)
 
 
+class _FractionalSummarizer:
+    """Actor-pool stage for FractionalRasterizer-semantics zonal stats:
+    polygons are the broadcast small side (ray.put once, wkb decoded once
+    per ACTOR here in __init__), tiles stream through __call__; output is
+    one partial row per (polygon, batch) — cells never shuffle."""
+
+    def __init__(self, polygons_ref, layout):
+        import ray
+
+        from ..core import wkb as _wkb
+
+        tab = polygons_ref if isinstance(polygons_ref, pa.Table) else ray.get(polygons_ref)
+        self.layout = layout
+        self.polys = []
+        ids = tab["polygon_id"].to_numpy(zero_copy_only=False)
+        for i, buf in enumerate(tab["wkb"].to_pylist()):
+            geom = _wkb.decode(buf)
+            ring_sets = [geom["rings"]] if geom["type"] == "Polygon" else [
+                p["rings"] for p in geom["parts"]]
+            allpts = np.vstack([r for rs in ring_sets for r in rs])
+            bbox = (allpts[:, 0].min(), allpts[:, 1].min(),
+                    allpts[:, 0].max(), allpts[:, 1].max())
+            self.polys.append((int(ids[i]), ring_sets, bbox))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        from ..core.geom import clip_polygon_rect, polygon_area
+        from ..core.raster import decode_tile
+        from ._arrow_groups import ints, views
+
+        kc, kr = ints(batch, "key_col"), ints(batch, "key_row")
+        tcs, trs = ints(batch, "cols"), ints(batch, "rows")
+        cts = batch["cell_type"].to_pylist()
+        cells_v = views(batch, "cells")
+        # pid -> [n_cells, area, wsum, min_v, max_v]
+        acc: dict[int, list] = {}
+        for t in range(batch.num_rows):
+            tile = decode_tile(cells_v[t], int(tcs[t]), int(trs[t]), cts[t])
+            ext = self.layout.key_to_extent(int(kc[t]), int(kr[t]))
+            nr, nc = tile.shape
+            cw, ch = ext.width / nc, ext.height / nr
+            for pid, ring_sets, (bx0, by0, bx1, by1) in self.polys:
+                if bx1 <= ext.xmin or bx0 >= ext.xmax or by1 <= ext.ymin or by0 >= ext.ymax:
+                    continue
+                i0 = max(0, int(math.floor((bx0 - ext.xmin) / cw)))
+                i1 = min(nc - 1, int(math.ceil((bx1 - ext.xmin) / cw)) - 1)
+                j0 = max(0, int(math.floor((ext.ymax - by1) / ch)))
+                j1 = min(nr - 1, int(math.ceil((ext.ymax - by0) / ch)) - 1)
+                for j in range(j0, j1 + 1):
+                    cy1 = ext.ymax - j * ch
+                    cy0 = ext.ymax - (j + 1) * ch
+                    for i in range(i0, i1 + 1):
+                        v = tile[j, i]
+                        if np.isnan(v):
+                            continue
+                        cx0 = ext.xmin + i * cw
+                        cx1 = ext.xmin + (i + 1) * cw
+                        area = 0.0
+                        for rings in ring_sets:
+                            shell = clip_polygon_rect(rings[0], cx0, cy0, cx1, cy1)
+                            if shell is None or len(shell) < 3:
+                                continue
+                            a = polygon_area(shell)
+                            for hole in rings[1:]:
+                                hc = clip_polygon_rect(hole, cx0, cy0, cx1, cy1)
+                                if hc is not None and len(hc) >= 3:
+                                    a -= polygon_area(hc)
+                            area += a
+                        frac = area / (cw * ch)
+                        if frac <= 0.0:
+                            continue
+                        st = acc.get(pid)
+                        if st is None:
+                            acc[pid] = [1, frac, frac * float(v), float(v), float(v)]
+                        else:
+                            st[0] += 1
+                            st[1] += frac
+                            st[2] += frac * float(v)
+                            if v < st[3]:
+                                st[3] = float(v)
+                            if v > st[4]:
+                                st[4] = float(v)
+        pids = sorted(acc)
+        return pa.table({
+            "polygon_id": pa.array(pids, pa.int64()),
+            "n_cells": pa.array([acc[p][0] for p in pids], pa.int64()),
+            "area": pa.array([acc[p][1] for p in pids], pa.float64()),
+            "wsum": pa.array([acc[p][2] for p in pids], pa.float64()),
+            "min_v": pa.array([acc[p][3] for p in pids], pa.float64()),
+            "max_v": pa.array([acc[p][4] for p in pids], pa.float64()),
+        })
+
+
+def polygonal_summary_fractional(tiles_ds, polygons_ref, layout, concurrency: int = 4):
+    """Polygonal summary with FRACTIONAL cell weights — the GeoTrellis
+    FractionalRasterizer semantics (ref:raster/src/main/scala/geotrellis/
+    raster/rasterize/polygon/FractionalRasterizer.scala and
+    ref:raster/.../summary/polygonal/PolygonalSummary.scala, L:unverified —
+    /root/reference empty at survey time): every raster cell contributes
+    weight = the exact area fraction of the cell covered by the polygon
+    (Sutherland–Hodgman clip + shoelace — exact for dyadic-coordinate
+    fixtures; the center-rule ``polygonal_summary`` is the weight∈{0,1}
+    special case). NoData cells contribute nothing.
+
+    Scale shape: polygons broadcast once; per-cell work is tile-local inside
+    the actor pool; the shuffle carries one partial row per (polygon, batch),
+    so the final merge moves O(polygons), never O(cells). Returns per
+    polygon: n_cells (frac>0), area (Σ frac), wsum (Σ frac·v),
+    wmean (wsum/area), min_v, max_v."""
+    import pyarrow.compute as pc
+
+    from .agg import partial_groupby
+
+    partials = tiles_ds.map_batches(
+        _FractionalSummarizer,
+        fn_constructor_args=(polygons_ref, layout),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    g = partial_groupby(partials, ["polygon_id"], [
+        ("n_cells", "sum", "n_cells"),
+        ("area", "sum", "area"),
+        ("wsum", "sum", "wsum"),
+        ("min_v", "min", "min_v"),
+        ("max_v", "max", "max_v"),
+    ], final="single")
+
+    def add_mean(b: pa.Table) -> pa.Table:
+        return b.append_column("wmean", pc.divide(b["wsum"], b["area"]))
+
+    return g.map_batches(add_mean, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def zonal_histogram(joined_ds, zone_col: str, value_col: str):
     """Per-zone exact histogram: grouped FastMap sketches via map_groups."""
 

@@ -358,7 +358,10 @@ def window_rank(ds, part_col: str, ord_col: str, id_col: str,
     [, id]) plus, when ``val_col`` is given, the inclusive running sum
     SUM(val) OVER (... ROWS UNBOUNDED PRECEDING). ``ord_col`` must be
     integer-castable (int / timestamp); ``val_col`` integer (use cents for
-    money). -> Dataset (id_col, part_col, rn, rnk, drnk[, rsum]), exact SQL
+    money); ``id_col`` must be INTEGER-valued and GLOBALLY UNIQUE — it is
+    both the deterministic tie-breaker and the block key of the boundary
+    stitch (a string id fails in _block_ranks with a TypeError).
+    -> Dataset (id_col, part_col, rn, rnk, drnk[, rsum]), exact SQL
     window semantics with rn ties broken by id.
 
     Distributed shape (100 TB): ONE global range sort on (part, ord, id);

@@ -216,7 +216,7 @@ def _brute_resample(a, oc, orr, method):
     """Loop-based oracle for the aggregating and interpolating kernels."""
     rows, cols = a.shape
     out = np.full((orr, oc), np.nan)
-    if method in ("average", "median", "mode"):
+    if method in ("average", "median", "mode", "min", "max", "sum"):
         for i in range(orr):
             for j in range(oc):
                 rs = [r for r in range(rows) if r * orr // rows == i]
@@ -229,6 +229,12 @@ def _brute_resample(a, oc, orr, method):
                     out[i, j] = vals.mean()
                 elif method == "median":
                     out[i, j] = np.median(vals)
+                elif method == "min":
+                    out[i, j] = vals.min()
+                elif method == "max":
+                    out[i, j] = vals.max()
+                elif method == "sum":
+                    out[i, j] = vals.sum()
                 else:
                     u, n = np.unique(vals, return_counts=True)
                     out[i, j] = u[np.argmax(n)]  # unique is sorted: min value on tie
@@ -253,7 +259,8 @@ def _brute_resample(a, oc, orr, method):
     raise ValueError(method)
 
 
-@pytest.mark.parametrize("method", ["average", "median", "mode", "bilinear"])
+@pytest.mark.parametrize("method", ["average", "median", "mode", "bilinear",
+                                    "min", "max", "sum"])
 def test_resample_kernels_match_bruteforce(method):
     from geotrellis_ray.core.raster import resample
 
@@ -266,6 +273,53 @@ def test_resample_kernels_match_bruteforce(method):
         got = resample(a, oc, orr, method)
         exp = _brute_resample(a, oc, orr, method)
         np.testing.assert_allclose(got, exp, equal_nan=True, atol=1e-12)
+
+
+def test_resample_lanczos_properties():
+    """Lanczos(a=3): exact interpolation at integer source positions
+    (identity resample reproduces the tile bit-for-bit up to fp), constant
+    preservation at any scale, and the cubic-style bilinear NoData
+    fallback."""
+    from geotrellis_ray.core.raster import resample, resample_bilinear
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-5, 5, (16, 12))
+    # same-size resample: every target lands exactly on a source center
+    np.testing.assert_allclose(resample(a, 12, 16, "lanczos"), a, atol=1e-9)
+    # constants survive any resample (normalized window)
+    c = np.full((16, 12), 3.25)
+    np.testing.assert_allclose(resample(c, 30, 21, "lanczos"), 3.25, atol=1e-12)
+    a2 = a.copy(); a2[8, 6] = np.nan
+    got = resample(a2, 24, 32, "lanczos")
+    bil = resample_bilinear(a2, 24, 32)
+    fy = (np.arange(32) + 0.5) * 16 / 32 - 0.5
+    fx = (np.arange(24) + 0.5) * 12 / 24 - 0.5
+    # support=3: any target whose 6x6 window touches (8,6) falls back
+    sel = np.ix_(np.arange(32)[(fy >= 6) & (fy <= 10)],
+                 np.arange(24)[(fx >= 4) & (fx <= 8)])
+    np.testing.assert_allclose(got[sel], bil[sel], equal_nan=True)
+
+
+def test_resample_cubic_spline_properties():
+    """Cubic B-spline: linear precision on the interior (partition of unity
+    + symmetry), output bounded by input range (all-positive weights), and
+    smoothing (NOT interpolating) — the identity resample may differ from
+    the source, unlike lanczos."""
+    from geotrellis_ray.core.raster import resample
+
+    y, x = np.mgrid[0:16, 0:12]
+    a = (2.0 * x + 3.0 * y).astype(np.float64)
+    got = resample(a, 24, 32, "cubic-spline")
+    fy = (np.arange(32) + 0.5) * 16 / 32 - 0.5
+    fx = (np.arange(24) + 0.5) * 12 / 24 - 0.5
+    exp = 2.0 * fx[None, :] + 3.0 * fy[:, None]
+    interior = np.ix_(np.arange(32)[(fy >= 1) & (fy <= 14)],
+                      np.arange(24)[(fx >= 1) & (fx <= 10)])
+    np.testing.assert_allclose(got[interior], exp[interior], atol=1e-9)
+    rng = np.random.default_rng(5)
+    r = rng.uniform(2, 9, (16, 12))
+    out = resample(r, 30, 21, "cubic-spline")
+    assert out.min() >= r.min() - 1e-12 and out.max() <= r.max() + 1e-12
 
 
 def test_resample_cubic_properties():

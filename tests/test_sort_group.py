@@ -1,0 +1,92 @@
+"""Brute-force oracles for stages/agg.sort_group_aggregate — the
+unbounded-cardinality grouped aggregate (ONE range sort + vectorized
+segment reduce + O(#blocks) edge stitch). This is the r5 replacement for
+Ray's sort-based Aggregate in the #groups ~ #rows regime (measured ~300x
+per-group overhead there: 6.3M unique int64 keys, Dataset.sort 0.6 s vs
+groupby().aggregate() 189.5 s on this host)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geotrellis_ray.stages.agg import sort_group_aggregate
+
+
+def _brute(keys, vals):
+    exp = {}
+    for k, v in zip(keys, vals):
+        e = exp.get(k)
+        if e is None:
+            exp[k] = [1, int(v), int(v), int(v)]
+        else:
+            e[0] += 1
+            e[1] += int(v)
+            e[2] = min(e[2], int(v))
+            e[3] = max(e[3], int(v))
+    return exp
+
+
+@pytest.mark.parametrize("nkeys,blocks", [(50, 16), (60_000, 16), (9_999, 3)])
+def test_sort_group_aggregate_matches_bruteforce(ray_session, nkeys, blocks):
+    import ray.data
+
+    rng = np.random.default_rng(nkeys)
+    n = 120_000
+    keys = rng.integers(0, nkeys, n).astype(np.int64)
+    vals = rng.integers(-500, 500, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(blocks)
+    out = sort_group_aggregate(ds, "k", [
+        ("k", "count", "n"), ("v", "sum", "s"), ("v", "min", "mn"), ("v", "max", "mx")])
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in out.take_all()}
+    exp = _brute(keys, vals)
+    assert len(got) == len(exp)
+    for k, e in exp.items():
+        assert got[k] == tuple(e), (k, got[k], e)
+
+
+def test_sort_group_aggregate_having_pushdown(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 40_000, 100_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    out = sort_group_aggregate(ds, "k", [("k", "count", "n")], having_min_count=4)
+    got = {r["k"]: r["n"] for r in out.take_all()}
+    from collections import Counter
+
+    exp = {k: c for k, c in Counter(keys.tolist()).items() if c >= 4}
+    assert got == exp
+
+
+def test_sort_group_aggregate_single_key(ray_session):
+    """Degenerate cases: one global group (every block is all-edge), and an
+    empty dataset."""
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": np.zeros(10_000, np.int64),
+        "v": np.arange(10_000, dtype=np.int64)})).repartition(8)
+    rows = sort_group_aggregate(
+        ds, "k", [("k", "count", "n"), ("v", "min", "mn"), ("v", "max", "mx")]).take_all()
+    assert len(rows) == 1
+    assert (rows[0]["n"], rows[0]["mn"], rows[0]["mx"]) == (10_000, 0, 9_999)
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert sort_group_aggregate(empty, "k", [("k", "count", "n")]).count() == 0
+
+
+def test_exact_substring_spans_no_dups_short_circuit(ray_session):
+    """A corpus with no duplicated grams returns an EMPTY typed result (the
+    all-empty join side is a hard ArrowInvalid in Ray 2.49)."""
+    import ray.data
+
+    from geotrellis_ray.stages.dedup import exact_substring_spans
+
+    rng = np.random.default_rng(11)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    docs = ray.data.from_items([
+        {"doc_id": i, "text": "".join(rng.choice(letters, 200))}
+        for i in range(50)
+    ])
+    out = exact_substring_spans(docs, key="hash")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "span_start", "span_end"}
