@@ -686,17 +686,22 @@ def run_text_rehearsal(n_docs: int, num_cpus: int) -> dict:
         )
 
         def with_id(b: pa.Table) -> pa.Table:
-            h = sha256_prefix64_column(b["url"])
-            return pa.table({"doc_id": pa.array(h.view(np.int64), pa.int64()),
+            # paragraph/line dedup pack (doc_id, position) into ONE int64
+            # (dedup._check_packable_ids): ids must stay < 2^43, so keep the
+            # hash's top 42 bits. Deterministic; ~0.5 expected collisions at
+            # 2M docs (birthday, 2^43 space) — harmless for the rehearsal's
+            # structural constants.
+            h = sha256_prefix64_column(b["url"]) >> np.uint64(22)
+            return pa.table({"doc_id": pa.array(h.astype(np.int64), pa.int64()),
                              "text": b["text"]})
 
         def plant_dups(b: pa.Table) -> pa.Table:
-            # ~1% planted full-text duplicates (id offset) so every op's
-            # duplicate path carries rows at scale
+            # ~1% planted full-text duplicates (id offset inside the 43-bit
+            # budget) so every op's duplicate path carries rows at scale
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             sel = np.nonzero(ids % 100 == 0)[0]
             return pa.table({
-                "doc_id": pa.array(ids[sel] ^ np.int64(1 << 62), pa.int64()),
+                "doc_id": pa.array(ids[sel] ^ np.int64(1 << 42), pa.int64()),
                 "text": b["text"].take(pa.array(sel, pa.int64())),
             })
 

@@ -1032,6 +1032,19 @@ def decontaminate(ds, bench_ds, gram_len: int = 50, id_col: str = "doc_id",
 _PARA_IDX_BITS = 20  # packed = doc_id << 20 | chunk_idx; docs stay < 2^43
 
 
+def _check_packable_ids(ids: "np.ndarray") -> None:
+    """The packed-position trick carries (doc_id, position) in ONE int64, so
+    id_col must be a NON-NEGATIVE integer < 2^43. Out-of-range ids (e.g. raw
+    64-bit content hashes) silently overflow the shift and every downstream
+    join misses — caught live by the r5 rehearsal (101k docs -> 0 docs out).
+    Fail loudly instead; remap wide ids (e.g. ``hash >> 21``) upstream."""
+    if len(ids) and (ids.min() < 0 or ids.max() >= (1 << (63 - _PARA_IDX_BITS))):
+        raise ValueError(
+            f"id_col values must be integers in [0, 2^{63 - _PARA_IDX_BITS}) "
+            "for the packed-position dedup ops; remap wide ids (e.g. "
+            "content_hash >> 21) before calling")
+
+
 def _packed_to_kept_csv(kept, id_col: str, idx_bits: int = _PARA_IDX_BITS):
     """(packed)-only Dataset -> (id_col, kept_csv) where kept_csv is the
     doc's surviving chunk indices in order, as a csv string (primitive
@@ -1123,6 +1136,7 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_packable_ids(ids)
         words = pc.split_pattern(texts, " ")
         nwords = pc.list_value_length(words).to_numpy(zero_copy_only=False)
         nchunks = -(-nwords // words_per_para)  # ceil; empty text -> 1 word -> 1 chunk
@@ -1234,6 +1248,7 @@ def line_frequency_filter(ds, min_count: int = 2, delim: str = "\n",
         off = np.zeros(len(nl), dtype=np.int64)
         np.cumsum(nl[:-1], out=off[1:])
         pos = np.arange(len(parent), dtype=np.int64) - off[parent]
+        _check_packable_ids(ids)
         packed = (ids[parent] << _PARA_IDX_BITS) | pos
         if key == "text":
             col = flat
