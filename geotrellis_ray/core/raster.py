@@ -418,6 +418,95 @@ def resample_cubic_spline(a: np.ndarray, out_cols: int, out_rows: int) -> np.nda
     return _separable_resample(a, out_cols, out_rows, _bspline_kernel, support=2)
 
 
+def _catmullrom_kernel(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom (a=-0.5) cubic-convolution kernel as a callable (the
+    same piecewise polynomial as _cubic_weights, point-sample form)."""
+    A = -0.5
+    x = np.abs(x)
+    return np.where(
+        x <= 1, (A + 2) * x**3 - (A + 3) * x**2 + 1,
+        np.where(x < 2, A * x**3 - 5 * A * x**2 + 8 * A * x - 4 * A, 0.0),
+    )
+
+
+# point-sample kernels: callable + support radius (taps = 2*support around
+# the floor cell). bilinear is special-cased (positive weights -> NoData
+# renormalization instead of the bilinear fallback).
+_POINT_KERNELS = {
+    "cubic": (_catmullrom_kernel, 2),
+    "cubic-spline": (_bspline_kernel, 2),
+    "lanczos": (_lanczos_kernel, 3),
+}
+
+
+def _sample_bilinear_points(f: np.ndarray, fr: np.ndarray, fc: np.ndarray) -> np.ndarray:
+    rows, cols = f.shape
+    r0 = np.floor(fr).astype(np.int64)
+    c0 = np.floor(fc).astype(np.int64)
+    tr = fr - r0
+    tc = fc - c0
+    num = np.zeros(fr.shape)
+    den = np.zeros(fr.shape)
+    for dr, wrv in ((0, 1.0 - tr), (1, tr)):
+        ri = np.clip(r0 + dr, 0, rows - 1)
+        for dc, wcv in ((0, 1.0 - tc), (1, tc)):
+            ci = np.clip(c0 + dc, 0, cols - 1)
+            v = f[ri, ci]
+            ok = ~np.isnan(v)
+            w = wrv * wcv * ok
+            num += np.where(ok, v, 0.0) * w
+            den += w
+    with np.errstate(invalid="ignore"):
+        out = num / den
+    return np.where(den > 0, out, np.nan)
+
+
+def sample_points(a: np.ndarray, fr: np.ndarray, fc: np.ndarray,
+                  method: str = "bilinear") -> np.ndarray:
+    """Point-sample grid ``a`` at fractional pixel-CENTER coordinates:
+    integer coordinate j means the center of row/col j (pixel j spans
+    [j-0.5, j+0.5)). The interpolating kernels mirror the grid resamples
+    above — bilinear renormalizes over non-NoData corners; the signed
+    kernels (cubic / cubic-spline / lanczos, per-point weight-normalized,
+    edge-clamped) fall back to the bilinear value when their support
+    window touches NoData. Used by the kernel raster reproject
+    (stages/reproject.py); ``nearest`` point lookups stay on the
+    containing-cell gather there. -> float64 array shaped like fr."""
+    f = a.astype(np.float64)
+    if method == "bilinear":
+        return _sample_bilinear_points(f, fr, fc)
+    if method not in _POINT_KERNELS:
+        raise ValueError(
+            f"unknown point-sample method {method!r}; have "
+            f"{['bilinear'] + sorted(_POINT_KERNELS)}")
+    kernel, support = _POINT_KERNELS[method]
+    rows, cols = f.shape
+    r0 = np.floor(fr).astype(np.int64)
+    c0 = np.floor(fc).astype(np.int64)
+    offs = np.arange(-(support - 1), support + 1)
+    wr = kernel((fr - r0)[:, None] - offs[None, :])  # (n, taps)
+    wc = kernel((fc - c0)[:, None] - offs[None, :])
+    wr /= wr.sum(axis=1, keepdims=True)
+    wc /= wc.sum(axis=1, keepdims=True)
+    nanmask = np.isnan(f)
+    f0 = np.where(nanmask, 0.0, f)
+    acc = np.zeros(fr.shape)
+    bad = np.zeros(fr.shape, dtype=bool)
+    for j, oj in enumerate(offs):
+        ri = np.clip(r0 + oj, 0, rows - 1)
+        rowacc = np.zeros(fr.shape)
+        rowbad = np.zeros(fr.shape, dtype=bool)
+        for i, oi in enumerate(offs):
+            ci = np.clip(c0 + oi, 0, cols - 1)
+            rowacc += f0[ri, ci] * wc[:, i]
+            rowbad |= nanmask[ri, ci]
+        acc += rowacc * wr[:, j]
+        bad |= rowbad
+    if bad.any():
+        acc = np.where(bad, _sample_bilinear_points(f, fr, fc), acc)
+    return acc
+
+
 RESAMPLE_KERNELS = {
     "nearest": resample_nearest,
     "bilinear": resample_bilinear,

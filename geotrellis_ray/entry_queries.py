@@ -2848,6 +2848,40 @@ SQL_RESAMPLE_MINMAX = """
 """
 
 
+def q_reproject_bilinear_grid(sf_dir: str):
+    """Kernel raster-layer reproject (r5: ``reproject_layer(method=
+    "bilinear")``) through the REAL buffered-collar path: the mod-251 hash
+    grid (Extent(0,0,48,48), 3x3 tiles of 16x16) warped onto a half-cell-
+    shifted single-tile layout (identity CRS), so every dst cell center
+    lands exactly on a src cell CORNER -> bilinear = the 4-neighbor
+    average with all weights 0.25 (dyadic, exact in IEEE) -> bit-identical
+    to DuckDB's (v00+v10+v01+v11)/4.0. Every dst cell whose support
+    crosses a 16-cell tile boundary draws from buffer_tiles collars (both
+    axes + the diagonal), so a seam bug shows as a band of mismatches."""
+    from .stages.reproject import reproject_layer
+
+    src = LayoutDefinition(Extent(0.0, 0.0, 48.0, 48.0), TileLayout(3, 3, 16, 16))
+    dst = LayoutDefinition(Extent(0.5, 0.5, 47.5, 47.5), TileLayout(1, 1, 47, 47))
+    out = reproject_layer(_hash_grid_layer(3, 16, mod=251), src, dst,
+                          "latlng", "latlng", method="bilinear")
+    return _explode_tiles_to_cells(out, value_cast="float64", drop_zero=False)
+
+
+SQL_REPROJECT_BILINEAR = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    )
+    SELECT g00.x AS cell_x, g00.y AS cell_y,
+           CAST(g00.v + g10.v + g01.v + g11.v AS DOUBLE) / 4.0 AS density
+    FROM grid g00
+    JOIN grid g10 ON g10.x = g00.x + 1 AND g10.y = g00.y
+    JOIN grid g01 ON g01.x = g00.x AND g01.y = g00.y + 1
+    JOIN grid g11 ON g11.x = g00.x + 1 AND g11.y = g00.y + 1
+"""
+
+
 def q_spacetime_counts(sf_dir: str):
     """SpaceTimeKey layer: (key_col, key_row, daily time_bin) counts; the Ray
     path also carries the Z3 sfc3 key (dropped before output)."""
@@ -6735,6 +6769,7 @@ def build_queries() -> dict:
         "q_polygonal_summary": q_polygonal_summary,
         "q_polygonal_summary_fractional": q_polygonal_summary_fractional,
         "q_resample_minmax_grid": q_resample_minmax_grid,
+        "q_reproject_bilinear_grid": q_reproject_bilinear_grid,
         "q_spacetime_counts": q_spacetime_counts,
         "q_pbsm_join": q_pbsm_join,
         "q_layer_roundtrip_zorder": q_layer_roundtrip_zorder,
@@ -6777,6 +6812,7 @@ def build_queries() -> dict:
     #   4. the stalest captures (last seen r1, then r2).
     sql_new_r5 = [
         "q_polygonal_summary_fractional", "q_resample_minmax_grid",
+        "q_reproject_bilinear_grid",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -6865,6 +6901,7 @@ def build_oracle_sql() -> dict:
         "q_polygonal_summary": SQL_POLY_SUMMARY,
         "q_polygonal_summary_fractional": _sql_poly_summary_frac(),
         "q_resample_minmax_grid": SQL_RESAMPLE_MINMAX,
+        "q_reproject_bilinear_grid": SQL_REPROJECT_BILINEAR,
         "q_spacetime_counts": SQL_SPACETIME,
         "q_pbsm_join": SQL_PBSM,
         "q_layer_roundtrip_zorder": SQL_LAYER_RT,

@@ -279,7 +279,10 @@ def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()  # reused twice (df + join); term rows are slim
     n_docs = ds.count()
-    df_tbl = partial_groupby(terms, ["term"], [("doc_id", "count", "df")])
+    # vocabulary cardinality is corpus-sized at web scale -> sort-based final
+    # (Ray's Aggregate pays ~300x per group when #groups ~ #rows; r5 finding)
+    df_tbl = partial_groupby(terms, ["term"], [("doc_id", "count", "df")],
+                             final="sort")
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         num_partitions = max(2, min(16, cpus // 2))

@@ -66,6 +66,12 @@ def partial_groupby(ds, keys, specs, final: str = "shuffle"):
       end-to-end when the group count is BOUNDED (measured 7.5 s -> 3.4 s on
       the flagship). Contract: all final groups must fit one block (fine for
       tile/cell/polygon keys; WRONG for unbounded keys like dedup pair ids).
+    - "sort": single-key UNBOUNDED-cardinality merge via sort_group_aggregate
+      (ONE range sort + vectorized segment reduce + O(#blocks) edge stitch) —
+      sidesteps the ~300x per-group overhead Ray's Aggregate pays when
+      #groups ~ #rows (r5 rehearsal finding, see sort_group_aggregate).
+      Requires len(keys)==1 and numeric agg columns; key may be any sortable
+      type including strings (segment boundaries via numpy object compare).
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -94,6 +100,10 @@ def partial_groupby(ds, keys, specs, final: str = "shuffle"):
         zero_copy_batch=True,
         batch_size=1 << 18,
     )
+    if final == "sort":
+        if len(keys) != 1:
+            raise ValueError("final='sort' requires a single key column")
+        return sort_group_aggregate(partial, keys[0], merge_specs)
     if final == "single":
         # The bounded-cardinality contract is now ENFORCED, not just
         # documented: count the post-combine partial rows (cheap — the stream
@@ -207,6 +217,21 @@ def sort_group_aggregate(ds, key_col: str, specs, having_min_count: int | None =
               .sort(key_col)
               .map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
               .materialize())
+    if segs.count() == 0:
+        # Ray's sort on an EMPTY dataset emits a single schema-less block;
+        # anything joined against that later fails with ArrowInvalid ("no
+        # match for key field"). Rebuild the declared empty output schema
+        # from the input instead (also covers having_min_count filtering
+        # every group). schema() on the un-sorted lineage only pulls the
+        # first block.
+        import ray.data as rd
+
+        sch = ds.schema(fetch_if_missing=True)
+        types = dict(zip(sch.names, sch.types))
+        fields = [(key_col, types[key_col])] + [
+            (a, pa.int64() if f == "count" else types[c]) for c, f, a in specs]
+        return rd.from_arrow(
+            pa.table({name: pa.array([], t) for name, t in fields}))
     import pyarrow.compute as pc
 
     interior = segs.map_batches(
@@ -245,7 +270,17 @@ def sort_group_aggregate(ds, key_col: str, specs, having_min_count: int | None =
         mt = mt.filter(m)
     import ray.data as rd
 
-    return interior.union(rd.from_arrow(mt))
+    # edge-merged rows FIRST: Ray 2.49's hash join fails with ArrowInvalid
+    # ("no match for key field on right side") when a join side's LEADING
+    # block is empty (mid-stream empty blocks are fine — isolated r5), and
+    # interior's first block IS empty whenever the first sorted block held
+    # only edge segments (degenerate small inputs). mt is non-empty here
+    # unless having_min_count filtered every edge group — that path's only
+    # caller (exact_substring counts) short-circuits empty dup-sets before
+    # joining.
+    if mt.num_rows:
+        return rd.from_arrow(mt).union(interior)
+    return interior
 
 
 def grouped_top_k(ds, keys, order_col: str, k: int, descending: bool = True,

@@ -875,9 +875,10 @@ def exact_substring_spans(ds, min_len: int = 40, min_count: int = 2,
             exploded0, gcol, [(gcol, "count", "n")],
             having_min_count=min_count).drop_columns(["n"])
     else:
-        # key="text" (the SQL-oracle variant): string keys, small fixtures
+        # key="text" (the SQL-oracle variant): string keys — same sort-based
+        # final (sort_group_aggregate handles sortable string keys)
         counts = partial_groupby(
-            exploded0, [gcol], [(gcol, "count", "n")],
+            exploded0, [gcol], [(gcol, "count", "n")], final="sort",
         ).filter(expr=f"n >= {min_count}").drop_columns(["n"])
 
     grams = ds.map_batches(lambda b: explode(b, True), batch_format="pyarrow",
@@ -1170,7 +1171,8 @@ def paragraph_dedup(ds, words_per_para: int = 12, id_col: str = "doc_id",
 
         winners = sort_group_aggregate(chunks, pcol, [("packed", "min", "win")])
     else:
-        winners = partial_groupby(chunks, [pcol], [("packed", "min", "win")])
+        winners = partial_groupby(chunks, [pcol], [("packed", "min", "win")],
+                                  final="sort")
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, min(16, cpus // 2))
     kept = chunks.join(winners, join_type="inner", on=(pcol,),
@@ -1264,7 +1266,8 @@ def line_frequency_filter(ds, min_count: int = 2, delim: str = "\n",
 
         counts = sort_group_aggregate(rows, kcol, [("packed", "count", "c")])
     else:
-        counts = partial_groupby(rows, [kcol], [("packed", "count", "c")])
+        counts = partial_groupby(rows, [kcol], [("packed", "count", "c")],
+                                 final="sort")
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, min(16, cpus // 2))
     kept = rows.join(counts, join_type="inner", on=(kcol,),

@@ -32,6 +32,10 @@ def _to_latlng(crs: str, xs, ys):
         return ys, xs
     if crs == "webmercator":
         return webmercator_to_latlng(xs, ys)
+    if crs.lstrip().startswith("+"):
+        from ..core.proj4 import parse_proj4
+
+        return parse_proj4(crs.strip()).to_latlng(xs, ys)
     if crs.startswith("utm:"):
         from ..core.utm import parse_utm_crs, utm_to_latlng
 
@@ -73,6 +77,10 @@ def _from_latlng(crs: str, lat, lon):
         return lon, lat
     if crs == "webmercator":
         return latlng_to_webmercator(lat, lon)
+    if crs.lstrip().startswith("+"):
+        from ..core.proj4 import parse_proj4
+
+        return parse_proj4(crs.strip()).from_latlng(lat, lon)
     if crs.startswith("utm:"):
         from ..core.utm import latlng_to_utm, parse_utm_crs
 
@@ -117,17 +125,49 @@ def _fwd(src: str, dst: str, xs, ys):
     return xs, ys
 
 
+_REPROJECT_KERNEL_MARGIN = {"bilinear": 1, "cubic": 2, "cubic-spline": 2,
+                            "lanczos": 3}
+
+
 def reproject_layer(ds, src_layout: LayoutDefinition, dst_layout: LayoutDefinition,
-                    src_crs: str, dst_crs: str):
-    """Warp a tile layer into another CRS/layout (nearest-neighbor).
+                    src_crs: str, dst_crs: str, method: str = "nearest"):
+    """Warp a tile layer into another CRS/layout.
 
     explode: src tile -> per-covered-dst-key partial tile (vectorized
-    inverse sampling); shuffle: groupby dst key; merge: non-NoData wins."""
+    inverse sampling); shuffle: groupby dst key; merge: non-NoData wins.
+
+    ``method`` picks the sampling kernel (GeoTrellis TileRDDReproject's
+    ResampleMethod, ref:spark/.../reproject/TileRDDReproject.scala,
+    L:unverified — dir empty): "nearest" (default, containing-cell gather,
+    no buffering) or an interpolating kernel from core.raster.sample_points
+    ("bilinear" / "cubic" / "cubic-spline" / "lanczos"). Kernel modes run
+    buffer_tiles(margin=kernel radius) first so a sample near a tile seam
+    sees its full support from the neighbor collar — each src tile then
+    owns exactly the dst samples whose containing src cell is in its CORE,
+    so overlapping producers compute identical values from the same global
+    cells and the non-NoData-wins merge is deterministic. Cost: one extra
+    bounded shuffle (<=9 collar pieces per tile), kernel modes only."""
+    margin = 0
+    if method != "nearest":
+        if method not in _REPROJECT_KERNEL_MARGIN:
+            raise ValueError(
+                f"unknown reproject method {method!r}; have "
+                f"{['nearest'] + sorted(_REPROJECT_KERNEL_MARGIN)}")
+        from .layer_ops import buffer_tiles
+
+        margin = _REPROJECT_KERNEL_MARGIN[method]
+        ds = buffer_tiles(ds, margin=margin)
 
     def explode(batch: pa.Table) -> pa.Table:
+        from ..core.raster import sample_points
+
         out = {"key_col": [], "key_row": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
         for row in batch.to_pylist():
             a = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            # kernel modes: ``a`` is the buffered tile; geometry (extent,
+            # ownership) is the CORE region inside the margin collar
+            core_rows = a.shape[0] - 2 * margin
+            core_cols = a.shape[1] - 2 * margin
             src_ext = src_layout.key_to_extent(row["key_col"], row["key_row"])
             # forward-project the src extent corners to find covered dst keys
             cx = np.array([src_ext.xmin, src_ext.xmax, src_ext.xmin, src_ext.xmax])
@@ -144,11 +184,20 @@ def reproject_layer(ds, src_layout: LayoutDefinition, dst_layout: LayoutDefiniti
                     ys = d_ext.ymax - (np.arange(tr) + 0.5) * (d_ext.ymax - d_ext.ymin) / tr
                     gx, gy = np.meshgrid(xs, ys)
                     sx, sy = _fwd(dst_crs, src_crs, gx.ravel(), gy.ravel())
-                    ic = np.floor((sx - src_ext.xmin) / (src_ext.xmax - src_ext.xmin) * a.shape[1]).astype(np.int64)
-                    ir = np.floor((src_ext.ymax - sy) / (src_ext.ymax - src_ext.ymin) * a.shape[0]).astype(np.int64)
-                    ok = (ic >= 0) & (ic < a.shape[1]) & (ir >= 0) & (ir < a.shape[0])
+                    # ownership: the containing CORE cell (both modes)
+                    ic = np.floor((sx - src_ext.xmin) / (src_ext.xmax - src_ext.xmin) * core_cols).astype(np.int64)
+                    ir = np.floor((src_ext.ymax - sy) / (src_ext.ymax - src_ext.ymin) * core_rows).astype(np.int64)
+                    ok = (ic >= 0) & (ic < core_cols) & (ir >= 0) & (ir < core_rows)
                     tile = np.full(tr * tc, np.nan)
-                    tile[ok] = a[ir[ok], ic[ok]]
+                    if method == "nearest":
+                        tile[ok] = a[ir[ok], ic[ok]]
+                    elif ok.any():
+                        # fractional pixel-center coords in the BUFFERED frame
+                        cellw = (src_ext.xmax - src_ext.xmin) / core_cols
+                        cellh = (src_ext.ymax - src_ext.ymin) / core_rows
+                        fc = (sx[ok] - src_ext.xmin) / cellw - 0.5 + margin
+                        fr = (src_ext.ymax - sy[ok]) / cellh - 0.5 + margin
+                        tile[ok] = sample_points(a, fr, fc, method)
                     tile = tile.reshape(tr, tc)
                     if np.isnan(tile).all():
                         continue

@@ -134,3 +134,53 @@ def test_spacetime_key_and_filters(ray_session):
     collapsed = to_spatial(st, agg_specs=[("key_col", "count", "n")]).to_pandas()
     assert set(collapsed.columns) == {"key_col", "key_row", "n"}
     assert collapsed["n"].sum() == n
+
+
+@pytest.mark.parametrize("method", ["bilinear", "cubic", "cubic-spline", "lanczos"])
+def test_reproject_layer_kernel_seam_oracle(ray_session, method):
+    """Kernel reproject vs a single-array brute oracle: stitch the whole src
+    layer into ONE global grid padded with a NaN collar (the distributed
+    path's boundary-tile collar), sample every dst cell center with the SAME
+    core.raster.sample_points kernel, and require agreement — this pins the
+    buffer_tiles seam plumbing, the core-ownership mask, and the
+    buffered-frame coordinate offsets (the only distributed-specific logic;
+    any seam bug shows as a kernel-support-sized band of mismatches)."""
+    from geotrellis_ray.core.raster import sample_points
+    from geotrellis_ray.stages.reproject import _REPROJECT_KERNEL_MARGIN, reproject_layer
+
+    src = LayoutDefinition(Extent(0.0, 0.0, 4.0, 4.0), TileLayout(3, 3, 8, 8))
+    # dst grid offset + rescaled so cell centers never land on src cell edges
+    dst = LayoutDefinition(Extent(-0.3, -0.2, 4.1, 4.2), TileLayout(2, 2, 10, 10))
+    rng = np.random.default_rng(11)
+    glob = rng.uniform(-5.0, 5.0, (24, 24))
+    rows = []
+    for c in range(3):
+        for r in range(3):
+            a = glob[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8]
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = reproject_layer(ds, src, dst, "latlng", "latlng", method=method).take_all()
+    got = {(t["key_col"], t["key_row"]):
+           decode_tile(t["cells"], t["cols"], t["rows"], t["cell_type"]) for t in out}
+    assert got, "kernel reproject produced no tiles"
+
+    m = _REPROJECT_KERNEL_MARGIN[method]
+    pad = np.full((24 + 2 * m, 24 + 2 * m), np.nan)
+    pad[m:24 + m, m:24 + m] = glob
+    cw = 4.0 / 24
+    for (dc, dr), tile in got.items():
+        d_ext = dst.key_to_extent(dc, dr)
+        xs = d_ext.xmin + (np.arange(10) + 0.5) * (d_ext.xmax - d_ext.xmin) / 10
+        ys = d_ext.ymax - (np.arange(10) + 0.5) * (d_ext.ymax - d_ext.ymin) / 10
+        gx, gy = np.meshgrid(xs, ys)
+        sx, sy = gx.ravel(), gy.ravel()
+        ic = np.floor(sx / cw).astype(np.int64)
+        ir = np.floor((4.0 - sy) / cw).astype(np.int64)
+        ok = (ic >= 0) & (ic < 24) & (ir >= 0) & (ir < 24)
+        exp = np.full(100, np.nan)
+        exp[ok] = sample_points(pad, (4.0 - sy[ok]) / cw - 0.5 + m,
+                                sx[ok] / cw - 0.5 + m, method)
+        np.testing.assert_allclose(tile.ravel(), exp, rtol=1e-9, atol=1e-9,
+                                   equal_nan=True)
