@@ -277,7 +277,12 @@ def tfidf_top_terms(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
     terms = ds.map_batches(
         lambda b: terms_batch(b, id_col=id_col, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()  # reused twice (df + join); term rows are slim
+    ).materialize()
+    # ^ reused twice (df + join). Tradeoff, stated: the pinned term stream
+    # is corpus-sized-slim ((id, term, tf) rows, ~tens of B each) and rides
+    # the object store's spill path at 100 TB; the alternative is
+    # recomputing the tokenize pass for each consumer (two full text
+    # scans). One spillable slim pass < two corpus scans.
     n_docs = ds.count()
     # vocabulary cardinality is corpus-sized at web scale -> sort-based final
     # (Ray's Aggregate pays ~300x per group when #groups ~ #rows; r5 finding)
