@@ -248,6 +248,42 @@ def parse_conic_crs(name: str):
     return PolarStereographic(a, rf, *nums)
 
 
+class MercatorEllipsoidal:
+    """EPSG 9804/9805 Mercator (1SP / 2SP-via-lat_ts) on the ellipsoid —
+    the EPSG:3395 World Mercator projection (Snyder pp. 41–44):
+    x = FE + a k0 (lon - lon0), y = FN - a k0 ln t(lat) with the same
+    conformal auxiliary t as the polar stereographic; k0 is implied by the
+    standard parallel (scale true at lat_ts)."""
+
+    def __init__(self, a: float, rf: float, lat_ts: float, lon0: float,
+                 fe: float, fn: float):
+        self.a, self.rf = a, rf
+        self.lon0 = np.radians(lon0)
+        self.fe, self.fn = fe, fn
+        e = _e_from(rf)
+        self.e = e
+        self.k0 = float(_m(np.radians(lat_ts), e))
+
+    def forward(self, lat, lon):
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        x = self.fe + self.a * self.k0 * (lon - self.lon0)
+        y = self.fn - self.a * self.k0 * np.log(_t(lat, self.e))
+        return x, y
+
+    def inverse(self, x, y):
+        t = np.exp(-(np.asarray(y, dtype=np.float64) - self.fn) / (self.a * self.k0))
+        lat = _phi_from_t(t, self.e)
+        lon = self.lon0 + (np.asarray(x, dtype=np.float64) - self.fe) / (self.a * self.k0)
+        return np.degrees(lat), _wrap_lon(np.degrees(lon))
+
+
+def world_mercator() -> MercatorEllipsoidal:
+    """EPSG:3395 WGS84 / World Mercator."""
+    a, rf = ELLIPSOIDS["wgs84"]
+    return MercatorEllipsoidal(a, rf, 0.0, 0.0, 0.0, 0.0)
+
+
 class LambertAzimuthalEqualArea:
     """Snyder pp. 187–190, ellipsoidal oblique LAEA (the EPSG:3035 European
     grid projection). Works on the authalic sphere via beta = asin(q/qp)."""
@@ -344,3 +380,4 @@ def modis_sinusoidal() -> Sinusoidal:
 
 NAMED["epsg:3035"] = laea_europe
 NAMED["sinusoidal"] = modis_sinusoidal
+NAMED["epsg:3395"] = world_mercator

@@ -144,13 +144,18 @@ def parse_proj4(s: str) -> Proj4CRS:
         return Proj4CRS(_LongLat(), a, rf, towgs84)
 
     if kind == "merc":
-        # the spherical / web form (EPSG:3857's proj string: +a == +b);
-        # general ellipsoidal Mercator is not an implemented kernel
         if not math.isinf(rf):
-            raise ValueError("+proj=merc: only the spherical (+a=+b) web "
-                             "form is supported")
+            # ellipsoidal Mercator (EPSG 9804/9805 — e.g. EPSG:3395's
+            # "+proj=merc +ellps=WGS84" string)
+            from .conic import MercatorEllipsoidal
+
+            proj = MercatorEllipsoidal(a, rf, _f(p, "lat_ts"), _f(p, "lon_0"),
+                                       _f(p, "x_0"), _f(p, "y_0"))
+            return Proj4CRS(proj, a, rf, towgs84)
+
+        # the spherical / web form (EPSG:3857's proj string: +a == +b)
         if _f(p, "lat_ts") != 0.0:
-            raise ValueError("+proj=merc +lat_ts!=0 not supported")
+            raise ValueError("+proj=merc +lat_ts!=0 on a sphere not supported")
         class _SphMerc:
             def __init__(self, R, lon0, fe, fn):
                 self.R, self.lon0, self.fe, self.fn = R, lon0, fe, fn

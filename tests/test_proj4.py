@@ -147,7 +147,7 @@ def test_parse_errors():
     with pytest.raises(ValueError, match="zone"):
         parse_proj4("+proj=utm +ellps=WGS84")
     with pytest.raises(ValueError, match="spherical"):
-        parse_proj4("+proj=merc +ellps=WGS84")
+        parse_proj4("+proj=sinu +ellps=WGS84")
     with pytest.raises(ValueError, match="polar"):
         parse_proj4("+proj=stere +lat_0=45 +lon_0=0 +ellps=WGS84")
     with pytest.raises(ValueError, match="ellps"):
@@ -167,3 +167,60 @@ def test_towgs84_three_param_form():
     lat2, lon2 = parse_proj4(shifted).to_latlng(x1, y1)
     np.testing.assert_allclose(lat2, lat, atol=1e-7)
     np.testing.assert_allclose(lon2, lon, atol=1e-7)
+
+
+def test_merc_ellipsoidal_properties():
+    """Ellipsoidal Mercator (EPSG:3395 via '+proj=merc +ellps=WGS84'):
+    (1) conformal — numeric meridian/parallel scale factors agree to 1e-6
+    at several latitudes; (2) scale is true (h == 1) at +lat_ts;
+    (3) 1e-9-degree round-trips; (4) the e->0 limit reproduces the
+    spherical web form exactly."""
+    p = parse_proj4("+proj=merc +ellps=WGS84")
+    a, rf = 6378137.0, 298.257223563
+    e2 = (1 / rf) * (2 - 1 / rf)
+    d = 1e-6
+    for lat in (0.0, 22.5, 45.0, 66.6, -51.0):
+        lon = 13.0
+        x0, y0 = p.from_latlng(np.array([lat]), np.array([lon]))
+        xm, ym = p.from_latlng(np.array([lat + d]), np.array([lon]))
+        xp, yp = p.from_latlng(np.array([lat]), np.array([lon + d]))
+        s = np.sin(np.radians(lat))
+        # meridian arc per degree M(phi)*pi/180; parallel arc nu*cos(phi)*pi/180
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        nu = a / np.sqrt(1 - e2 * s * s)
+        h_mer = float(np.hypot(xm - x0, ym - y0)[0]) / (M * np.radians(d))
+        h_par = float(np.hypot(xp - x0, yp - y0)[0]) / (
+            nu * np.cos(np.radians(lat)) * np.radians(d))
+        np.testing.assert_allclose(h_mer, h_par, rtol=1e-5)  # conformal
+    # scale true at lat_ts=40
+    p40 = parse_proj4("+proj=merc +lat_ts=40 +ellps=WGS84")
+    lat = 40.0
+    x0, y0 = p40.from_latlng(np.array([lat]), np.array([0.0]))
+    xp, yp = p40.from_latlng(np.array([lat]), np.array([d]))
+    s = np.sin(np.radians(lat))
+    nu = a / np.sqrt(1 - e2 * s * s)
+    h = float(np.hypot(xp - x0, yp - y0)[0]) / (nu * np.cos(np.radians(lat)) * np.radians(d))
+    np.testing.assert_allclose(h, 1.0, rtol=1e-6)
+    # round-trips
+    _roundtrip("+proj=merc +ellps=WGS84", atol=1e-9)
+    # e -> 0 limit == spherical web form on the same radius
+    sph = parse_proj4("+proj=merc +a=6378137 +b=6378137")
+    ell0 = parse_proj4("+proj=merc +a=6378137 +rf=1e300")
+    lats = np.array([0.0, 30.0, -60.0])
+    lons = np.array([10.0, -120.0, 45.0])
+    xs, ys = sph.from_latlng(lats, lons)
+    xe, ye = ell0.from_latlng(lats, lons)
+    np.testing.assert_allclose(xe, xs, rtol=1e-12)
+    np.testing.assert_allclose(ye, ys, rtol=1e-9)
+
+
+def test_epsg3395_named_matches_proj_string():
+    lats = np.array([0.0, 45.0, -33.7])
+    lons = np.array([0.0, 13.4, 151.2])
+    x1, y1 = _from_latlng("epsg:3395", lats, lons)
+    x2, y2 = parse_proj4("+proj=merc +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84").from_latlng(lats, lons)
+    np.testing.assert_allclose(x1, x2)
+    np.testing.assert_allclose(y1, y2)
+    # ellipsoidal y is strictly below spherical y off the equator
+    xs, ys = _from_latlng("webmercator", lats[1:], lons[1:])
+    assert abs(y1[1]) < abs(ys[0]) and abs(y1[2]) < abs(ys[1])
