@@ -231,3 +231,134 @@ def wav_meta(buf: bytes) -> dict:
             "bitrate_kbps": rate * f.getnchannels() * f.getsampwidth() * 8 / 1000.0,
             "vbr": False,
         }
+
+
+# --- MP4 / ISO-BMFF (box-structure metadata; no sample decode) --------------
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def encode_mp4_meta(timescale: int, duration: int, tracks,
+                    brand: bytes = b"isom") -> bytes:
+    """Minimal valid ISO-BMFF metadata file (ftyp + moov, no mdat): the
+    deterministic fixture generator for mp4_meta — hand-assembled from the
+    public ISO/IEC 14496-12 box layout, same fixture style as the GeoTiff
+    and MP3 tests. ``tracks``: [{"kind": "vide", "codec": "avc1",
+    "width": W, "height": H} | {"kind": "soun", "codec": "mp4a",
+    "sample_rate": R, "channels": C}]."""
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = _mp4_box(b"mvhd", struct.pack(
+        ">I II II I H H 8x 36s 24x I", 0, 0, 0, int(timescale), int(duration),
+        0x00010000, 0x0100, 0,
+        struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+        len(tracks) + 1))
+    traks = []
+    for i, t in enumerate(tracks):
+        w = int(t.get("width", 0)) << 16
+        h = int(t.get("height", 0)) << 16
+        tkhd = _mp4_box(b"tkhd", struct.pack(
+            ">I II I 4x I 8x H H H 2x 36s I I", 3, 0, 0, i + 1, int(duration),
+            0, 0, 0x0100 if t["kind"] == "soun" else 0,
+            struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+            w, h))
+        mdhd = _mp4_box(b"mdhd", struct.pack(
+            ">I II II H 2x", 0, 0, 0, int(timescale), int(duration), 0x55C4))
+        hdlr = _mp4_box(b"hdlr", struct.pack(">I 4x 4s 12x", 0,
+                                             t["kind"].encode()) + b"\x00")
+        codec = t["codec"].encode()
+        if t["kind"] == "vide":
+            entry = _mp4_box(codec, struct.pack(
+                ">6x H 16x H H I I 4x H 32s H h", 1,
+                int(t.get("width", 0)), int(t.get("height", 0)),
+                0x00480000, 0x00480000, 1, b"", 0x18, -1))
+        else:
+            entry = _mp4_box(codec, struct.pack(
+                ">6x H 8x H H 4x I", 1, int(t.get("channels", 2)), 16,
+                int(t.get("sample_rate", 0)) << 16))
+        stsd = _mp4_box(b"stsd", struct.pack(">I I", 0, 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_mp4_box(b"trak", tkhd + mdia))
+    moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+    return ftyp + moov
+
+
+def _mp4_children(buf: bytes, off: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in [off, end)."""
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", buf, off)[0]
+        typ = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            body = off + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield typ, body, off + size
+        off += size
+
+
+def mp4_meta(buf: bytes) -> dict:
+    """MP4/ISO-BMFF metadata WITHOUT decoding (public 14496-12 box layout):
+    walks ftyp -> brand and moov -> mvhd (movie timescale/duration),
+    per-trak tkhd/mdia/hdlr/stsd (handler kind, first sample-entry codec
+    fourcc, visual width/height, audio sample rate). Sample data (mdat)
+    is never touched — H.264/AAC entropy decode stays the documented
+    refusal. Returns container/major_brand/duration_ms/n_tracks/
+    video_codec/width/height/audio_codec/audio_sample_rate."""
+    out = {"container": "mp4", "major_brand": None, "duration_ms": None,
+           "n_tracks": 0, "video_codec": None, "width": None, "height": None,
+           "audio_codec": None, "audio_sample_rate": None}
+    for typ, b0, b1 in _mp4_children(buf, 0, len(buf)):
+        if typ == b"ftyp" and b1 - b0 >= 4:
+            out["major_brand"] = buf[b0:b0 + 4].decode("latin-1")
+        elif typ == b"moov":
+            for t2, c0, c1 in _mp4_children(buf, b0, b1):
+                if t2 == b"mvhd" and c1 - c0 >= 20:
+                    ver = buf[c0]
+                    if ver == 1 and c1 - c0 >= 28:
+                        ts = struct.unpack_from(">I", buf, c0 + 20)[0]
+                        dur = struct.unpack_from(">Q", buf, c0 + 24)[0]
+                    else:
+                        ts = struct.unpack_from(">I", buf, c0 + 12)[0]
+                        dur = struct.unpack_from(">I", buf, c0 + 16)[0]
+                    if ts:
+                        out["duration_ms"] = dur / ts * 1000.0
+                elif t2 == b"trak":
+                    out["n_tracks"] += 1
+                    kind = codec = None
+                    width = height = rate = None
+                    for t3, d0, d1 in _mp4_children(buf, c0, c1):
+                        if t3 != b"mdia":
+                            continue
+                        for t4, e0, e1 in _mp4_children(buf, d0, d1):
+                            if t4 == b"hdlr" and e1 - e0 >= 12:
+                                kind = buf[e0 + 8:e0 + 12].decode("latin-1")
+                            elif t4 == b"minf":
+                                for t5, f0, f1 in _mp4_children(buf, e0, e1):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, g0, g1 in _mp4_children(buf, f0, f1):
+                                        if t6 != b"stsd" or g1 - g0 < 8:
+                                            continue
+                                        for t7, s0, s1 in _mp4_children(buf, g0 + 8, g1):
+                                            codec = t7.decode("latin-1")
+                                            if s1 - s0 >= 36:
+                                                width = struct.unpack_from(">H", buf, s0 + 24)[0]
+                                                height = struct.unpack_from(">H", buf, s0 + 26)[0]
+                                            if s1 - s0 >= 28:
+                                                rate = struct.unpack_from(">I", buf, s0 + 24)[0] >> 16
+                                            break
+                    if kind == "vide":
+                        out["video_codec"] = codec
+                        out["width"], out["height"] = width, height
+                    elif kind == "soun":
+                        out["audio_codec"] = codec
+                        out["audio_sample_rate"] = rate
+    return out

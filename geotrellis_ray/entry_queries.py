@@ -2417,6 +2417,80 @@ def q_audio_meta(sf_dir: str):
                              zero_copy_batch=True, batch_size=256)
 
 
+def q_video_meta(sf_dir: str):
+    """Header-only MP4/ISO-BMFF video metadata (r5:
+    stages/multimodal.video_meta_batch; core/media.py:mp4_meta walks
+    ftyp/moov/trak/stsd — sample data never touched). SQL-BIT-EXACT via
+    the q_audio_meta pattern: every box field is derived from sha256(text)
+    bytes, which DuckDB recomputes; duration_ms is the same single
+    int/int -> double division chain on both sides."""
+    import hashlib as _hashlib
+
+    from .core.media import encode_mp4_meta
+    from .stages.multimodal import video_meta_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _RATES = [8000, 16000, 22050, 24000, 32000, 44100, 48000]
+
+    def to_media(bt: pa.Table) -> pa.Table:
+        payloads = []
+        for t in bt["text"].to_pylist():
+            h = _hashlib.sha256(t.encode()).digest()
+            ts = 300 * (1 + h[7] % 4)
+            dur = 1000 + 256 * h[0] + h[1]
+            tracks = []
+            if h[2] % 4 != 0:
+                tracks.append({"kind": "vide", "codec": ["avc1", "hev1"][h[8] % 2],
+                               "width": 16 * (10 + h[3] % 111),
+                               "height": 16 * (9 + h[4] % 60)})
+            if h[5] % 3 != 0:
+                tracks.append({"kind": "soun", "codec": ["mp4a", "alac"][h[9] % 2],
+                               "sample_rate": _RATES[h[6] % 7], "channels": 2})
+            payloads.append(encode_mp4_meta(ts, dur, tracks,
+                                            brand=[b"isom", b"mp42"][h[10] % 2]))
+        return pa.table({"doc_id": bt["doc_id"],
+                         "media": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media.map_batches(video_meta_batch, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=256)
+
+
+def _sql_video_meta() -> str:
+    hexd = "strpos('0123456789abcdef', substr(s, {i}, 1)) - 1"
+
+    def hb(i: int) -> str:
+        return (f"(16 * ({hexd.format(i=2 * i + 1)})"
+                f" + ({hexd.format(i=2 * i + 2)}))")
+
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents),
+    p AS (
+        SELECT doc_id, {hb(0)} AS h0, {hb(1)} AS h1, {hb(2)} AS h2,
+               {hb(3)} AS h3, {hb(4)} AS h4, {hb(5)} AS h5, {hb(6)} AS h6,
+               {hb(7)} AS h7, {hb(8)} AS h8, {hb(9)} AS h9, {hb(10)} AS h10
+        FROM h
+    )
+    SELECT doc_id,
+           'mp4' AS container,
+           CASE WHEN h10 % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+           CAST(1000 + 256 * h0 + h1 AS DOUBLE) / (300 * (1 + h7 % 4)) * 1000.0
+               AS duration_ms,
+           CAST((CASE WHEN h2 % 4 <> 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN h5 % 3 <> 0 THEN 1 ELSE 0 END) AS INT) AS n_tracks,
+           CASE WHEN h2 % 4 <> 0 THEN
+                (CASE WHEN h8 % 2 = 0 THEN 'avc1' ELSE 'hev1' END) END AS video_codec,
+           CASE WHEN h2 % 4 <> 0 THEN CAST(16 * (10 + h3 % 111) AS INT) END AS width,
+           CASE WHEN h2 % 4 <> 0 THEN CAST(16 * (9 + h4 % 60) AS INT) END AS height,
+           CASE WHEN h5 % 3 <> 0 THEN
+                (CASE WHEN h9 % 2 = 0 THEN 'mp4a' ELSE 'alac' END) END AS audio_codec,
+           CASE WHEN h5 % 3 <> 0 THEN
+                CAST([8000, 16000, 22050, 24000, 32000, 44100, 48000][1 + h6 % 7]
+                     AS INT) END AS audio_sample_rate
+    FROM p
+    """
+
+
 def _sql_audio_meta() -> str:
     hexd = "strpos('0123456789abcdef', substr(s, {i}, 1)) - 1"
 
@@ -6762,6 +6836,7 @@ def build_queries() -> dict:
         "q_multimodal_stub": q_multimodal_stub,
         "q_audio_features": q_audio_features,
         "q_audio_meta": q_audio_meta,
+        "q_video_meta": q_video_meta,
         "q_raster_ingest": q_raster_ingest,
         "q_geotiff_ingest": q_geotiff_ingest,
         "q_histogram_breaks": q_histogram_breaks,
@@ -6812,7 +6887,7 @@ def build_queries() -> dict:
     #   4. the stalest captures (last seen r1, then r2).
     sql_new_r5 = [
         "q_polygonal_summary_fractional", "q_resample_minmax_grid",
-        "q_reproject_bilinear_grid",
+        "q_reproject_bilinear_grid", "q_video_meta",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -6969,6 +7044,7 @@ def build_oracle_sql() -> dict:
         "q_hydrology_grid": _sql_hydrology_grid(),
         "q_doc_fingerprints": _sql_doc_fingerprints(),
         "q_audio_meta": _sql_audio_meta(),
+        "q_video_meta": _sql_video_meta(),
         "q_hll_registers": _sql_hll_registers(),
         "q_ann_dot": _sql_ann_dot(),
         "q_geojson_rects": _sql_cliptogrid_rects(),

@@ -142,6 +142,37 @@ def audio_meta_batch(batch: pa.Table, media_col: str = "media") -> pa.Table:
     return out.append_column("vbr", pa.array([r["vbr"] for r in rows], pa.bool_()))
 
 
+def video_meta_batch(batch: pa.Table, media_col: str = "media") -> pa.Table:
+    """Header-only MP4/ISO-BMFF video metadata (NO sample decode):
+    core/media.py:mp4_meta walks ftyp/moov/trak/stsd boxes — container
+    brand, movie duration, track count, first video/audio sample-entry
+    codec fourccs, frame dimensions, audio sample rate. mdat is never
+    touched (H.264/AAC entropy decode is the documented refusal), so the
+    pass is byte-offset-only and safe at normal batch sizes."""
+    from ..core.media import mp4_meta
+
+    rows = []
+    for payload in batch[media_col].to_pylist():
+        meta = None
+        if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+            meta = mp4_meta(payload)
+        rows.append(meta or {"container": None, "major_brand": None,
+                             "duration_ms": None, "n_tracks": None,
+                             "video_codec": None, "width": None, "height": None,
+                             "audio_codec": None, "audio_sample_rate": None})
+    out = batch.drop_columns([media_col])
+    out = out.append_column("container", pa.array([r["container"] for r in rows], pa.string()))
+    out = out.append_column("major_brand", pa.array([r["major_brand"] for r in rows], pa.string()))
+    out = out.append_column("duration_ms", pa.array([r["duration_ms"] for r in rows], pa.float64()))
+    out = out.append_column("n_tracks", pa.array([r["n_tracks"] for r in rows], pa.int32()))
+    out = out.append_column("video_codec", pa.array([r["video_codec"] for r in rows], pa.string()))
+    out = out.append_column("width", pa.array([r["width"] for r in rows], pa.int32()))
+    out = out.append_column("height", pa.array([r["height"] for r in rows], pa.int32()))
+    out = out.append_column("audio_codec", pa.array([r["audio_codec"] for r in rows], pa.string()))
+    return out.append_column("audio_sample_rate", pa.array(
+        [r["audio_sample_rate"] for r in rows], pa.int32()))
+
+
 class AudioFrameSampler:
     """Actor-pool stage: binary audio -> fixed-rate frame features (stub)."""
 

@@ -360,3 +360,72 @@ def test_audio_meta_batch_wav_and_mp3():
     assert out["sample_rate"].to_pylist() == [16000, 44100, None]
     assert out["duration_ms"].to_pylist()[0] == 1000.0
     assert out["n_frames"].to_pylist()[1] == 3
+
+
+def test_mp4_meta_box_walk():
+    """ISO-BMFF walker vs hand-assembled fixtures (encode_mp4_meta — the
+    GeoTiff/MP3 fixture style): every track permutation, plus the v1-mvhd
+    (64-bit duration) and largesize box paths built by hand, plus
+    truncation robustness at every 7th byte."""
+    import struct
+
+    from geotrellis_ray.core.media import _mp4_box, encode_mp4_meta, mp4_meta
+
+    full = encode_mp4_meta(600, 45000, [
+        {"kind": "vide", "codec": "hev1", "width": 1920, "height": 1080},
+        {"kind": "soun", "codec": "mp4a", "sample_rate": 44100, "channels": 2},
+    ])
+    m = mp4_meta(full)
+    assert (m["duration_ms"], m["n_tracks"]) == (75000.0, 2)
+    assert (m["video_codec"], m["width"], m["height"]) == ("hev1", 1920, 1080)
+    assert (m["audio_codec"], m["audio_sample_rate"]) == ("mp4a", 44100)
+
+    vonly = mp4_meta(encode_mp4_meta(1000, 5000, [
+        {"kind": "vide", "codec": "avc1", "width": 640, "height": 360}]))
+    assert vonly["audio_codec"] is None and vonly["n_tracks"] == 1
+    aonly = mp4_meta(encode_mp4_meta(1000, 5000, [
+        {"kind": "soun", "codec": "alac", "sample_rate": 48000}]))
+    assert aonly["video_codec"] is None and aonly["audio_sample_rate"] == 48000
+    empty = mp4_meta(encode_mp4_meta(1000, 5000, []))
+    assert empty["n_tracks"] == 0 and empty["duration_ms"] == 5000.0
+
+    # v1 mvhd: 64-bit duration beyond 2^32
+    big = (1 << 33) + 123
+    mvhd_v1 = _mp4_box(b"mvhd", struct.pack(
+        ">I QQ I Q", 0x01000000, 0, 0, 1000, big) + b"\x00" * 80)
+    m1 = mp4_meta(_mp4_box(b"ftyp", b"isom" + b"\x00" * 8)
+                  + _mp4_box(b"moov", mvhd_v1))
+    assert m1["duration_ms"] == big / 1000 * 1000.0
+
+    # largesize (size==1 + 64-bit size) wrapping the moov
+    moov_payload = full[full.index(b"moov") - 4 + 8:]
+    large = struct.pack(">I", 1) + b"moov" + struct.pack(
+        ">Q", 16 + len(moov_payload)) + moov_payload
+    m2 = mp4_meta(full[:full.index(b"moov") - 4] + large)
+    assert m2["video_codec"] == "hev1" and m2["n_tracks"] == 2
+
+    for i in range(0, len(full), 7):
+        mp4_meta(full[:i])  # must never raise
+
+
+def test_video_meta_batch_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_ray.core.media import encode_mp4_meta
+    from geotrellis_ray.stages.multimodal import video_meta_batch
+
+    payloads = [
+        encode_mp4_meta(600, 6000, [{"kind": "vide", "codec": "avc1",
+                                     "width": 320, "height": 240}]),
+        b"not an mp4 at all",
+        None,
+    ]
+    t = pa.table({"vid_id": pa.array([1, 2, 3], pa.int64()),
+                  "media": pa.array(payloads, pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        video_meta_batch, batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas().sort_values("vid_id").reset_index(drop=True)
+    assert out.loc[0, "video_codec"] == "avc1" and out.loc[0, "width"] == 320
+    assert out.loc[1, "container"] is None or out.loc[1, "container"] != "mp4"
+    assert len(out) == 3 and "media" not in out.columns
