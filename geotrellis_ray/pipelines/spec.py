@@ -204,6 +204,20 @@ def _op_reproject_points(ds, src: str, dst: str, **kw):
     )
 
 
+def _op_reproject_layer(ds, src_extent, src_tile_layout, dst_extent,
+                        dst_tile_layout, src_crs: str, dst_crs: str,
+                        method: str = "nearest"):
+    """spark-pipeline's Reproject node is a LAYER op (TileRDDReproject,
+    ref:spark-pipeline/.../ast/Reproject, L:unverified) — warp a tile
+    layer between CRS/layouts; ``method`` picks nearest or a kernel
+    (bilinear/cubic/cubic-spline/lanczos, r5)."""
+    from ..stages.reproject import reproject_layer
+
+    return reproject_layer(ds, _layout_from_args(src_extent, src_tile_layout),
+                           _layout_from_args(dst_extent, dst_tile_layout),
+                           src_crs, dst_crs, method=method)
+
+
 def _op_spacetime_key(ds, **kw):
     from ..stages.spacetime import assign_spacetime_key_batch
 
@@ -461,6 +475,7 @@ for _name, _fn in {
     "hydrology.flow_accumulation": _op_flow_accumulation,
     "buffer.tiles": _op_buffer_tiles,
     "transform.reproject": _op_reproject_points,
+    "transform.reproject-layer": _op_reproject_layer,
     "transform.spacetime_key": _op_spacetime_key,
     "dedup.exact": _op_dedup_exact,
     "agg.partial_groupby": _op_partial_groupby,

@@ -129,3 +129,52 @@ def test_new_spec_ops_run(ray_session, tmp_path):
                     {"op": "sample.weighted_topk", "id_col": "doc_id",
                      "weight_col": "w", "k": 5}])
     assert got.count() == 5
+
+
+def test_spec_reproject_layer_kernel(ray_session, tmp_path):
+    """transform.reproject-layer (the spark-pipeline Reproject node is a
+    LAYER op): spec output == the reproject_layer stage called directly,
+    kernel mode included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.core.raster import decode_tile, encode_tile
+    from geotrellis_ray.core.sfc import zorder
+    from geotrellis_ray.pipelines.spec import run_spec
+    from geotrellis_ray.stages.reproject import reproject_layer
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(2):
+        for r in range(2):
+            a = rng.uniform(0, 9, (8, 8))
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows,
+                         "cell_type": ct})
+    src_path = str(tmp_path / "layer.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src_path)
+
+    src_ext, src_tl = [0.0, 0.0, 16.0, 16.0], [2, 2, 8, 8]
+    dst_ext, dst_tl = [0.5, 0.5, 15.5, 15.5], [1, 1, 15, 15]
+    out = run_spec([
+        {"op": "read.parquet", "path": src_path},
+        {"op": "transform.reproject-layer", "src_extent": src_ext,
+         "src_tile_layout": src_tl, "dst_extent": dst_ext,
+         "dst_tile_layout": dst_tl, "src_crs": "latlng", "dst_crs": "latlng",
+         "method": "bilinear"},
+    ]).take_all()
+    direct = reproject_layer(
+        rd.from_arrow(pa.Table.from_pylist(rows)),
+        LayoutDefinition(Extent(*src_ext), TileLayout(*src_tl)),
+        LayoutDefinition(Extent(*dst_ext), TileLayout(*dst_tl)),
+        "latlng", "latlng", method="bilinear").take_all()
+    got = {(t["key_col"], t["key_row"]):
+           decode_tile(t["cells"], t["cols"], t["rows"], t["cell_type"]) for t in out}
+    exp = {(t["key_col"], t["key_row"]):
+           decode_tile(t["cells"], t["cols"], t["rows"], t["cell_type"]) for t in direct}
+    assert set(got) == set(exp) and len(got) > 0
+    for k in got:
+        np.testing.assert_array_equal(got[k], exp[k])
