@@ -321,8 +321,14 @@ def mp4_meta(buf: bytes) -> dict:
         elif typ == b"moov":
             for t2, c0, c1 in _mp4_children(buf, b0, b1):
                 if t2 == b"mvhd" and c1 - c0 >= 20:
+                    # v1 payload: ver/flags 4 + ctime 8 + mtime 8 + timescale 4
+                    # + duration 8 = 32 bytes; v0: 4 + 4 + 4 + 4 + 4 = 20. A v1
+                    # box shorter than 32 is malformed -> skip (never read past
+                    # the box, never misparse it with v0 offsets).
                     ver = buf[c0]
-                    if ver == 1 and c1 - c0 >= 28:
+                    if ver == 1:
+                        if c1 - c0 < 32:
+                            continue
                         ts = struct.unpack_from(">I", buf, c0 + 20)[0]
                         dur = struct.unpack_from(">Q", buf, c0 + 24)[0]
                     else:

@@ -38,6 +38,13 @@ def sha256_prefix64_column(col) -> np.ndarray:
     out = np.empty(sum(len(c) for c in chunks), np.uint64)
     i = 0
     for chunk in chunks:
+        if chunk.null_count:
+            # a null's offsets alias the empty string — hashing it would
+            # silently merge null rows with genuinely-empty rows (and the
+            # to_pylist path this replaced raised on None too). Fail loud.
+            raise ValueError(
+                "sha256_prefix64_column: column contains nulls; drop or "
+                "fill them before hashing (nulls would collide with '')")
         wide = pa.types.is_large_string(chunk.type) or pa.types.is_large_binary(chunk.type)
         offs = np.frombuffer(chunk.buffers()[1], dtype=np.int64 if wide else np.int32)[
             chunk.offset: chunk.offset + len(chunk) + 1]

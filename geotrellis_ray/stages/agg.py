@@ -274,13 +274,16 @@ def sort_group_aggregate(ds, key_col: str, specs, having_min_count: int | None =
     # ("no match for key field on right side") when a join side's LEADING
     # block is empty (mid-stream empty blocks are fine — isolated r5), and
     # interior's first block IS empty whenever the first sorted block held
-    # only edge segments (degenerate small inputs). mt is non-empty here
-    # unless having_min_count filtered every edge group — that path's only
-    # caller (exact_substring counts) short-circuits empty dup-sets before
-    # joining.
+    # only edge segments (degenerate small inputs).
     if mt.num_rows:
         return rd.from_arrow(mt).union(interior)
-    return interior
+    # mt empty => having_min_count filtered every edge group (every non-empty
+    # block emits edge rows, so without having this is unreachable past the
+    # segs.count()==0 branch). interior is then the having-filtered stream —
+    # tiny for any threshold >= 2 — so repartition(1) is cheap and guarantees
+    # the leading block is non-empty whenever any row survived, keeping the
+    # result hash-join-safe without per-call-site contracts.
+    return interior.repartition(1)
 
 
 def grouped_top_k(ds, keys, order_col: str, k: int, descending: bool = True,

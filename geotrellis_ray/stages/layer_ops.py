@@ -20,10 +20,9 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from ..core.raster import decode_tile, encode_tile, merge as tile_merge
+from ..core.raster import INT_NODATA, decode_tile, encode_tile, merge as tile_merge
 from ..core.sfc import zorder
 from ._arrow_groups import ints, one_tile, tile_table, views
 
@@ -196,6 +195,14 @@ def buffer_tiles(ds, margin: int = 1):
                  "p_cols": pa.array([], pa.int32()), "cell_type": pa.array([], pa.string())}
             )
         cube = batch_to_cube(batch)
+        if not np.issubdtype(cube.dtype, np.floating):
+            # integer layers mark NoData with INT_NODATA; the collar travels
+            # as float64, so map the sentinel to NaN HERE — downstream
+            # consumers (focal nan-aware reduces, kernel-reproject
+            # sample_points) all key NoData off np.isnan.
+            nd = cube == INT_NODATA
+            cube = cube.astype(np.float64)
+            cube[nd] = np.nan
         kc = batch["key_col"].to_numpy(zero_copy_only=False)
         kr = batch["key_row"].to_numpy(zero_copy_only=False)
         ct = batch["cell_type"][0].as_py()

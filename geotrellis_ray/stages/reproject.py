@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from ..core.layout import Extent, LayoutDefinition
 from ..core.mercator import latlng_to_webmercator, webmercator_to_latlng
-from ..core.raster import decode_tile, encode_tile, merge as tile_merge
+from ..core.raster import INT_NODATA, decode_tile, encode_tile, merge as tile_merge
 from ..core.sfc import zorder
 from ._arrow_groups import one_tile, views
 
@@ -164,6 +164,14 @@ def reproject_layer(ds, src_layout: LayoutDefinition, dst_layout: LayoutDefiniti
         out = {"key_col": [], "key_row": [], "cells": [], "cols": [], "rows": [], "cell_type": []}
         for row in batch.to_pylist():
             a = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            if not np.issubdtype(a.dtype, np.floating):
+                # int layers mark NoData with INT_NODATA; the warp output is
+                # float64 and everything downstream keys NoData off NaN.
+                # (Kernel modes arrive pre-converted by buffer_tiles, which
+                # applies the same mapping before the collar exchange.)
+                nd = a == INT_NODATA
+                a = a.astype(np.float64)
+                a[nd] = np.nan
             # kernel modes: ``a`` is the buffered tile; geometry (extent,
             # ownership) is the CORE region inside the margin collar
             core_rows = a.shape[0] - 2 * margin

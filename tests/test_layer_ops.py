@@ -477,3 +477,38 @@ def test_focal_convolve_rejects_even_kernel(ray_session):
 
     with pytest.raises(ValueError):
         focal_convolve(make_layer(KEYS[:1]), np.ones((2, 2)))
+
+
+def test_focal_mean_int_layer_nodata_sentinel(ray_session):
+    """Integer layers mark NoData with INT_NODATA (int32 min). buffer_tiles
+    ships collars as float64 — the sentinel must become NaN BEFORE the
+    collar exchange, or focal reduces blend -2^31 into every window that
+    touches a hole (including across tile seams). Oracle: the float-coded
+    twin of the same layer."""
+    from geotrellis_ray.core.raster import INT_NODATA
+
+    def int_tile(c, r):
+        rng = np.random.default_rng(77 + 10 * c + r)
+        a = rng.integers(1, 100, size=(T, T)).astype(np.int32)
+        a[rng.random((T, T)) < 0.2] = INT_NODATA
+        return a
+
+    rows_i, rows_f = [], []
+    for c, r in KEYS:
+        a = int_tile(c, r)
+        cells, cols, trows, ct = encode_tile(a)
+        rows_i.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                       "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+        f = a.astype(np.float64)
+        f[a == INT_NODATA] = np.nan
+        cells, cols, trows, ct = encode_tile(f)
+        rows_f.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                       "cells": cells, "cols": cols, "rows": trows, "cell_type": ct})
+
+    got_i = layer_to_dict(focal_mean(ray.data.from_arrow(pa.Table.from_pylist(rows_i))))
+    got_f = layer_to_dict(focal_mean(ray.data.from_arrow(pa.Table.from_pylist(rows_f))))
+    assert set(got_i) == set(KEYS)
+    for k in KEYS:
+        np.testing.assert_allclose(got_i[k], got_f[k], equal_nan=True)
+        # the sentinel (or its window-mean shadow) must never leak through
+        assert not (np.abs(got_i[k][~np.isnan(got_i[k])]) > 1e6).any()

@@ -184,3 +184,34 @@ def test_reproject_layer_kernel_seam_oracle(ray_session, method):
                                 sx[ok] / cw - 0.5 + m, method)
         np.testing.assert_allclose(tile.ravel(), exp, rtol=1e-9, atol=1e-9,
                                    equal_nan=True)
+
+
+def test_reproject_layer_int_nodata_sentinel(ray_session):
+    """Nearest reproject of an int32 layer: INT_NODATA cells must come out
+    as NaN in the (float64) warped tiles — never the raw -2^31 sentinel,
+    and never allowed to win the non-NoData-wins overlap merge."""
+    from geotrellis_ray.core.raster import INT_NODATA
+    from geotrellis_ray.stages.reproject import reproject_layer
+
+    src = LayoutDefinition(Extent(0.0, 0.0, 2.0, 2.0), TileLayout(2, 2, 8, 8))
+    dst = LayoutDefinition(Extent(-0.1, -0.1, 2.1, 2.1), TileLayout(2, 2, 8, 8))
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(2):
+        for r in range(2):
+            a = rng.integers(1, 50, size=(8, 8)).astype(np.int32)
+            a[rng.random((8, 8)) < 0.25] = INT_NODATA
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": c, "key_row": r, "sfc": int(zorder(c, r)),
+                         "cells": cells, "cols": cols, "rows": trows,
+                         "cell_type": ct})
+    out = reproject_layer(ray.data.from_arrow(pa.Table.from_pylist(rows)),
+                          src, dst, "latlng", "latlng").take_all()
+    assert out
+    saw_nan = False
+    for t in out:
+        tile = decode_tile(t["cells"], t["cols"], t["rows"], t["cell_type"])
+        fin = tile[~np.isnan(tile)]
+        assert ((fin >= 1) & (fin < 50)).all(), "sentinel leaked through warp"
+        saw_nan |= bool(np.isnan(tile).any())
+    assert saw_nan  # 25% holes at these layouts must surface as NaN

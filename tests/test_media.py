@@ -429,3 +429,25 @@ def test_video_meta_batch_stage(ray_session):
     assert out.loc[0, "video_codec"] == "avc1" and out.loc[0, "width"] == 320
     assert out.loc[1, "container"] is None or out.loc[1, "container"] != "mp4"
     assert len(out) == 3 and "media" not in out.columns
+
+
+def test_mp4_mvhd_v1_short_payload_skipped():
+    """A version-1 mvhd needs a 32-byte payload (4 ver/flags + 8+8 times +
+    4 timescale + 8 duration). Shorter v1 boxes are malformed: they must be
+    SKIPPED — neither read past the box end (struct beyond c1, or garbage
+    from a following box) nor misparsed with v0 offsets."""
+    import struct
+
+    from geotrellis_ray.core.media import _mp4_box, mp4_meta
+
+    for plen in (20, 24, 28, 31):
+        mvhd = _mp4_box(b"mvhd", bytes([1]) + b"\x00" * (plen - 1))
+        # follow with a sibling box so an over-read would land in real bytes
+        moov = _mp4_box(b"moov", mvhd + _mp4_box(b"free", b"\xff" * 16))
+        m = mp4_meta(_mp4_box(b"ftyp", b"isom" + b"\x00" * 8) + moov)
+        assert m["duration_ms"] is None, plen  # skipped, not misparsed
+
+    # exactly 32 is the minimum VALID v1 payload
+    ok = _mp4_box(b"mvhd", struct.pack(">I QQ I Q", 0x01000000, 0, 0, 500, 1500))
+    m = mp4_meta(_mp4_box(b"moov", ok))
+    assert m["duration_ms"] == 3000.0

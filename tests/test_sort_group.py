@@ -90,3 +90,30 @@ def test_exact_substring_spans_no_dups_short_circuit(ray_session):
     out = exact_substring_spans(docs, key="hash")
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "span_start", "span_end"}
+
+
+def test_sort_group_having_all_edge_groups_filtered_join_safe(ray_session):
+    """When having_min_count filters EVERY edge group (mt empty), the
+    survivors come back via the interior stream — which must stay safe as
+    a hash-join side (Ray 2.49 raises "no match for key field" when a join
+    side's LEADING block is empty; the fix repartitions the tiny
+    having-filtered stream to 1 block). Single sorted block: first/last
+    groups are the edges (count 1 -> filtered), the interior group
+    survives."""
+    import ray.data
+
+    keys = np.array([0] + [5] * 10 + [9], np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(1)
+    out = sort_group_aggregate(ds, "k", [("k", "count", "n")], having_min_count=3)
+    assert {r["k"]: r["n"] for r in out.take_all()} == {5: 10}
+
+    # downstream hash join (the exact_substring usage shape)
+    right = ray.data.from_arrow(pa.table({"k": np.array([5, 7], np.int64),
+                                          "tag": ["hit", "miss"]}))
+    j = right.join(out, join_type="inner", on=("k",), num_partitions=2).take_all()
+    assert len(j) == 1 and j[0]["tag"] == "hit" and j[0]["n"] == 10
+
+    # everything filtered -> empty but typed
+    ds2 = ray.data.from_arrow(pa.table({"k": np.arange(200, dtype=np.int64)})).repartition(4)
+    empty = sort_group_aggregate(ds2, "k", [("k", "count", "n")], having_min_count=2)
+    assert empty.count() == 0
