@@ -3043,6 +3043,73 @@ SQL_ASOF = """
 """
 
 
+def q_events_asof_next(sf_dir: str):
+    """As-of forward join (LEAD): for every event, the NEXT same-type
+    event's value_cents in (ts, event_id) order; -1 for partition lasts.
+    Same one-sort + O(#blocks) stitch as the LAG twin with the lag
+    direction and boundary patch mirrored (stages/window.py:as_of_next);
+    SQL-checked against DuckDB's window LEAD."""
+    from .stages.window import as_of_next
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "ts": b["ts"], "event_type": b["event_type"],
+            "value_cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return as_of_next(prepped, "event_type", "ts", "event_id", "value_cents", sentinel=-1)
+
+
+SQL_ASOF_NEXT = """
+    SELECT event_id, event_type,
+           COALESCE(lead(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY event_type ORDER BY ts, event_id), -1)
+               AS next_value_cents
+    FROM events
+"""
+
+
+def q_moving_avg_events(sf_dir: str):
+    """5-row moving sum / mean of value_cents per user (SUM ... OVER ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) — stages/window.moving_window_sum:
+    window_rank's exact running sums off ONE range sort, then the k-row
+    window recovered as rsum[rn]-rsum[rn-k] via one slim (part, rn)
+    self hash-join; mov_avg is a single IEEE division of exact ints
+    (SQL-bit-identical). Money travels as integer cents."""
+    from .stages.window import moving_window_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"], "ts": b["ts"],
+            "value_cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = moving_window_sum(prepped, "user_id", "ts", "event_id", "value_cents", k=5)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "mov_sum", "w_n", "mov_avg"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MOVING_AVG = """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS mov_sum,
+           CAST(least(ROW_NUMBER() OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), 5) AS BIGINT) AS w_n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+               / least(ROW_NUMBER() OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 5) AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_semi_anti_join(sf_dir: str):
     """Broadcast semi + anti join on tile keys (stages/join.py:
     semi_join_keys — no shuffle): events keyed at z4, kept if their zorder
@@ -5444,6 +5511,47 @@ SQL_URL_DEDUP = f"""
 """
 
 
+def q_keep_best_docs(sf_dir: str):
+    """Quality-ranked canonical-URL dedup (stages/dedup.keep_best_dedup):
+    per canonical URL keep the LONGEST document (score = codepoint length,
+    ties to the larger doc_id) instead of keep-first — the RefinedWeb-style
+    keep-best refinement. Argmax rides as max(score << 32 | id) through
+    sort_group_aggregate's one range sort, so it survives unbounded key
+    cardinality; text never enters the shuffle. SQL-checked against a
+    DuckDB QUALIFY row_number() window."""
+    import pyarrow.compute as pc
+
+    from .functions.url_ops import canonicalize_urls
+    from .stages.dedup import keep_best_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        urls = derive_urls_batch(b)
+        return pa.table({
+            "canonical_url": canonicalize_urls(urls["url"]),
+            "doc_id": b["doc_id"],
+            "score": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+
+    slim = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return keep_best_dedup(slim, "canonical_url", "score", "doc_id")
+
+
+SQL_KEEP_BEST = f"""
+    WITH canon AS ({SQL_CANONICAL}),
+    scored AS (
+        SELECT d.doc_id, c.canonical_url, CAST(length(d.text) AS BIGINT) AS score
+        FROM documents d JOIN canon c USING (doc_id))
+    SELECT canonical_url,
+           CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups,
+           doc_id, score
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY canonical_url
+                               ORDER BY score DESC, doc_id DESC) = 1
+"""
+
+
 def q_morans_global(sf_dir: str):
     """Global Moran's I (stages/autocorr.py:morans_i_global) over the
     mod-251 hash grid with queen (8-neighbor) weights: one slim moments
@@ -6775,6 +6883,7 @@ def build_queries() -> dict:
         "q_match_histogram": q_match_histogram,
         "q_url_canonical": q_url_canonical,
         "q_url_dedup": q_url_dedup,
+        "q_keep_best_docs": q_keep_best_docs,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
         "q_jpeg_features": q_jpeg_features,
@@ -6851,6 +6960,8 @@ def build_queries() -> dict:
         "q_layer_roundtrip_hilbert": q_layer_roundtrip_hilbert,
         "q_events_sliding_window": q_events_sliding_window,
         "q_events_asof_prev": q_events_asof_prev,
+        "q_events_asof_next": q_events_asof_next,
+        "q_moving_avg_events": q_moving_avg_events,
         "q_range_join": q_range_join,
         "q_semi_anti_join": q_semi_anti_join,
         "q_overlay_rects": q_overlay_rects,
@@ -6888,6 +6999,8 @@ def build_queries() -> dict:
     sql_new_r5 = [
         "q_polygonal_summary_fractional", "q_resample_minmax_grid",
         "q_reproject_bilinear_grid", "q_video_meta",
+        # late-r5 additions (first possible verification)
+        "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -6983,6 +7096,8 @@ def build_oracle_sql() -> dict:
         "q_layer_roundtrip_hilbert": SQL_LAYER_RT,
         "q_events_sliding_window": SQL_SLIDING,
         "q_events_asof_prev": SQL_ASOF,
+        "q_events_asof_next": SQL_ASOF_NEXT,
+        "q_moving_avg_events": SQL_MOVING_AVG,
         "q_range_join": SQL_RANGE_JOIN,
         "q_semi_anti_join": SQL_SEMI_ANTI,
         "q_overlay_rects": SQL_OVERLAY,
@@ -6996,6 +7111,7 @@ def build_oracle_sql() -> dict:
         "q_match_histogram": SQL_MATCH_HISTOGRAM,
         "q_url_canonical": SQL_CANONICAL,
         "q_url_dedup": SQL_URL_DEDUP,
+        "q_keep_best_docs": SQL_KEEP_BEST,
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_focal_mean_grid": SQL_FOCAL_MEAN,
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,

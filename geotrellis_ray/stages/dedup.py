@@ -69,6 +69,48 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text", keep_text: b
         [(id_col, "min", id_col), ("content_hash", "count", "n_dupes")])
 
 
+def keep_best_dedup(ds, key_col: str, score_col: str, id_col: str = "doc_id"):
+    """Quality-ranked dedup: per key group keep the row with the MAXIMAL
+    (score, id) — keep-BEST rather than keep-first (when near-identical
+    docs collide on a canonical URL / content key, a training-data
+    pipeline wants the longest / highest-quality copy, not the lowest id;
+    the RefinedWeb-style refinement of ``dedup_exact``).
+
+    Scale shape (100 TB): argmax rides an ordinary max — each row is
+    reduced to a slim (key, packed) pair with packed = score << 32 | id,
+    so the winner survives sort_group_aggregate's ONE range sort +
+    segment reduce even at UNBOUNDED key cardinality (canonical URLs ~
+    #docs, the regime where Ray's Aggregate pays ~300x per group).
+    Payloads never move; join the returned winner ids back to recover
+    them. Ties break toward the larger id (packed max).
+
+    Contract (validated): 0 <= score < 2^31 and 0 <= id < 2^32.
+    -> Dataset (key_col, n_dups, id_col, score_col) — winners only."""
+    from .agg import sort_group_aggregate
+
+    def pack(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = b[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
+            raise ValueError(f"keep_best_dedup: {id_col} must be in [0, 2^32)")
+        if len(sc) and (sc.min() < 0 or sc.max() >= 1 << 31):
+            raise ValueError(f"keep_best_dedup: {score_col} must be in [0, 2^31)")
+        return pa.table({key_col: b[key_col],
+                         "__packed": pa.array((sc << 32) | ids, pa.int64())})
+
+    slim = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    won = sort_group_aggregate(slim, key_col, [
+        (key_col, "count", "n_dups"), ("__packed", "max", "__win")])
+
+    def unpack(b: pa.Table) -> pa.Table:
+        w = b["__win"].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: b[key_col], "n_dups": b["n_dups"],
+                         id_col: pa.array(w & 0xFFFFFFFF, pa.int64()),
+                         score_col: pa.array(w >> 32, pa.int64())})
+
+    return won.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _default_pool() -> int:
     """Actor-pool size scaled to the cluster — a fixed concurrency starves
     the hashing stage on big nodes (see flagship.py's measured sizing)."""

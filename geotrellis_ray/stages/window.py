@@ -61,18 +61,21 @@ def sliding_window_agg(ds, keys, specs, ts_col: str = "ts",
 
 
 def _block_lag(batch: pa.Table, part_col: str, ts_col: str, id_col: str,
-               value_col: str, sentinel) -> pa.Table:
+               value_col: str, sentinel, lead: bool = False) -> pa.Table:
     """Sorted-stream block: kind=0 rows carry the in-block lag (sentinel for
-    the block's first row / partition starts); kind=1 rows are the block's
-    first and last record (the driver stitch side channel)."""
+    the block's first row / partition starts) — or, with ``lead``, the
+    in-block LEAD (sentinel for the block's last row / partition ends);
+    kind=1 rows are the block's first and last record (the driver stitch
+    side channel)."""
     n = batch.num_rows
+    out_col = ("next_" if lead else "prev_") + value_col
     schema_t = batch.schema.field(value_col).type
     empty = pa.table({
         "kind": pa.array([], pa.int8()),
         id_col: pa.array([], batch.schema.field(id_col).type),
         part_col: pa.array([], batch.schema.field(part_col).type),
         "__ts": pa.array([], pa.int64()),
-        "prev_" + value_col: pa.array([], schema_t),
+        out_col: pa.array([], schema_t),
         "__val": pa.array([], schema_t),
         "__blk": pa.array([], pa.int64()),
     })
@@ -82,16 +85,20 @@ def _block_lag(batch: pa.Table, part_col: str, ts_col: str, id_col: str,
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
     vals = batch[value_col].to_numpy(zero_copy_only=False)
-    prev = np.empty_like(vals)
-    prev[0] = sentinel
+    shifted = np.empty_like(vals)
     same = part[1:] == part[:-1]
-    prev[1:] = np.where(same, vals[:-1], sentinel)
+    if lead:
+        shifted[-1] = sentinel
+        shifted[:-1] = np.where(same, vals[1:], sentinel)
+    else:
+        shifted[0] = sentinel
+        shifted[1:] = np.where(same, vals[:-1], sentinel)
     main = pa.table({
         "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
         id_col: batch[id_col],
         part_col: batch[part_col],
         "__ts": pa.array(ts, pa.int64()),
-        "prev_" + value_col: pa.array(prev, schema_t),
+        out_col: pa.array(shifted, schema_t),
         "__val": batch[value_col],
         "__blk": pa.array(np.full(n, int(ids[0]), dtype=np.int64), pa.int64()),
     })
@@ -101,7 +108,7 @@ def _block_lag(batch: pa.Table, part_col: str, ts_col: str, id_col: str,
         id_col: batch[id_col].take(pa.array(edge, pa.int64())),
         part_col: batch[part_col].take(pa.array(edge, pa.int64())),
         "__ts": pa.array(ts[edge], pa.int64()),
-        "prev_" + value_col: pa.array([sentinel] * len(edge), schema_t),
+        out_col: pa.array([sentinel] * len(edge), schema_t),
         "__val": batch[value_col].take(pa.array(edge, pa.int64())),
         "__blk": pa.array(np.full(len(edge), int(ids[0]), dtype=np.int64), pa.int64()),
     })
@@ -114,13 +121,29 @@ def as_of_prev(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
     value within the partition in (ts, id) order; ``sentinel`` for partition
     firsts. Distributed: one range sort + vectorized block lag + O(#blocks)
     driver stitch."""
+    return _as_of(ds, part_col, ts_col, id_col, value_col, sentinel, lead=False)
+
+
+def as_of_next(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
+               sentinel=-1):
+    """LEAD — -> Dataset (id_col, part_col, next_<value_col>): the NEXT
+    row's value within the partition in (ts, id) order; ``sentinel`` for
+    partition lasts. Same one-sort + O(#blocks) stitch as as_of_prev, with
+    the lag direction and the boundary patch mirrored (a block's LAST row
+    takes the following block's FIRST value)."""
+    return _as_of(ds, part_col, ts_col, id_col, value_col, sentinel, lead=True)
+
+
+def _as_of(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
+           sentinel, lead: bool):
     import pandas as pd
     import ray.data
 
-    prev_col = "prev_" + value_col
+    prev_col = ("next_" if lead else "prev_") + value_col
     mixed = (
         ds.sort([part_col, ts_col, id_col])
-        .map_batches(lambda b: _block_lag(b, part_col, ts_col, id_col, value_col, sentinel),
+        .map_batches(lambda b: _block_lag(b, part_col, ts_col, id_col, value_col,
+                                          sentinel, lead),
                      batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
@@ -132,9 +155,14 @@ def as_of_prev(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
         for i in range(1, len(edges)):
             a, b = edges.iloc[i - 1], edges.iloc[i]
             # a block's FIRST row is preceded (globally) by the previous
-            # block's LAST row when both share the partition value
+            # block's LAST row when both share the partition value; in lead
+            # mode the previous block's LAST row is followed by this
+            # block's FIRST row
             if b["__blk"] != a["__blk"] and b[part_col] == a[part_col]:
-                patches[b[id_col]] = a["__val"]
+                if lead:
+                    patches[a[id_col]] = b["__val"]
+                else:
+                    patches[b[id_col]] = a["__val"]
 
     if patches:
         pk = np.array(sorted(patches), dtype=np.int64)
@@ -147,6 +175,7 @@ def as_of_prev(ds, part_col: str, ts_col: str, id_col: str, value_col: str,
             pos_c = np.clip(pos, 0, len(pk) - 1)
             hit = pk[pos_c] == ids
             # only rows still carrying the sentinel are block-firsts
+            # (block-lasts in lead mode)
             hit &= prev == sentinel
             prev[hit] = pv[pos_c[hit]]
             return pa.table({id_col: b[id_col], part_col: b[part_col],
@@ -501,3 +530,52 @@ def window_rank_stats(ds, part_col: str, ord_col: str, id_col: str,
         return pa.table(cols)
 
     return ranked.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def moving_window_sum(ds, part_col: str, ord_col: str, id_col: str,
+                      val_col: str, k: int, num_partitions: int | None = None):
+    """Moving k-row window aggregate — SUM(val) OVER (PARTITION BY part
+    ORDER BY ord, id ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW), plus the
+    actual window row count w_n = min(rn, k) and the window mean (one IEEE
+    division of exact ints, SQL-bit-identical). -> Dataset
+    (id_col, part_col, mov_sum, w_n, mov_avg).
+
+    Composed from verified parts: window_rank supplies exact running sums
+    (rsum) and row numbers (rn) off ONE global range sort; the k-row sum
+    is then rsum[rn] - rsum[rn-k], recovered with one slim self hash-join
+    on (part, rn) — each side ships 3 thin columns per row, the event
+    payload never enters the exchange. Same integer contracts as
+    window_rank (ord/val integer-castable, id integer + globally
+    unique)."""
+    import ray
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, cpus // 2))
+
+    m = window_rank(ds, part_col, ord_col, id_col, val_col)
+    left = m.map_batches(lambda b: b.select([id_col, part_col, "rn", "rsum"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    right = m.map_batches(
+        lambda b: pa.table({"__rp": b[part_col],
+                            "__rn_tgt": pc.add(b["rn"], k),
+                            "__lag": b["rsum"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = left.join(right, "left_outer", num_partitions,
+                  on=(part_col, "rn"), right_on=("__rp", "__rn_tgt"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rsum = b["rsum"].to_numpy(zero_copy_only=False)
+        lag = pc.fill_null(b["__lag"], 0).to_numpy(zero_copy_only=False)
+        rn = b["rn"].to_numpy(zero_copy_only=False)
+        mov = rsum - lag
+        w_n = np.minimum(rn, k)
+        return pa.table({id_col: b[id_col], part_col: b[part_col],
+                         "mov_sum": pa.array(mov, pa.int64()),
+                         "w_n": pa.array(w_n, pa.int64()),
+                         "mov_avg": pa.array(mov / w_n, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

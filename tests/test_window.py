@@ -379,3 +379,90 @@ def test_window_rank_stats_matches_duckdb(ray_session, k):
            .sort_values("event_id").reset_index(drop=True))
     np.testing.assert_array_equal(got["bucket"].to_numpy(), exp["bucket"].to_numpy())
     np.testing.assert_array_equal(got["pctr"].to_numpy(), exp["pctr"].to_numpy())
+
+
+def test_as_of_next_matches_pandas_lead(ray_session):
+    from geotrellis_ray.stages.window import as_of_next
+
+    t = _events(2500, seed=12)
+    ds = ray.data.from_arrow(t).repartition(17)  # many blocks -> stitches
+    got = as_of_next(ds, "part", "ts", "event_id", "v", sentinel=-999).to_pandas()
+    df = t.to_pandas()
+    df["tsu"] = df["ts"].astype("int64")
+    df = df.sort_values(["part", "tsu", "event_id"], kind="stable")
+    df["next_v"] = df.groupby("part")["v"].shift(-1).fillna(-999).astype("int64")
+    exp = df[["event_id", "part", "next_v"]].sort_values("event_id").reset_index(drop=True)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["event_id", "part", "next_v"]], exp)
+
+
+def test_as_of_next_single_row_blocks(ray_session):
+    """Degenerate 1-row blocks: every lead crosses a block boundary."""
+    from geotrellis_ray.stages.window import as_of_next
+
+    n = 40
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.arange(n) * HOUR, pa.int64()).cast(pa.timestamp("us")),
+        "part": pa.array(["p"] * n),
+        "v": pa.array(np.arange(n) * 10, pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(n)
+    got = as_of_next(ds, "part", "ts", "event_id", "v", sentinel=-1).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = np.r_[np.arange(1, n) * 10, -1]
+    np.testing.assert_array_equal(got["next_v"].to_numpy(), exp)
+
+
+@pytest.mark.parametrize("k", [1, 5, 64])
+def test_moving_window_sum_matches_pandas(ray_session, k):
+    from geotrellis_ray.stages.window import moving_window_sum
+
+    rng = np.random.default_rng(31 + k)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 40 * HOUR, n), pa.int64()),
+        "part": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "v": pa.array(rng.integers(-500, 500, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(13)
+    got = moving_window_sum(ds, "part", "ts", "event_id", "v", k).to_pandas()
+    df = t.to_pandas().sort_values(["part", "ts", "event_id"], kind="stable")
+    g = df.groupby("part")["v"]
+    df["mov_sum"] = g.rolling(k, min_periods=1).sum().reset_index(level=0, drop=True).astype("int64")
+    df["w_n"] = g.rolling(k, min_periods=1).count().reset_index(level=0, drop=True).astype("int64")
+    df["mov_avg"] = df["mov_sum"] / df["w_n"]
+    exp = df[["event_id", "part", "mov_sum", "w_n", "mov_avg"]].sort_values(
+        "event_id").reset_index(drop=True)
+    got = got.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_keep_best_dedup_matches_bruteforce(ray_session):
+    from geotrellis_ray.stages.dedup import keep_best_dedup
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    keys = rng.integers(0, 6000, n)  # skewed collisions
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "key": pa.array(np.char.add("k", keys.astype(str))),
+        "score": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(9)
+    got = keep_best_dedup(ds, "key", "score", "doc_id").to_pandas()
+    df = t.to_pandas()
+    # brute: max (score, doc_id) per key
+    df = df.sort_values(["key", "score", "doc_id"]).groupby("key").tail(1)
+    cnt = t.to_pandas().groupby("key").size().rename("n_dups")
+    exp = df.merge(cnt, on="key").sort_values("key").reset_index(drop=True)
+    got = got.sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["key", "doc_id", "score", "n_dups"]],
+                                  exp[["key", "doc_id", "score", "n_dups"]])
+    # contract violations fail loud
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()), "key": pa.array(["x"]),
+        "score": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception):
+        keep_best_dedup(bad, "key", "score", "doc_id").take_all()
