@@ -5552,6 +5552,46 @@ SQL_KEEP_BEST = f"""
 """
 
 
+def q_grouped_topk_sort(sf_dir: str):
+    """Grouped top-k at UNBOUNDED key cardinality (stages/agg.py:
+    sort_grouped_top_k): the 2 longest docs per canonical URL with their
+    rank — one range sort, interior segments emit in place, only O(k *
+    #blocks) edge rows ride the driver side channel (the sort-based
+    sibling of grouped_top_k, which pays Ray Aggregate's ~300x per-group
+    overhead in this regime). SQL-checked vs QUALIFY ROW_NUMBER() <= 2."""
+    import pyarrow.compute as pc
+
+    from .functions.url_ops import canonicalize_urls
+    from .stages.agg import sort_grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        urls = derive_urls_batch(b)
+        return pa.table({
+            "canonical_url": canonicalize_urls(urls["url"]),
+            "doc_id": b["doc_id"],
+            "score": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+
+    slim = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return sort_grouped_top_k(slim, "canonical_url", "score", k=2,
+                              descending=True, tie_col="doc_id")
+
+
+SQL_GROUPED_TOPK_SORT = f"""
+    WITH canon AS ({SQL_CANONICAL}),
+    scored AS (
+        SELECT d.doc_id, c.canonical_url, CAST(length(d.text) AS BIGINT) AS score
+        FROM documents d JOIN canon c USING (doc_id))
+    SELECT canonical_url, doc_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= 2
+"""
+
+
 def q_morans_global(sf_dir: str):
     """Global Moran's I (stages/autocorr.py:morans_i_global) over the
     mod-251 hash grid with queen (8-neighbor) weights: one slim moments
@@ -6884,6 +6924,7 @@ def build_queries() -> dict:
         "q_url_canonical": q_url_canonical,
         "q_url_dedup": q_url_dedup,
         "q_keep_best_docs": q_keep_best_docs,
+        "q_grouped_topk_sort": q_grouped_topk_sort,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
         "q_jpeg_features": q_jpeg_features,
@@ -7001,6 +7042,7 @@ def build_queries() -> dict:
         "q_reproject_bilinear_grid", "q_video_meta",
         # late-r5 additions (first possible verification)
         "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
+        "q_grouped_topk_sort",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7112,6 +7154,7 @@ def build_oracle_sql() -> dict:
         "q_url_canonical": SQL_CANONICAL,
         "q_url_dedup": SQL_URL_DEDUP,
         "q_keep_best_docs": SQL_KEEP_BEST,
+        "q_grouped_topk_sort": SQL_GROUPED_TOPK_SORT,
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_focal_mean_grid": SQL_FOCAL_MEAN,
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,

@@ -434,3 +434,93 @@ def exact_quantiles(ds, col: str, quantiles: list[float]):
         row = splits[2 * j + 1].take(1)[0]
         val_at[i] = float(row[col])
     return {q: val_at[want[q]] for q in quantiles}
+
+
+def sort_grouped_top_k(ds, key_col: str, order_col: str, k: int,
+                       descending: bool = True, tie_col: str | None = None):
+    """Grouped top-k at UNBOUNDED key cardinality (#groups ~ #rows — the
+    regime where grouped_top_k's map_groups pays Ray Aggregate's ~300x
+    per-group overhead; see sort_group_aggregate). "Top k docs per
+    canonical URL / content cluster" over a web corpus lives here.
+
+    Shape: ONE range sort on (key, order[, tie]) — after it a group's
+    global top-k are its FIRST k rows, and blocks are contiguous in global
+    order, so every interior (fully-in-block) segment emits its first k
+    rows directly; only the <= 2 EDGE segments per block ship their first
+    k rows through the O(k * #blocks) driver side channel, where they are
+    re-ranked per key and unioned back. Ship slim columns (key, order,
+    id) and join payloads back by id — rows ride whole through this
+    operator.
+
+    Ties: ``tie_col`` (ascending, must make rows unique) pins the SQL
+    ROW_NUMBER order; without it, ranks among equal order values are
+    nondeterministic across block splits. Adds ``rank`` (1-based)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sort_cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    sort_desc = [False, descending] + ([False] if tie_col else [])
+
+    def block_fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            t = b.append_column("rank", pa.array([], pa.int64()))
+            return t.append_column("__edge", pa.array([], pa.int8()))
+        import numpy as np
+
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = keys[1:] != keys[:-1]
+        seg_start = np.maximum.accumulate(np.where(seg_first, idx, 0))
+        pos = idx - seg_start
+        seg_id = np.cumsum(seg_first) - 1
+        edge = (seg_id == 0) | (seg_id == seg_id[-1])
+        keep = pos < k
+        sel = np.flatnonzero(keep)
+        t = b.take(pa.array(sel, pa.int64()))
+        t = t.append_column("rank", pa.array(pos[sel] + 1, pa.int64()))
+        return t.append_column("__edge", pa.array(edge[sel].astype(np.int8), pa.int8()))
+
+    # batch_size=None: one batch per sorted BLOCK. A segment split across
+    # batches is always marked edge (it is first/last in both), so smaller
+    # batches stay correct — but they multiply the driver edge traffic.
+    segs = (ds.sort(sort_cols, descending=sort_desc)
+              .map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+              .materialize())
+    interior = segs.filter(expr="__edge == 0").drop_columns(["__edge", "rank"])
+    edge_parts = ray.get(
+        segs.filter(expr="__edge == 1").drop_columns(["__edge", "rank"]).to_arrow_refs())
+    edge_all = [t for t in edge_parts if t.num_rows]
+    if not edge_all:
+        # only possible when the input itself was empty (every non-empty
+        # block's first segment is an edge and keeps >= 1 row). An empty
+        # sort emits a schema-less block (same Ray 2.49 behavior
+        # sort_group_aggregate works around) — rebuild the typed schema.
+        sch = ds.schema(fetch_if_missing=True)
+        cols = {name: pa.array([], t) for name, t in zip(sch.names, sch.types)}
+        cols["rank"] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
+    df = pa.concat_tables(edge_all).to_pandas()
+    df = df.sort_values(sort_cols, ascending=[not d for d in sort_desc],
+                        kind="mergesort").reset_index(drop=True)
+    df["rank"] = df.groupby(key_col, sort=False).cumcount() + 1
+    winners = pa.Table.from_pandas(df[df["rank"] <= k], preserve_index=False)
+
+    def rerank(t: pa.Table) -> pa.Table:
+        # interior segments are complete groups: their in-block position IS
+        # the global rank (recomputed here so interior and edge rows share
+        # one code path for the rank column's dtype/position)
+        return block_fn(t).drop_columns(["__edge"])
+
+    # batch_size=None is REQUIRED here: interior rows are whole groups
+    # within their block, and a smaller batch size could split a group and
+    # restart its rank
+    interior_ranked = interior.map_batches(rerank, batch_format="pyarrow",
+                                           zero_copy_batch=True, batch_size=None)
+    # winners first: its block is non-empty, keeping the union hash-join-safe
+    return rd.from_arrow(winners).union(interior_ranked)

@@ -117,3 +117,38 @@ def test_sort_group_having_all_edge_groups_filtered_join_safe(ray_session):
     ds2 = ray.data.from_arrow(pa.table({"k": np.arange(200, dtype=np.int64)})).repartition(4)
     empty = sort_group_aggregate(ds2, "k", [("k", "count", "n")], having_min_count=2)
     assert empty.count() == 0
+
+
+@pytest.mark.parametrize("k,nkeys,blocks", [(1, 9000, 16), (3, 5000, 16), (5, 40, 3)])
+def test_sort_grouped_top_k_matches_bruteforce(ray_session, k, nkeys, blocks):
+    """Unbounded-cardinality grouped top-k vs the pandas QUALIFY oracle —
+    string keys, heavy ties (order values from a small domain so tie_col
+    does real work), many blocks so groups straddle block boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from geotrellis_ray.stages.agg import sort_grouped_top_k
+
+    rng = np.random.default_rng(100 * k + nkeys)
+    n = 60_000
+    t = pa.table({
+        "key": pa.array(np.char.add("g", rng.integers(0, nkeys, n).astype(str))),
+        "val": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "row_id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    got = sort_grouped_top_k(ds, "key", "val", k, descending=True,
+                             tie_col="row_id").to_pandas()
+    df = t.to_pandas().sort_values(["key", "val", "row_id"],
+                                   ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("key", sort=False).cumcount() + 1
+    exp = df[df["rank"] <= k]
+    got = got.sort_values(["key", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["key", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["key", "val", "row_id", "rank"]],
+                                  exp[["key", "val", "row_id", "rank"]])
+
+    # empty input stays typed
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    out = sort_grouped_top_k(empty, "key", "val", k, tie_col="row_id")
+    assert out.count() == 0 and "rank" in out.schema().names
