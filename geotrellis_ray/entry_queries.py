@@ -5592,6 +5592,37 @@ SQL_GROUPED_TOPK_SORT = f"""
 """
 
 
+def q_distinct_cents_per_user(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT) (stages/agg.py:
+    sort_group_count_distinct) — distinct spent amounts (integer cents)
+    per user: ONE range sort on (user, cents) makes duplicates contiguous,
+    blocks count val-change boundaries, and the O(#blocks) edge stitch
+    subtracts duplicate runs that straddle block cuts. The exact sibling
+    of the HLL path (q_distinct_users_by_type); SQL-checked."""
+    from .stages.agg import sort_group_count_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return sort_group_count_distinct(prepped, "user_id", "cents")
+
+
+SQL_DISTINCT_CENTS = """
+    SELECT user_id,
+           CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY user_id
+"""
+
+
 def q_morans_global(sf_dir: str):
     """Global Moran's I (stages/autocorr.py:morans_i_global) over the
     mod-251 hash grid with queen (8-neighbor) weights: one slim moments
@@ -6925,6 +6956,7 @@ def build_queries() -> dict:
         "q_url_dedup": q_url_dedup,
         "q_keep_best_docs": q_keep_best_docs,
         "q_grouped_topk_sort": q_grouped_topk_sort,
+        "q_distinct_cents_per_user": q_distinct_cents_per_user,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
         "q_jpeg_features": q_jpeg_features,
@@ -7042,7 +7074,7 @@ def build_queries() -> dict:
         "q_reproject_bilinear_grid", "q_video_meta",
         # late-r5 additions (first possible verification)
         "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
-        "q_grouped_topk_sort",
+        "q_grouped_topk_sort", "q_distinct_cents_per_user",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7155,6 +7187,7 @@ def build_oracle_sql() -> dict:
         "q_url_dedup": SQL_URL_DEDUP,
         "q_keep_best_docs": SQL_KEEP_BEST,
         "q_grouped_topk_sort": SQL_GROUPED_TOPK_SORT,
+        "q_distinct_cents_per_user": SQL_DISTINCT_CENTS,
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_focal_mean_grid": SQL_FOCAL_MEAN,
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,

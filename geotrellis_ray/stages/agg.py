@@ -524,3 +524,102 @@ def sort_grouped_top_k(ds, key_col: str, order_col: str, k: int,
                                            zero_copy_batch=True, batch_size=None)
     # winners first: its block is non-empty, keeping the union hash-join-safe
     return rd.from_arrow(winners).union(interior_ranked)
+
+
+def sort_group_count_distinct(ds, key_col: str, val_col: str):
+    """EXACT grouped COUNT(DISTINCT val) at UNBOUNDED key cardinality —
+    the exact sibling of the HLL sketch path (stages/stats.py) for when
+    the answer must be right, not approximate (distinct users per URL,
+    distinct domains per n-gram).
+
+    Shape: ONE range sort on (key, val) makes duplicate values globally
+    contiguous, so a block counts a segment's distinct values as its
+    val-change boundaries (vectorized). Interior segments are complete
+    groups and emit in place; the <=2 EDGE segments per block ship
+    (key, n_distinct, n_rows, first_val, last_val) through the O(#blocks)
+    driver side channel, where adjacent same-key segments merge with a
+    -1 correction when the boundary value continues across the block cut
+    (a duplicate run spanning blocks). -> Dataset (key_col, n_distinct,
+    n_rows). val must be numeric/sortable."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    def block_fn(b: pa.Table) -> pa.Table:
+        key_t = b.schema.field(key_col).type
+        val_t = b.schema.field(val_col).type
+        if b.num_rows == 0:
+            return pa.table({
+                "__edge": pa.array([], pa.int8()), key_col: pa.array([], key_t),
+                "n_distinct": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "__fv": pa.array([], val_t), "__lv": pa.array([], val_t)})
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(seg_first)
+        ends = np.r_[starts[1:], n]
+        new_val = np.ones(n, dtype=bool)
+        new_val[1:] = seg_first[1:] | (vals[1:] != vals[:-1])
+        cs = np.cumsum(new_val)
+        nd = cs[ends - 1] - cs[starts] + 1
+        nseg = len(starts)
+        edge = np.zeros(nseg, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        sel = np.r_[np.flatnonzero(~edge), np.flatnonzero(edge)]
+        kind = np.r_[np.zeros(int((~edge).sum()), np.int8),
+                     np.ones(int(edge.sum()), np.int8)]
+        return pa.table({
+            "__edge": pa.array(kind, pa.int8()),
+            key_col: pa.array(keys[starts[sel]]).cast(key_t),
+            "n_distinct": pa.array(nd[sel], pa.int64()),
+            "n_rows": pa.array((ends - starts)[sel], pa.int64()),
+            "__fv": pa.array(vals[starts[sel]]).cast(val_t),
+            "__lv": pa.array(vals[ends[sel] - 1]).cast(val_t)})
+
+    segs = (ds.map_batches(lambda b: b.select([key_col, val_col]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .sort([key_col, val_col])
+              .map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True)
+              .materialize())
+    if segs.count() == 0:
+        sch = ds.schema(fetch_if_missing=True)
+        key_t = dict(zip(sch.names, sch.types))[key_col]
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], key_t), "n_distinct": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64())}))
+    interior = segs.filter(expr="__edge == 0").drop_columns(["__edge", "__fv", "__lv"])
+    edge_parts = ray.get(
+        segs.filter(expr="__edge == 1").drop_columns(["__edge"]).to_arrow_refs())
+    edge_all = pa.concat_tables([t for t in edge_parts if t.num_rows])
+    # adjacency within a key follows the global (key, val) order, so a
+    # stable sort on (key, first_val, last_val) reconstructs block order
+    df = edge_all.to_pandas().sort_values(
+        [key_col, "__fv", "__lv"], kind="mergesort").reset_index(drop=True)
+    ks = df[key_col].to_numpy()
+    fv = df["__fv"].to_numpy()
+    lv = df["__lv"].to_numpy()
+    nd = df["n_distinct"].to_numpy().astype(np.int64)
+    nr = df["n_rows"].to_numpy().astype(np.int64)
+    same = np.zeros(len(df), dtype=bool)
+    if len(df) > 1:
+        same[1:] = ks[1:] == ks[:-1]
+    # boundary value continuing across the cut double-counts one distinct
+    dup_boundary = same.copy()
+    if len(df) > 1:
+        dup_boundary[1:] &= fv[1:] == lv[:-1]
+    grp_first = ~same
+    gidx = np.cumsum(grp_first) - 1
+    n_groups = int(gidx[-1]) + 1 if len(df) else 0
+    out_nd = np.zeros(n_groups, np.int64)
+    out_nr = np.zeros(n_groups, np.int64)
+    np.add.at(out_nd, gidx, nd - dup_boundary.astype(np.int64))
+    np.add.at(out_nr, gidx, nr)
+    mt = pa.table({key_col: pa.array(ks[grp_first]).cast(edge_all.schema.field(key_col).type),
+                   "n_distinct": pa.array(out_nd, pa.int64()),
+                   "n_rows": pa.array(out_nr, pa.int64())})
+    return rd.from_arrow(mt).union(interior)

@@ -152,3 +152,49 @@ def test_sort_grouped_top_k_matches_bruteforce(ray_session, k, nkeys, blocks):
     empty = ray.data.from_arrow(t.slice(0, 0))
     out = sort_grouped_top_k(empty, "key", "val", k, tie_col="row_id")
     assert out.count() == 0 and "rank" in out.schema().names
+
+
+@pytest.mark.parametrize("nkeys,nvals,blocks", [(4000, 5, 16), (50, 3, 7), (1, 1, 8)])
+def test_sort_group_count_distinct_matches_bruteforce(ray_session, nkeys, nvals, blocks):
+    """Exact grouped COUNT(DISTINCT) vs pandas nunique — duplicate-heavy
+    values (tiny val domain) so duplicate runs straddle block cuts, plus
+    the degenerate single-key/single-value layer (every block one edge
+    segment, every boundary a duplicate continuation)."""
+    import pandas as pd
+    import ray.data
+
+    from geotrellis_ray.stages.agg import sort_group_count_distinct
+
+    rng = np.random.default_rng(nkeys * 7 + nvals)
+    n = 80_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n), pa.int64()),
+        "v": pa.array(rng.integers(0, nvals, n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    got = sort_group_count_distinct(ds, "k", "v").to_pandas()
+    df = t.to_pandas()
+    exp = df.groupby("k").agg(n_distinct=("v", "nunique"),
+                              n_rows=("v", "size")).reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "n_distinct", "n_rows"]],
+        exp[["k", "n_distinct", "n_rows"]].astype(
+            {"n_distinct": "int64", "n_rows": "int64"}))
+
+
+def test_sort_group_count_distinct_string_keys_empty(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.agg import sort_group_count_distinct
+
+    t = pa.table({"k": pa.array(["a", "a", "b", "a"]),
+                  "v": pa.array([1, 1, 2, 3], pa.int64())})
+    got = {r["k"]: (r["n_distinct"], r["n_rows"])
+           for r in sort_group_count_distinct(
+               ray.data.from_arrow(t).repartition(3), "k", "v").take_all()}
+    assert got == {"a": (2, 3), "b": (1, 1)}
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    out = sort_group_count_distinct(empty, "k", "v")
+    assert out.count() == 0 and set(out.schema().names) == {"k", "n_distinct", "n_rows"}
