@@ -233,6 +233,38 @@ def _op_dedup_exact(ds, **kw):
     return dedup_exact(ds, **kw)
 
 
+def _op_keep_best(ds, **kw):
+    from ..stages.dedup import keep_best_dedup
+
+    return keep_best_dedup(ds, **kw)
+
+
+def _op_sort_grouped_top_k(ds, **kw):
+    from ..stages.agg import sort_grouped_top_k
+
+    return sort_grouped_top_k(ds, **kw)
+
+
+def _op_count_distinct(ds, **kw):
+    from ..stages.agg import sort_group_count_distinct
+
+    return sort_group_count_distinct(ds, **kw)
+
+
+def _op_moving_window_sum(ds, **kw):
+    from ..stages.window import moving_window_sum
+
+    return moving_window_sum(ds, **kw)
+
+
+def _op_as_of(ds, direction: str = "prev", **kw):
+    from ..stages.window import as_of_next, as_of_prev
+
+    if direction not in ("prev", "next"):
+        raise ValueError("as_of direction must be 'prev' or 'next'")
+    return (as_of_next if direction == "next" else as_of_prev)(ds, **kw)
+
+
 def _op_partial_groupby(ds, keys, specs):
     from ..stages.agg import partial_groupby
 
@@ -478,7 +510,12 @@ for _name, _fn in {
     "transform.reproject-layer": _op_reproject_layer,
     "transform.spacetime_key": _op_spacetime_key,
     "dedup.exact": _op_dedup_exact,
+    "dedup.keep_best": _op_keep_best,
     "agg.partial_groupby": _op_partial_groupby,
+    "agg.sort_grouped_top_k": _op_sort_grouped_top_k,
+    "agg.count_distinct": _op_count_distinct,
+    "window.moving_sum": _op_moving_window_sum,
+    "window.as_of": _op_as_of,
     "rasterize.features": _op_rasterize,
     "transform.clip_to_grid": _op_clip_to_grid,
     "pyramid.up_levels": _op_pyramid_up_levels,

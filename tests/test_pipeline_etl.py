@@ -178,3 +178,42 @@ def test_spec_reproject_layer_kernel(ray_session, tmp_path):
     assert set(got) == set(exp) and len(got) > 0
     for k in got:
         np.testing.assert_array_equal(got[k], exp[k])
+
+
+def test_spec_unbounded_agg_and_window_ops(ray_session, tmp_path):
+    """The late-r5 AST nodes (keep_best / sort top-k / count-distinct /
+    moving sum / as-of both directions) execute through run_spec."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotrellis_ray.pipelines.spec import run_spec
+
+    rows = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "key": pa.array([f"k{i % 9}" for i in range(60)]),
+        "score": pa.array([(i * 7) % 23 for i in range(60)], pa.int64()),
+        "ts": pa.array(np.arange(60, dtype=np.int64) * 1000, pa.int64()),
+    })
+    rp = str(tmp_path / "rows.parquet")
+    pq.write_table(rows, rp)
+    rd_spec = [{"op": "read.parquet", "path": rp}]
+
+    out = run_spec(rd_spec + [{"op": "dedup.keep_best", "key_col": "key",
+                               "score_col": "score", "id_col": "doc_id"}])
+    assert out.count() == 9
+    out = run_spec(rd_spec + [{"op": "agg.sort_grouped_top_k", "key_col": "key",
+                               "order_col": "score", "k": 2, "tie_col": "doc_id"}])
+    assert out.count() == 18
+    out = run_spec(rd_spec + [{"op": "agg.count_distinct", "key_col": "key",
+                               "val_col": "score"}])
+    assert out.count() == 9
+    out = run_spec(rd_spec + [{"op": "window.moving_sum", "part_col": "key",
+                               "ord_col": "ts", "id_col": "doc_id",
+                               "val_col": "score", "k": 3}])
+    assert out.count() == 60
+    for d, col in (("prev", "prev_score"), ("next", "next_score")):
+        out = run_spec(rd_spec + [{"op": "window.as_of", "direction": d,
+                                   "part_col": "key", "ts_col": "ts",
+                                   "id_col": "doc_id", "value_col": "score"}])
+        assert out.count() == 60 and col in out.schema().names
