@@ -5623,6 +5623,38 @@ SQL_DISTINCT_CENTS = """
 """
 
 
+def q_grouped_median_cents(sf_dir: str):
+    """EXACT grouped median (stages/agg.py:exact_grouped_quantile,
+    quantile_disc semantics — the element at ceil(n*q)-1, index in exact
+    rational arithmetic to match DuckDB where float ceil(n*q) breaks):
+    median spent cents per user. Two map passes over ONE materialized
+    range sort (the pack_token_shards stable-blocks pattern); interior
+    groups answer in place, spanning groups through an O(#blocks)
+    side channel + targeted second-pass gather. SQL-checked vs DuckDB
+    quantile_disc."""
+    from .stages.agg import exact_grouped_quantile
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "cents": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_grouped_quantile(prepped, "user_id", "cents", "event_id", q="0.5")
+
+
+SQL_GROUPED_MEDIAN = """
+    SELECT user_id,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS q_val,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY user_id
+"""
+
+
 def q_morans_global(sf_dir: str):
     """Global Moran's I (stages/autocorr.py:morans_i_global) over the
     mod-251 hash grid with queen (8-neighbor) weights: one slim moments
@@ -6957,6 +6989,7 @@ def build_queries() -> dict:
         "q_keep_best_docs": q_keep_best_docs,
         "q_grouped_topk_sort": q_grouped_topk_sort,
         "q_distinct_cents_per_user": q_distinct_cents_per_user,
+        "q_grouped_median_cents": q_grouped_median_cents,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
         "q_jpeg_features": q_jpeg_features,
@@ -7075,6 +7108,7 @@ def build_queries() -> dict:
         # late-r5 additions (first possible verification)
         "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
+        "q_grouped_median_cents",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7188,6 +7222,7 @@ def build_oracle_sql() -> dict:
         "q_keep_best_docs": SQL_KEEP_BEST,
         "q_grouped_topk_sort": SQL_GROUPED_TOPK_SORT,
         "q_distinct_cents_per_user": SQL_DISTINCT_CENTS,
+        "q_grouped_median_cents": SQL_GROUPED_MEDIAN,
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_focal_mean_grid": SQL_FOCAL_MEAN,
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,

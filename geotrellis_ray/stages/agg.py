@@ -623,3 +623,180 @@ def sort_group_count_distinct(ds, key_col: str, val_col: str):
                    "n_distinct": pa.array(out_nd, pa.int64()),
                    "n_rows": pa.array(out_nr, pa.int64())})
     return rd.from_arrow(mt).union(interior)
+
+
+def exact_grouped_quantile(ds, key_col: str, val_col: str, id_col: str,
+                           q="0.5"):
+    """EXACT per-group quantile at UNBOUNDED key cardinality —
+    quantile_disc semantics: the element at ascending index ceil(n*q)-1
+    of each group (index computed in exact rational arithmetic,
+    Fraction(str(q)), which matches DuckDB bit-for-bit where float
+    ceil(n*q) does not — probed: (100, 0.07)). The grouped sibling of
+    exact_quantiles; median is q="0.5".
+
+    Shape: TWO map passes over ONE materialized range sort on
+    (key, val, id) — the pack_token_shards stable-blocks pattern
+    (batch_size=None keeps block contents identical across passes).
+    Pass 1 answers every interior (fully-in-block) group in place and
+    ships an O(#blocks) side channel: per EDGE segment (key, count,
+    in-block segment bounds) plus the block's first (key, val, id) row
+    as its identity/order. The driver walks edge segments in block
+    order, locates which block holds each spanning group's target index,
+    and broadcasts {block_first_id: [(key, local_idx)]}; pass 2 re-maps
+    the same blocks and gathers exactly those elements. The driver never
+    sees a value row. ``id_col`` must be integer and globally unique
+    (it makes the sort a total order, so block identity is unambiguous
+    even inside a giant duplicate run).
+    -> Dataset (key_col, q_val, n_rows)."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    frac = Fraction(str(q))
+    if not (0 < frac <= 1):
+        raise ValueError("q must be in (0, 1]")
+    p_, r_ = frac.numerator, frac.denominator
+
+    sorted_ds = (ds.map_batches(lambda b: b.select([key_col, val_col, id_col]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+                   .sort([key_col, val_col, id_col])
+                   .materialize())
+
+    def _segments(b: pa.Table):
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(seg_first)
+        ends = np.r_[starts[1:], n]
+        return keys, starts, ends
+
+    def pass1(b: pa.Table) -> pa.Table:
+        key_t = b.schema.field(key_col).type
+        val_t = b.schema.field(val_col).type
+        empty = pa.table({
+            "kind": pa.array([], pa.int8()), key_col: pa.array([], key_t),
+            "q_val": pa.array([], val_t), "n_rows": pa.array([], pa.int64()),
+            "__blk": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        keys, starts, ends = _segments(b)
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        cnt = ends - starts
+        nseg = len(starts)
+        edge = np.zeros(nseg, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        # interior groups: answer in place (exact rational target index)
+        it = np.flatnonzero(~edge)
+        tgt = (cnt[it] * p_ + r_ - 1) // r_ - 1
+        interior = pa.table({
+            "kind": pa.array(np.zeros(len(it), np.int8), pa.int8()),
+            key_col: pa.array(keys[starts[it]]).cast(key_t),
+            "q_val": pa.array(vals[starts[it] + tgt]).cast(val_t),
+            "n_rows": pa.array(cnt[it], pa.int64()),
+            "__blk": pa.array(np.zeros(len(it), np.int64), pa.int64())})
+        # edge segments: side channel (q_val slot reuses the block's first
+        # VALUE so the driver can order blocks by (key0, val0, id0))
+        ee = np.flatnonzero(edge)
+        side = pa.table({
+            "kind": pa.array(np.ones(len(ee), np.int8), pa.int8()),
+            key_col: pa.array(keys[starts[ee]]).cast(key_t),
+            "q_val": pa.array(np.repeat(vals[0], len(ee))).cast(val_t),
+            "n_rows": pa.array(cnt[ee], pa.int64()),
+            "__blk": pa.array(np.full(len(ee), int(ids[0]), np.int64), pa.int64())})
+        return pa.concat_tables([interior, side])
+
+    mixed = sorted_ds.map_batches(pass1, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None).materialize()
+    if mixed.count() == 0:
+        sch = ds.schema(fetch_if_missing=True)
+        types = dict(zip(sch.names, sch.types))
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], types[key_col]),
+            "q_val": pa.array([], types[val_col]),
+            "n_rows": pa.array([], pa.int64())}))
+    interior = mixed.filter(expr="kind == 0").drop_columns(["kind", "__blk"])
+    side = pa.concat_tables(
+        [t for t in ray.get(mixed.filter(expr="kind == 1").to_arrow_refs())
+         if t.num_rows]).to_pandas()
+    # block order = global order of each block's first (key, val, id) row;
+    # within a block its (<=2) edge segments arrive first-then-last already
+    # (pass1 emits them in index order), so a stable sort on the block
+    # identity alone preserves segment order
+    side["__ord"] = np.arange(len(side))
+    blk_first = side.groupby("__blk", sort=False).first()
+    blk_order = blk_first.sort_values([key_col, "q_val", "__blk"]).index
+    blk_rank = {b: i for i, b in enumerate(blk_order)}
+    side["__brank"] = side["__blk"].map(blk_rank)
+    side = side.sort_values(["__brank", "__ord"], kind="mergesort")
+    assign: dict[int, list] = {}
+    cur_key = None
+    segs: list = []
+
+    def _flush():
+        if cur_key is None:
+            return
+        n_k = sum(c for c, _b in segs)
+        t = (n_k * p_ + r_ - 1) // r_ - 1
+        off = 0
+        for c, bid in segs:
+            if off <= t < off + c:
+                assign.setdefault(int(bid), []).append((cur_key, int(t - off)))
+                break
+            off += c
+
+    for _i, row in side.iterrows():
+        k = row[key_col]
+        if k != cur_key:
+            _flush()
+            cur_key, segs = k, []
+        segs.append((int(row["n_rows"]), row["__blk"]))
+    _flush()
+    ref = ray.put(assign)
+
+    def pass2(b: pa.Table) -> pa.Table:
+        key_t = b.schema.field(key_col).type
+        val_t = b.schema.field(val_col).type
+        if b.num_rows == 0:
+            return pa.table({key_col: pa.array([], key_t),
+                             "q_val": pa.array([], val_t),
+                             "n_rows": pa.array([], pa.int64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        todo = ray.get(ref).get(int(ids[0]), [])
+        if not todo:
+            return pa.table({key_col: pa.array([], key_t),
+                             "q_val": pa.array([], val_t),
+                             "n_rows": pa.array([], pa.int64())})
+        keys, starts, ends = _segments(b)
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        seg_keys = keys[starts]
+        out_k, out_v = [], []
+        for k, local in todo:
+            j = int(np.searchsorted(seg_keys, k))
+            out_k.append(k)
+            out_v.append(vals[starts[j] + local])
+        return pa.table({key_col: pa.array(out_k).cast(key_t),
+                         "q_val": pa.array(out_v).cast(val_t),
+                         "n_rows": pa.array([0] * len(out_k), pa.int64())})
+
+    gathered = sorted_ds.map_batches(pass2, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+    # n_rows for spanning groups comes from the side channel, not pass 2
+    nk = side.groupby(key_col, sort=False)["n_rows"].sum()
+
+    def fix_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        counts = [int(nk[k]) for k in b[key_col].to_pylist()]
+        return b.set_column(b.schema.get_field_index("n_rows"), "n_rows",
+                            pa.array(counts, pa.int64()))
+
+    gathered = gathered.map_batches(fix_counts, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return gathered.union(interior)

@@ -198,3 +198,41 @@ def test_sort_group_count_distinct_string_keys_empty(ray_session):
     empty = ray.data.from_arrow(t.slice(0, 0))
     out = sort_group_count_distinct(empty, "k", "v")
     assert out.count() == 0 and set(out.schema().names) == {"k", "n_distinct", "n_rows"}
+
+
+@pytest.mark.parametrize("q,nkeys,nvals,blocks", [
+    ("0.5", 3000, 7, 16), ("0.25", 200, 4, 9), ("0.9", 1, 1, 8), ("1", 50, 1000, 3)])
+def test_exact_grouped_quantile_matches_bruteforce(ray_session, q, nkeys, nvals, blocks):
+    """Exact grouped quantile_disc vs the brute sorted-index oracle
+    (element at ceil(n*q)-1) — duplicate-heavy values, spanning groups,
+    the single-key degenerate layer, and q=1 (max)."""
+    from fractions import Fraction
+
+    import pandas as pd
+    import ray.data
+
+    from geotrellis_ray.stages.agg import exact_grouped_quantile
+
+    rng = np.random.default_rng(abs(hash((q, nkeys))) % 2**31)
+    n = 60_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n), pa.int64()),
+        "v": pa.array(rng.integers(-1000, 1000, n) % nvals, pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    got = exact_grouped_quantile(ds, "k", "v", "rid", q=q).to_pandas()
+    frac = Fraction(q)
+
+    def brute(g):
+        vs = np.sort(g.to_numpy())
+        i = (len(vs) * frac.numerator + frac.denominator - 1) // frac.denominator - 1
+        return int(vs[i])
+
+    df = t.to_pandas()
+    exp = df.groupby("k").agg(q_val=("v", brute), n_rows=("v", "size")).reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "q_val", "n_rows"]],
+        exp[["k", "q_val", "n_rows"]].astype({"q_val": "int64", "n_rows": "int64"}))
