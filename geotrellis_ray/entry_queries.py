@@ -5655,6 +5655,31 @@ SQL_GROUPED_MEDIAN = """
 """
 
 
+def q_dominant_type_per_user(sf_dir: str):
+    """EXACT grouped MODE (stages/agg.py:sort_group_mode) — each user's
+    most frequent event_type, ties to the lexicographically smallest:
+    one range sort on (user, type) makes every (user, type) pair one
+    contiguous run; interior groups answer in place, boundary runs chain
+    across block cuts on the O(#blocks) driver side channel. SQL-checked
+    vs a QUALIFY argmax over grouped counts."""
+    from .stages.agg import sort_group_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return sort_group_mode(ds, "user_id", "event_type")
+
+
+SQL_DOMINANT_TYPE = """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type AS mode_val, cnt AS mode_cnt,
+           CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_rows
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, event_type) = 1
+"""
+
+
 def q_morans_global(sf_dir: str):
     """Global Moran's I (stages/autocorr.py:morans_i_global) over the
     mod-251 hash grid with queen (8-neighbor) weights: one slim moments
@@ -6990,6 +7015,7 @@ def build_queries() -> dict:
         "q_grouped_topk_sort": q_grouped_topk_sort,
         "q_distinct_cents_per_user": q_distinct_cents_per_user,
         "q_grouped_median_cents": q_grouped_median_cents,
+        "q_dominant_type_per_user": q_dominant_type_per_user,
         "q_bloom_dedup": q_bloom_dedup,
         "q_image_near_dups": q_image_near_dups,
         "q_jpeg_features": q_jpeg_features,
@@ -7108,7 +7134,7 @@ def build_queries() -> dict:
         # late-r5 additions (first possible verification)
         "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
-        "q_grouped_median_cents",
+        "q_grouped_median_cents", "q_dominant_type_per_user",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7223,6 +7249,7 @@ def build_oracle_sql() -> dict:
         "q_grouped_topk_sort": SQL_GROUPED_TOPK_SORT,
         "q_distinct_cents_per_user": SQL_DISTINCT_CENTS,
         "q_grouped_median_cents": SQL_GROUPED_MEDIAN,
+        "q_dominant_type_per_user": SQL_DOMINANT_TYPE,
         "q_bloom_dedup": SQL_BLOOM_DEDUP,
         "q_focal_mean_grid": SQL_FOCAL_MEAN,
         "q_focal_stddev_grid": SQL_FOCAL_STDDEV,

@@ -251,6 +251,18 @@ def _op_count_distinct(ds, **kw):
     return sort_group_count_distinct(ds, **kw)
 
 
+def _op_grouped_quantile(ds, **kw):
+    from ..stages.agg import exact_grouped_quantile
+
+    return exact_grouped_quantile(ds, **kw)
+
+
+def _op_grouped_mode(ds, **kw):
+    from ..stages.agg import sort_group_mode
+
+    return sort_group_mode(ds, **kw)
+
+
 def _op_moving_window_sum(ds, **kw):
     from ..stages.window import moving_window_sum
 
@@ -514,6 +526,8 @@ for _name, _fn in {
     "agg.partial_groupby": _op_partial_groupby,
     "agg.sort_grouped_top_k": _op_sort_grouped_top_k,
     "agg.count_distinct": _op_count_distinct,
+    "agg.grouped_quantile": _op_grouped_quantile,
+    "agg.grouped_mode": _op_grouped_mode,
     "window.moving_sum": _op_moving_window_sum,
     "window.as_of": _op_as_of,
     "rasterize.features": _op_rasterize,

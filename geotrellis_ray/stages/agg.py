@@ -800,3 +800,178 @@ def exact_grouped_quantile(ds, key_col: str, val_col: str, id_col: str,
     gathered = gathered.map_batches(fix_counts, batch_format="pyarrow",
                                     zero_copy_batch=True)
     return gathered.union(interior)
+
+
+def sort_group_mode(ds, key_col: str, val_col: str):
+    """EXACT grouped MODE (most frequent value; ties to the SMALLEST
+    value) at UNBOUNDED key cardinality — majority label per cluster /
+    dominant language per domain. -> Dataset (key_col, mode_val,
+    mode_cnt, n_rows).
+
+    Shape: ONE range sort on (key, val) makes every (key, val) pair a
+    single globally-contiguous run, split only at block cuts. Interior
+    segments are whole groups and answer in place. Each EDGE segment
+    ships O(1) summary rows — its first/last (possibly continuing)
+    boundary runs plus its best fully-inner run — through the O(#blocks)
+    driver side channel, where boundary runs chain across cuts (including
+    through whole blocks that are a single run) and the per-key argmax
+    picks (count DESC, value ASC). The driver never sees a data row."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    def _runs(keys, vals):
+        n = len(keys)
+        idx = np.arange(n, dtype=np.int64)
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = keys[1:] != keys[:-1]
+        run_first = seg_first.copy()
+        run_first[1:] |= vals[1:] != vals[:-1]
+        r_starts = np.flatnonzero(run_first)
+        r_ends = np.r_[r_starts[1:], n]
+        seg_id = np.cumsum(seg_first) - 1
+        return seg_first, r_starts, r_ends, seg_id[r_starts]
+
+    def _mode_per_group(run_seg, run_cnt, run_val, mask=None):
+        """argmax (cnt desc, val asc) per run_seg group among masked runs.
+        Returns (seg_ids, best_val, best_cnt)."""
+        if mask is not None:
+            run_seg, run_cnt, run_val = run_seg[mask], run_cnt[mask], run_val[mask]
+        if len(run_seg) == 0:
+            return run_seg, run_val, run_cnt
+        order = np.lexsort((run_val, -run_cnt, run_seg))
+        rs, rc, rv = run_seg[order], run_cnt[order], run_val[order]
+        first = np.ones(len(rs), dtype=bool)
+        first[1:] = rs[1:] != rs[:-1]
+        sel = np.flatnonzero(first)
+        return rs[sel], rv[sel], rc[sel]
+
+    def pass1(b: pa.Table) -> pa.Table:
+        key_t = b.schema.field(key_col).type
+        val_t = b.schema.field(val_col).type
+        cols = [("kind", pa.int8()), (key_col, key_t), ("mode_val", val_t),
+                ("mode_cnt", pa.int64()), ("n_rows", pa.int64()),
+                ("nruns", pa.int64()), ("fv", val_t), ("fc", pa.int64()),
+                ("lv", val_t), ("lc", pa.int64()), ("bc", pa.int64())]
+        if b.num_rows == 0:
+            return pa.table({n: pa.array([], t) for n, t in cols})
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        vals = b[val_col].to_numpy(zero_copy_only=False)
+        seg_first, r_starts, r_ends, run_seg = _runs(keys, vals)
+        run_cnt = r_ends - r_starts
+        run_val = vals[r_starts]
+        seg_starts = np.flatnonzero(seg_first)
+        seg_ends = np.r_[seg_starts[1:], len(keys)]
+        nseg = len(seg_starts)
+        # first/last run index per segment
+        sr_first = np.ones(len(run_seg), dtype=bool)
+        sr_first[1:] = run_seg[1:] != run_seg[:-1]
+        seg_run0 = np.flatnonzero(sr_first)
+        seg_runN = np.r_[seg_run0[1:], len(run_seg)] - 1
+        edge_seg = np.zeros(nseg, dtype=bool)
+        edge_seg[0] = True
+        edge_seg[-1] = True
+        # interior segments: whole groups, mode over ALL their runs
+        it_mask = ~edge_seg[run_seg]
+        gs, gv, gc = _mode_per_group(run_seg, run_cnt, run_val, it_mask)
+        z = np.zeros(len(gs), np.int64)
+        interior = pa.table({
+            "kind": pa.array(np.zeros(len(gs), np.int8), pa.int8()),
+            key_col: pa.array(keys[seg_starts[gs]]).cast(key_t),
+            "mode_val": pa.array(gv).cast(val_t),
+            "mode_cnt": pa.array(gc, pa.int64()),
+            "n_rows": pa.array((seg_ends - seg_starts)[gs], pa.int64()),
+            "nruns": pa.array(z, pa.int64()), "fv": pa.array(gv).cast(val_t),
+            "fc": pa.array(z, pa.int64()), "lv": pa.array(gv).cast(val_t),
+            "lc": pa.array(z, pa.int64()), "bc": pa.array(z, pa.int64())})
+        # edge segments: boundary runs + best fully-inner run
+        ee = np.flatnonzero(edge_seg)
+        inner_mask = np.ones(len(run_seg), dtype=bool)
+        inner_mask[seg_run0] = False
+        inner_mask[seg_runN] = False
+        inner_mask &= edge_seg[run_seg]
+        bs, bv, bcnt = _mode_per_group(run_seg, run_cnt, run_val, inner_mask)
+        bi_val = {int(s): v for s, v in zip(bs, bv)}
+        bi_cnt = {int(s): int(c) for s, c in zip(bs, bcnt)}
+        edge = pa.table({
+            "kind": pa.array(np.ones(len(ee), np.int8), pa.int8()),
+            key_col: pa.array(keys[seg_starts[ee]]).cast(key_t),
+            # mode_val carries the best-inner VALUE for edge rows (fv as a
+            # typed placeholder when there is no inner run; bc==0 marks it)
+            "mode_val": pa.array([bi_val.get(int(s), vals[seg_starts[s]])
+                                  for s in ee]).cast(val_t),
+            "mode_cnt": pa.array([bi_cnt.get(int(s), 0) for s in ee], pa.int64()),
+            "n_rows": pa.array((seg_ends - seg_starts)[ee], pa.int64()),
+            "nruns": pa.array(seg_runN[ee] - seg_run0[ee] + 1, pa.int64()),
+            "fv": pa.array(run_val[seg_run0[ee]]).cast(val_t),
+            "fc": pa.array(run_cnt[seg_run0[ee]], pa.int64()),
+            "lv": pa.array(run_val[seg_runN[ee]]).cast(val_t),
+            "lc": pa.array(run_cnt[seg_runN[ee]], pa.int64()),
+            "bc": pa.array([bi_cnt.get(int(s), 0) for s in ee], pa.int64())})
+        return pa.concat_tables([interior, edge])
+
+    segs = (ds.map_batches(lambda b: b.select([key_col, val_col]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .sort([key_col, val_col])
+              .map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+              .materialize())
+    if segs.count() == 0:
+        sch = ds.schema(fetch_if_missing=True)
+        types = dict(zip(sch.names, sch.types))
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], types[key_col]),
+            "mode_val": pa.array([], types[val_col]),
+            "mode_cnt": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64())}))
+    out_cols = [key_col, "mode_val", "mode_cnt", "n_rows"]
+    interior = segs.filter(expr="kind == 0").select_columns(out_cols)
+    df = pa.concat_tables(
+        [t for t in ray.get(segs.filter(expr="kind == 1").to_arrow_refs())
+         if t.num_rows]).to_pandas()
+    # block order: same-key segments have disjoint value ranges except the
+    # shared boundary value, so (key, fv, lv) reconstructs adjacency
+    # (identical single-run segments are interchangeable)
+    df = df.sort_values([key_col, "fv", "lv"], kind="mergesort").reset_index(drop=True)
+    out = {key_col: [], "mode_val": [], "mode_cnt": [], "n_rows": []}
+    cur = None  # (key, chain_val, chain_cnt, candidates[(cnt, val)], n_rows)
+
+    def _close(cur):
+        cands = cur[3] + [(cur[2], cur[1])]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        out[key_col].append(cur[0])
+        out["mode_val"].append(cands[0][1])
+        out["mode_cnt"].append(int(cands[0][0]))
+        out["n_rows"].append(int(cur[4]))
+
+    for row in df.itertuples(index=False):
+        r = row._asdict()
+        k = r[key_col]
+        if cur is None or k != cur[0]:
+            if cur is not None:
+                _close(cur)
+            cur = [k, r["fv"], 0, [], 0]
+        cur[4] += int(r["n_rows"])
+        # chain continues iff the boundary value matches
+        if r["fv"] == cur[1]:
+            cur[2] += int(r["fc"])
+        else:
+            cur[3].append((cur[2], cur[1]))
+            cur[1], cur[2] = r["fv"], int(r["fc"])
+        if int(r["nruns"]) >= 2:
+            # the first run ended inside this block: close the chain, keep
+            # the best inner run as a candidate, reopen with the last run
+            cur[3].append((cur[2], cur[1]))
+            if int(r["bc"]) > 0:
+                cur[3].append((int(r["bc"]), r["mode_val"]))
+            cur[1], cur[2] = r["lv"], int(r["lc"])
+    if cur is not None:
+        _close(cur)
+    sch = segs.schema(fetch_if_missing=True)
+    types = dict(zip(sch.names, sch.types))
+    mt = pa.table({
+        key_col: pa.array(out[key_col]).cast(types[key_col]),
+        "mode_val": pa.array(out["mode_val"]).cast(types["mode_val"]),
+        "mode_cnt": pa.array(out["mode_cnt"], pa.int64()),
+        "n_rows": pa.array(out["n_rows"], pa.int64())})
+    return rd.from_arrow(mt).union(interior)

@@ -236,3 +236,51 @@ def test_exact_grouped_quantile_matches_bruteforce(ray_session, q, nkeys, nvals,
     pd.testing.assert_frame_equal(
         got[["k", "q_val", "n_rows"]],
         exp[["k", "q_val", "n_rows"]].astype({"q_val": "int64", "n_rows": "int64"}))
+
+
+@pytest.mark.parametrize("nkeys,nvals,blocks", [(3000, 6, 16), (40, 3, 9), (1, 2, 8)])
+def test_sort_group_mode_matches_bruteforce(ray_session, nkeys, nvals, blocks):
+    """Exact grouped MODE (ties -> smallest value) vs the pandas
+    value_counts oracle — tiny value domains so boundary runs chain
+    across many blocks, plus the single-key degenerate layer."""
+    import pandas as pd
+    import ray.data
+
+    from geotrellis_ray.stages.agg import sort_group_mode
+
+    rng = np.random.default_rng(nkeys + nvals)
+    n = 70_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, nkeys, n), pa.int64()),
+        "v": pa.array(rng.integers(0, nvals, n), pa.int64()),
+    })
+    got = sort_group_mode(
+        ray.data.from_arrow(t).repartition(blocks), "k", "v").to_pandas()
+
+    def brute(g):
+        c = g.value_counts()
+        m = c.max()
+        winners = sorted(c[c == m].index)
+        return pd.Series({"mode_val": winners[0], "mode_cnt": int(m),
+                          "n_rows": len(g)})
+
+    exp = t.to_pandas().groupby("k")["v"].apply(brute).unstack().reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "mode_val", "mode_cnt", "n_rows"]],
+        exp[["k", "mode_val", "mode_cnt", "n_rows"]].astype("int64"))
+
+
+def test_sort_group_mode_string_values(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.agg import sort_group_mode
+
+    t = pa.table({"k": pa.array(["a"] * 5 + ["b"] * 3),
+                  "v": pa.array(["en", "fr", "en", "de", "fr", "de", "de", "en"])})
+    got = {r["k"]: (r["mode_val"], r["mode_cnt"], r["n_rows"])
+           for r in sort_group_mode(
+               ray.data.from_arrow(t).repartition(4), "k", "v").take_all()}
+    # a: en=2 fr=2 de=1 -> tie, smallest value "en"; b: de=2
+    assert got == {"a": ("en", 2, 5), "b": ("de", 2, 3)}
