@@ -6681,6 +6681,92 @@ def q_simplify_geoms(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_simplify_dp_grid(sf_dir: str):
+    """SQL-checked Douglas-Peucker (core/geom.simplify_dp, sqrt-free
+    threshold): one deterministic INTEGER zigzag polyline per sampled event
+    (x_k = k, y_k = (((event_id + k) * 2654435761) % 2147483647) % 21 - 10,
+    n = 30, tolerance = 2.0), one output row per KEPT vertex
+    (event_id, seq, x, y). With integer coords the cross^2 > tol^2*L2 keep
+    test and the first-max argmax are exact, so the kept set is bit-exact
+    vs a recursive-CTE DuckDB replay of the full DP recursion tree
+    (ref:vector/src/main/scala/geotrellis/vector/simplify — JTS
+    DouglasPeuckerSimplifier semantics; dir empty, path unverified)."""
+    from .core.geom import simplify_dp
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    ds = ds.map_batches(_mod_filter("event_id", 97), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def build_and_simplify(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        n = 30
+        k = np.arange(n, dtype=np.int64)
+        out_id, out_seq, out_x, out_y = [], [], [], []
+        for eid in ids:
+            y = (((int(eid) + k) * 2654435761) % 2147483647) % 21 - 10
+            coords = np.c_[k, y].astype(np.float64)
+            simp = simplify_dp(coords, 2.0)
+            xs = simp[:, 0].astype(np.int64)
+            out_id.append(np.full(len(simp), eid, np.int64))
+            out_seq.append(xs)  # x_k = k, so seq == x
+            out_x.append(xs)
+            out_y.append(simp[:, 1].astype(np.int64))
+        if not out_id:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "seq": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        return pa.table({"event_id": pa.array(np.concatenate(out_id)),
+                         "seq": pa.array(np.concatenate(out_seq)),
+                         "x": pa.array(np.concatenate(out_x)),
+                         "y": pa.array(np.concatenate(out_y))})
+
+    return ds.map_batches(build_and_simplify, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_SIMPLIFY_DP = """
+    WITH RECURSIVE
+    eids AS (SELECT DISTINCT event_id AS eid FROM events WHERE event_id % 97 = 0),
+    pts AS (
+      SELECT e.eid, g.k,
+             CAST(g.k AS BIGINT) AS x,
+             CAST((((e.eid + g.k) * 2654435761) % 2147483647) % 21 - 10 AS BIGINT) AS y
+      FROM eids e, (SELECT unnest(range(30)) AS k) g
+    ),
+    -- the DP recursion tree: each split segment (i, j) emits its two
+    -- children around the first-max-|cross| interior point; the keep test
+    -- is the exact integer form cross^2 > tol^2 * L2 with tol = 2
+    segs(eid, i, j) AS (
+      SELECT eid, 0, 29 FROM eids
+      UNION ALL
+      SELECT s.eid,
+             CASE WHEN sd.side = 0 THEN s.i ELSE m.mk END,
+             CASE WHEN sd.side = 0 THEN m.mk ELSE s.j END
+      FROM segs s
+      JOIN LATERAL (
+        SELECT p.k AS mk,
+               ((pj.x-pi.x)*(p.y-pi.y) - (pj.y-pi.y)*(p.x-pi.x)) AS cr,
+               ((pj.x-pi.x)*(pj.x-pi.x) + (pj.y-pi.y)*(pj.y-pi.y)) AS l2
+        FROM pts p, pts pi, pts pj
+        WHERE p.eid = s.eid AND pi.eid = s.eid AND pj.eid = s.eid
+          AND pi.k = s.i AND pj.k = s.j AND p.k > s.i AND p.k < s.j
+        ORDER BY cr*cr DESC, p.k ASC LIMIT 1
+      ) m ON TRUE
+      CROSS JOIN (VALUES (0),(1)) sd(side)
+      WHERE s.j > s.i + 1 AND m.cr*m.cr > 4 * m.l2
+    ),
+    -- DuckDB 1.0 quirk: a plain UNION inside a WITH RECURSIVE clause does
+    -- not dedup; dedup explicitly
+    kept AS (
+      SELECT DISTINCT eid, k FROM (
+        SELECT eid, i AS k FROM segs UNION ALL SELECT eid, j AS k FROM segs)
+    )
+    SELECT k2.eid AS event_id, k2.k AS seq, p.x, p.y
+    FROM kept k2 JOIN pts p ON p.eid = k2.eid AND p.k = k2.k
+"""
+
+
 def q_render_png_toy(sf_dir: str):
     """Render surface: per-tile ColorMap -> PNG (core/render.py) as a
     map_batches sink stage over the toy layer; output per-tile PNG byte size
@@ -7072,6 +7158,7 @@ def build_queries() -> dict:
         "q_render_png_grid": q_render_png_grid,
         "q_semantic_dedup": q_semantic_dedup,
         "q_simplify_geoms": q_simplify_geoms,
+        "q_simplify_dp_grid": q_simplify_dp_grid,
         "q_rasterize_toy": q_rasterize_toy,
         "q_cliptogrid_toy": q_cliptogrid_toy,
         "q_multimodal_stub": q_multimodal_stub,
@@ -7135,6 +7222,7 @@ def build_queries() -> dict:
         "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
         "q_grouped_median_cents", "q_dominant_type_per_user",
+        "q_simplify_dp_grid",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7236,6 +7324,7 @@ def build_oracle_sql() -> dict:
         "q_semi_anti_join": SQL_SEMI_ANTI,
         "q_overlay_rects": SQL_OVERLAY,
         "q_overlay_general": SQL_OVERLAY_GENERAL,
+        "q_simplify_dp_grid": SQL_SIMPLIFY_DP,
         "q_buffer_geoms": SQL_BUFFER,
         "q_kernel_density": SQL_KERNEL_DENSITY,
         "q_region_group": SQL_REGION_GROUP,

@@ -214,3 +214,98 @@ def test_weighted_sample_block_invariance(ray_session):
         cur = sorted(got["doc_id"].tolist())
         assert sel is None or cur == sel
         sel = cur
+
+
+def test_simplify_dp_sqrtfree_matches_classic():
+    """The r5 sqrt-free keep test (cross^2 > tol^2*L2) must reproduce the
+    classic |cross|/sqrt(L2) > tol form on generic float polylines (the
+    comparisons are algebraically identical; this guards the refactor)."""
+    import numpy as np
+
+    from geotrellis_ray.core.geom import simplify_dp
+
+    def classic(coords, tol):
+        coords = np.asarray(coords, dtype=np.float64)
+        n = len(coords)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            seg = coords[i + 1:j]
+            a, b = coords[i], coords[j]
+            ab = b - a
+            L2 = ab @ ab
+            if L2 == 0.0:
+                d = np.linalg.norm(seg - a, axis=1)
+            else:
+                rel = seg - a
+                d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / np.sqrt(L2)
+            kmax = int(np.argmax(d))
+            if d[kmax] > tol:
+                mid = i + 1 + kmax
+                keep[mid] = True
+                stack.append((i, mid))
+                stack.append((mid, j))
+        return coords[keep]
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n = int(rng.integers(2, 80))
+        coords = np.c_[np.sort(rng.uniform(0, 100, n)), rng.uniform(-20, 20, n)]
+        tol = float(rng.uniform(0.1, 8.0))
+        got = simplify_dp(coords, tol)
+        exp = classic(coords, tol)
+        assert got.shape == exp.shape and np.array_equal(got, exp)
+    # duplicate-endpoint (L2 == 0) branch
+    loop = np.array([[0.0, 0.0], [3.0, 4.0], [1.0, -2.0], [0.0, 0.0]])
+    assert np.array_equal(simplify_dp(loop, 1.0), classic(loop, 1.0))
+
+
+def test_simplify_dp_grid_fixture_integer_exact():
+    """The q_simplify_dp_grid fixture path: integer zigzag, tol=2 — kept set
+    must match a Fraction-exact brute DP (no float anywhere)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from geotrellis_ray.core.geom import simplify_dp
+
+    def brute_exact(pts, tol_num, tol_den):
+        n = len(pts)
+        keep = {0, n - 1}
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            (xi, yi), (xj, yj) = pts[i], pts[j]
+            abx, aby = xj - xi, yj - yi
+            L2 = abx * abx + aby * aby
+            best_k, best_m2 = None, None
+            for k in range(i + 1, j):
+                rx, ry = pts[k][0] - xi, pts[k][1] - yi
+                if L2 == 0:
+                    m2 = Fraction(rx * rx + ry * ry)
+                    thr = Fraction(tol_num * tol_num, tol_den * tol_den)
+                else:
+                    c = abx * ry - aby * rx
+                    m2 = Fraction(c * c)
+                    thr = Fraction(tol_num * tol_num * L2, tol_den * tol_den)
+                if best_m2 is None or m2 > best_m2:
+                    best_k, best_m2 = k, m2
+            if best_m2 > thr:
+                keep.add(best_k)
+                stack.append((i, best_k))
+                stack.append((best_k, j))
+        return sorted(keep)
+
+    k = np.arange(30, dtype=np.int64)
+    for eid in (0, 97, 194, 970, 9991 * 97):
+        y = (((eid + k) * 2654435761) % 2147483647) % 21 - 10
+        coords = np.c_[k, y].astype(np.float64)
+        got = simplify_dp(coords, 2.0)[:, 0].astype(int).tolist()
+        exp = brute_exact(list(zip(k.tolist(), y.tolist())), 2, 1)
+        assert got == exp
