@@ -4865,6 +4865,62 @@ SQL_FOCAL_STDDEV = """
 """
 
 
+def q_zonal_fractional_grid(sf_dir: str):
+    """Fractional zonal stats against a NON-ALIGNED zone grid
+    (stages/stats.zonal_stats_fractional_grid): zone cells 5/2 value cells
+    wide, offset by -1/2 and -3/2 cells, over the mod-251 hash grid. Every
+    value cell splits its unit area EXACTLY across the <= 4 zone cells it
+    overlaps (integer weights in 1/4-cell units), per-tile np.add.at
+    scatter, partial+final combiner groupby. SQL bit-exact: weights, sums
+    and n_cells are integers; wmean is the one IEEE division sum_wv/sum_w."""
+    from .stages.stats import zonal_stats_fractional_grid
+
+    out = zonal_stats_fractional_grid(_hash_grid_layer(3, 16, mod=251),
+                                      scale_num=5, scale_den=2,
+                                      off_x_num=-1, off_y_num=-3)
+
+    def cast_wv(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        i = b.schema.get_field_index("sum_wv")
+        return b.set_column(i, "sum_wv", pc.cast(b["sum_wv"], pa.int64()))
+
+    return out.map_batches(cast_wv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ZONAL_FRACTIONAL = """
+    WITH grid AS (
+        SELECT x, y, (x * 2654435761 + y * 40503) % 251 AS v
+        FROM (SELECT unnest(range(0, 48)) AS x),
+             (SELECT unnest(range(0, 48)) AS y)
+    ),
+    -- sub-cell units q = 2 (cell spans [2g, 2g+2)); zone width s = 5 sub-units;
+    -- zone j covers [off + j*5, off + (j+1)*5) with off_x = -1, off_y = -3.
+    -- numerators 2x+1 / 2y+3 are >= 1, so integer division is floor division
+    cells AS (
+        SELECT x, y, v,
+               (2*x + 1) // 5 AS jx0, (2*y + 3) // 5 AS jy0,
+               least(2, -1 + ((2*x + 1) // 5 + 1) * 5 - 2*x) AS wxl,
+               least(2, -3 + ((2*y + 3) // 5 + 1) * 5 - 2*y) AS wyl
+        FROM grid
+    ),
+    pieces AS (
+        SELECT c.jx0 + dx.d AS zone_x, c.jy0 + dy.d AS zone_y,
+               (CASE WHEN dx.d = 0 THEN c.wxl ELSE 2 - c.wxl END)
+             * (CASE WHEN dy.d = 0 THEN c.wyl ELSE 2 - c.wyl END) AS w,
+               c.v
+        FROM cells c, (VALUES (0), (1)) dx(d), (VALUES (0), (1)) dy(d)
+    )
+    SELECT zone_x, zone_y,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(w * v) AS BIGINT) AS sum_wv,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS wmean
+    FROM pieces
+    WHERE w > 0
+    GROUP BY zone_x, zone_y
+"""
+
+
 def q_image_near_dups(sf_dir: str):
     """Image near-dup pairs (stages/multimodal.py:image_near_dups): REAL
     BMP payloads synthesized per doc (structured gradient image shared by a
@@ -7171,6 +7227,7 @@ def build_queries() -> dict:
         "q_histogram_sketch_breaks": q_histogram_sketch_breaks,
         "q_polygonal_summary": q_polygonal_summary,
         "q_polygonal_summary_fractional": q_polygonal_summary_fractional,
+        "q_zonal_fractional_grid": q_zonal_fractional_grid,
         "q_resample_minmax_grid": q_resample_minmax_grid,
         "q_reproject_bilinear_grid": q_reproject_bilinear_grid,
         "q_spacetime_counts": q_spacetime_counts,
@@ -7222,7 +7279,7 @@ def build_queries() -> dict:
         "q_keep_best_docs", "q_events_asof_next", "q_moving_avg_events",
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
         "q_grouped_median_cents", "q_dominant_type_per_user",
-        "q_simplify_dp_grid",
+        "q_simplify_dp_grid", "q_zonal_fractional_grid",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7310,6 +7367,7 @@ def build_oracle_sql() -> dict:
         "q_spatial_join_layers": SQL_SPATIAL_JOIN,
         "q_polygonal_summary": SQL_POLY_SUMMARY,
         "q_polygonal_summary_fractional": _sql_poly_summary_frac(),
+        "q_zonal_fractional_grid": SQL_ZONAL_FRACTIONAL,
         "q_resample_minmax_grid": SQL_RESAMPLE_MINMAX,
         "q_reproject_bilinear_grid": SQL_REPROJECT_BILINEAR,
         "q_spacetime_counts": SQL_SPACETIME,

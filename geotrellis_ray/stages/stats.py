@@ -279,6 +279,122 @@ def polygonal_summary_fractional(tiles_ds, polygons_ref, layout, concurrency: in
     return g.map_batches(add_mean, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def zonal_stats_fractional_grid(tiles_ds, scale_num: int, scale_den: int,
+                                off_x_num: int, off_y_num: int,
+                                final: str = "single"):
+    """Fractional zonal statistics against a NON-ALIGNED zone GRID — the
+    raster-zone extension of ``polygonal_summary_fractional`` (VERDICT r04
+    optional #9b; GeoTrellis pairs ref:raster/.../mapalgebra/zonal/ with
+    FractionalRasterizer weights only through polygon zones — this covers
+    the resolution/offset-mismatched zone-raster case the Scala API leaves
+    to resample-then-zonal, L:unverified, /root/reference empty).
+
+    The zone layer is an analytic grid over the value layer's GLOBAL cell
+    coordinates: zone (jx, jy) covers
+    x ∈ [ (off_x_num + jx·scale_num) / scale_den, … + scale_num/scale_den ),
+    same for y — i.e. zone cells are scale_num/scale_den value cells wide
+    with a rational offset. Every value cell contributes to each
+    overlapping zone cell with weight = the EXACT rational overlap area, in
+    integer sub-cell units of 1/scale_den² cell (``sum_w`` is exact int64;
+    ``sum_wv`` is float64 but exact below 2^53 for integer-valued layers,
+    so the whole op is SQL-replayable). Requires scale_num >= scale_den (zone cells at
+    least one value cell wide → a value cell spans at most 2 zone cells per
+    axis). NoData cells contribute nothing.
+
+    Scale shape: the per-cell scatter is tile-local (np.add.at over the
+    ≤ (cols/s+2)×(rows/s+2) zone window the tile touches); the shuffle
+    carries one partial row per (zone, tile) — O(zones), never O(cells).
+    Returns per zone: (zone_x, zone_y, sum_w, sum_wv, n_cells, wmean) with
+    wmean = sum_wv/sum_w (one IEEE division)."""
+    import pyarrow.compute as pc
+
+    from ..core.raster import decode_tile, is_nodata
+    from .agg import partial_groupby
+
+    if scale_num < scale_den:
+        raise ValueError("zone cells must be >= 1 value cell (scale_num >= scale_den)")
+    q, s = int(scale_den), int(scale_num)
+
+    def axis_pieces(gq: np.ndarray, off: int):
+        """For global sub-unit cell starts gq (= global_coord * q): the zone
+        index of the left piece, its weight, and the right piece's weight
+        (0 when the cell lies inside one zone column)."""
+        j0 = (gq - off) // s
+        bq = off + (j0 + 1) * s          # right boundary of zone j0, sub-units
+        wl = np.minimum(q, bq - gq)      # 1..q
+        return j0, wl, q - wl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ._arrow_groups import views
+
+        kc = batch["key_col"].to_numpy(zero_copy_only=False)
+        kr = batch["key_row"].to_numpy(zero_copy_only=False)
+        cells_v = views(batch, "cells")  # zero-copy memoryviews
+        tcs = batch["cols"].to_numpy(zero_copy_only=False)
+        trs = batch["rows"].to_numpy(zero_copy_only=False)
+        cts = batch["cell_type"].to_pylist()
+        zx_o, zy_o, w_o, wv_o, n_o = [], [], [], [], []
+        for t in range(batch.num_rows):
+            tile = decode_tile(cells_v[t], int(tcs[t]), int(trs[t]), cts[t])
+            rows_, cols_ = tile.shape
+            gx = (int(kc[t]) * cols_ + np.arange(cols_, dtype=np.int64)) * q
+            gy = (int(kr[t]) * rows_ + np.arange(rows_, dtype=np.int64)) * q
+            jx0, wxl, wxr = axis_pieces(gx, off_x_num)
+            jy0, wyl, wyr = axis_pieces(gy, off_y_num)
+            valid = ~is_nodata(tile)
+            # accumulate w·v in float64 (exact for integer layers below 2^53
+            # since weights are ints; correct for float layers)
+            v = np.where(valid, tile, 0).astype(np.float64, copy=False)
+            # local zone window this tile touches (+1 col/row for the right pieces)
+            x0, y0 = int(jx0[0]), int(jy0[0])
+            nx = int(jx0[-1]) - x0 + 2
+            ny = int(jy0[-1]) - y0 + 2
+            sw = np.zeros((ny, nx), np.int64)
+            swv = np.zeros((ny, nx), np.float64)
+            nc = np.zeros((ny, nx), np.int64)
+            lx, ly = jx0 - x0, jy0 - y0
+            for dx, wx in ((0, wxl), (1, wxr)):
+                for dy, wy in ((0, wyl), (1, wyr)):
+                    w2 = wy[:, None] * wx[None, :]          # per-cell weight
+                    w2 = np.where(valid, w2, 0)
+                    idx = ((ly + dy)[:, None] * nx + (lx + dx)[None, :]).ravel()
+                    np.add.at(sw.ravel(), idx, w2.ravel())
+                    np.add.at(swv.ravel(), idx, (w2 * v).ravel())
+                    np.add.at(nc.ravel(), idx, (w2 > 0).ravel().astype(np.int64))
+            nz = sw.ravel() > 0
+            gyx, gxx = np.divmod(np.nonzero(nz)[0], nx)
+            zx_o.append(gxx + x0)
+            zy_o.append(gyx + y0)
+            w_o.append(sw.ravel()[nz])
+            wv_o.append(swv.ravel()[nz])
+            n_o.append(nc.ravel()[nz])
+        if not zx_o:
+            return pa.table({"zone_x": pa.array([], pa.int64()),
+                             "zone_y": pa.array([], pa.int64()),
+                             "sum_w": pa.array([], pa.int64()),
+                             "sum_wv": pa.array([], pa.float64()),
+                             "n_cells": pa.array([], pa.int64())})
+        return pa.table({"zone_x": pa.array(np.concatenate(zx_o)),
+                         "zone_y": pa.array(np.concatenate(zy_o)),
+                         "sum_w": pa.array(np.concatenate(w_o)),
+                         "sum_wv": pa.array(np.concatenate(wv_o)),
+                         "n_cells": pa.array(np.concatenate(n_o))})
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    g = partial_groupby(partials, ["zone_x", "zone_y"], [
+        ("sum_w", "sum", "sum_w"),
+        ("sum_wv", "sum", "sum_wv"),
+        ("n_cells", "sum", "n_cells"),
+    ], final=final)
+
+    def add_mean(b: pa.Table) -> pa.Table:
+        return b.append_column("wmean", pc.divide(
+            pc.cast(b["sum_wv"], pa.float64()), pc.cast(b["sum_w"], pa.float64())))
+
+    return g.map_batches(add_mean, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def zonal_histogram(joined_ds, zone_col: str, value_col: str):
     """Per-zone exact histogram: grouped FastMap sketches via map_groups."""
 

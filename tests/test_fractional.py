@@ -103,3 +103,93 @@ def test_fractional_general_polygon(ray_session, rings, name):
     full = frac > 1.0 - 1e-12
     if full.any():
         assert got["area"] >= full.sum()
+
+
+def _zonal_brute(vals, nodata_mask, s_num, s_den, ox_num, oy_num):
+    """Fraction-exact per-cell overlap against the analytic zone grid.
+    Returns {(zone_x, zone_y): [sum_w_subunits, sum_wv_subunits, n_cells]}
+    with weights in integer 1/s_den^2-cell units."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    q, s = s_den, s_num
+    acc = defaultdict(lambda: [0, Fraction(0), 0])
+    H, W = vals.shape
+    for y in range(H):
+        for x in range(W):
+            if nodata_mask[y, x]:
+                continue
+            # exact 1D overlaps of [x, x+1) with zone columns
+            def pieces(g, off):
+                out = {}
+                j = (g * q - off) // s
+                while True:
+                    lo = Fraction(off + j * s, q)        # zone j bounds, cells
+                    hi = Fraction(off + (j + 1) * s, q)
+                    ov = min(Fraction(g + 1), hi) - max(Fraction(g), lo)
+                    if ov <= 0:
+                        break
+                    out[j] = ov * q  # sub-units (integer-valued Fraction)
+                    j += 1
+                return out
+            # zone cells span >= 1 cell so <= 2 pieces each axis
+            pxs = pieces(x, ox_num)
+            pys = pieces(y, oy_num)
+            for jx, wx in pxs.items():
+                for jy, wy in pys.items():
+                    w = wx * wy
+                    assert w.denominator == 1
+                    e = acc[(jx, jy)]
+                    e[0] += int(w)
+                    e[1] += w * Fraction(vals[y, x])
+                    e[2] += 1
+    return acc
+
+
+@pytest.mark.parametrize("s_num,s_den,ox,oy", [
+    (5, 2, -1, -3),   # the q_zonal_fractional_grid configuration
+    (3, 1, 0, 0),     # aligned integer zones (degenerate: no fractions)
+    (7, 3, -2, -1),   # thirds
+])
+def test_zonal_fractional_grid_brute(ray_session, s_num, s_den, ox, oy):
+    import ray.data
+
+    from geotrellis_ray.stages.stats import zonal_stats_fractional_grid
+
+    vals = _values()
+    # punch NoData holes deterministically
+    mask = ((np.arange(48)[:, None] * 7 + np.arange(48)[None, :] * 13) % 29) == 0
+    v2 = vals.copy()
+    v2[mask] = np.nan
+
+    rows = []
+    for kr in range(3):
+        for kc in range(3):
+            a = v2[kr * 16:(kr + 1) * 16, kc * 16:(kc + 1) * 16]
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": kc, "key_row": kr, "sfc": int(zorder(kc, kr)),
+                         "cells": cells, "cols": cols, "rows": trows,
+                         "cell_type": ct})
+    exp = _zonal_brute(vals, mask, s_num, s_den, ox, oy)
+
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(nblocks)
+        got = zonal_stats_fractional_grid(
+            ds, scale_num=s_num, scale_den=s_den,
+            off_x_num=ox, off_y_num=oy).to_pandas()
+        got = got.set_index(["zone_x", "zone_y"]).sort_index()
+        assert len(got) == len(exp)
+        for (jx, jy), (sw, swv, nc) in exp.items():
+            r = got.loc[(jx, jy)]
+            assert int(r["sum_w"]) == sw
+            assert float(r["sum_wv"]) == float(swv)
+            assert int(r["n_cells"]) == nc
+            assert float(r["wmean"]) == float(swv) / sw
+
+
+def test_zonal_fractional_requires_coarser_zones(ray_session):
+    from geotrellis_ray.stages.stats import zonal_stats_fractional_grid
+
+    with pytest.raises(ValueError):
+        zonal_stats_fractional_grid(None, scale_num=1, scale_den=2,
+                                    off_x_num=0, off_y_num=0)
