@@ -493,6 +493,48 @@ def _op_pyramid_up_levels(ds, catalog: str, name: str, zoom: int, down_to: int =
     }))
 
 
+def _op_zonal_fractional(ds, scale_num: int, scale_den: int,
+                         off_x_num: int = 0, off_y_num: int = 0,
+                         final: str = "single"):
+    from ..stages.stats import zonal_stats_fractional_grid
+
+    return zonal_stats_fractional_grid(ds, scale_num, scale_den,
+                                       off_x_num, off_y_num, final=final)
+
+
+def _op_simplify(ds, tolerance: float, wkb_col: str = "wkb"):
+    """Douglas-Peucker simplify every geometry in a WKB column (wkb.decode
+    dict shape: LineString 'coords', Polygon 'rings' — rings keep >= 4
+    points, simplify_geom's conservative fallback)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.geom import simplify_dp
+    from ..core.wkb import decode as wkb_decode
+    from ..core.wkb import encode as wkb_encode
+
+    def simp(g: dict) -> dict:
+        t = g["type"]
+        if t == "LineString":
+            return {"type": t, "coords": simplify_dp(g["coords"], tolerance)}
+        if t == "Polygon":
+            rings = []
+            for ring in g["rings"]:
+                s = simplify_dp(ring, tolerance)
+                rings.append(s if len(s) >= 4 else np.asarray(ring, np.float64))
+            return {"type": t, "rings": rings}
+        if t.startswith("Multi"):
+            return {"type": t, "parts": [simp(p) for p in g["parts"]]}
+        return g
+
+    def fn(b: pa.Table) -> pa.Table:
+        out = [wkb_encode(simp(wkb_decode(v))) for v in b[wkb_col].to_pylist()]
+        i = b.schema.get_field_index(wkb_col)
+        return b.set_column(i, wkb_col, pa.array(out, pa.binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 for _name, _fn in {
     "read.parquet": _op_read_parquet,
     "transform.enrich": _op_enrich,
@@ -553,5 +595,7 @@ for _name, _fn in {
     "write.geotiffs": _op_write_geotiffs,
     "read.geojson": _op_read_geojson,
     "transform.tile_to_layout": _op_tile_to_layout,
+    "agg.zonal_fractional": _op_zonal_fractional,
+    "transform.simplify": _op_simplify,
 }.items():
     register_op(_name, _fn)

@@ -223,3 +223,38 @@ def test_spec_unbounded_agg_and_window_ops(ray_session, tmp_path):
                                    "part_col": "key", "ts_col": "ts",
                                    "id_col": "doc_id", "value_col": "score"}])
         assert out.count() == 60 and col in out.schema().names
+
+
+def test_spec_zonal_fractional_and_simplify(ray_session):
+    """The two late-r5 AST nodes: agg.zonal_fractional over a 1-tile layer
+    (brute 2x2 aligned-zones case) and transform.simplify over WKB geoms."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.raster import encode_tile
+    from geotrellis_ray.core.wkb import decode, encode_linestring, encode_polygon
+    from geotrellis_ray.pipelines.spec import get_op
+
+    a = np.arange(16, dtype=np.float64).reshape(4, 4)
+    cells, cols, rows, ct = encode_tile(a)
+    tiles = ray.data.from_arrow(pa.Table.from_pylist([{
+        "key_col": 0, "key_row": 0, "sfc": 0,
+        "cells": cells, "cols": cols, "rows": rows, "cell_type": ct}]))
+    out = get_op("agg.zonal_fractional")(
+        tiles, scale_num=2, scale_den=1, off_x_num=0, off_y_num=0
+    ).to_pandas().set_index(["zone_x", "zone_y"]).sort_index()
+    assert len(out) == 4
+    # aligned 2x2 zones: each zone sums its 4 cells with weight 1
+    assert int(out.loc[(0, 0)]["sum_wv"]) == 0 + 1 + 4 + 5
+    assert int(out.loc[(1, 1)]["sum_wv"]) == 10 + 11 + 14 + 15
+    assert (out["sum_w"] == 4).all() and (out["n_cells"] == 4).all()
+
+    geoms = ray.data.from_arrow(pa.table({"wkb": pa.array([
+        encode_linestring([(0, 0), (1, 0.01), (2, 0), (3, 5), (4, 0)]),
+        encode_polygon([[(0, 0), (4, 0), (4, 0.01), (4, 4), (0, 4), (0, 0)]]),
+    ], pa.binary())}))
+    got = [decode(r["wkb"]) for r in
+           get_op("transform.simplify")(geoms, tolerance=0.5).take_all()]
+    assert len(got[0]["coords"]) == 4          # wiggle vertex dropped
+    assert len(got[1]["rings"][0]) == 5        # collinear-ish vertex dropped
