@@ -454,23 +454,12 @@ SQL_PACK_SHARDS = r"""
 """
 
 
-def q_quality_scorer(sf_dir: str):
-    """Hashed char-4-gram linear quality scorer
-    (functions/text_analysis.py:HashedNgramScorer) — the batched
-    model-inference pattern: weight LUT built once per actor, applied as a
-    rolling polynomial hash + gather + per-doc range sum over the batch's
-    flat byte buffer. Integer-exact end to end, so the SQL oracle replays
-    the gram hash (HUGEINT mod-2^64 polynomial, same prime/powers as
-    dedup._gram_hash64) and the sha256-derived weights bit-for-bit."""
-    from .functions.text_analysis import HashedNgramScorer
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(HashedNgramScorer, concurrency=2,
-                          batch_format="pyarrow", zero_copy_batch=True)
-
-
-SQL_QUALITY_SCORER = """
-    WITH pos AS (
+# The hashed-4-gram quality model's fragile contract (gram-hash prime powers
+# + sha256 weight derivation) lives in ONE fragment shared by every oracle
+# that replays it (ADVICE r4: keep fragile rounding/hash contracts in one
+# place). Yields CTE ``agg(doc_id, score, n_grams)``.
+_SQL_QUALITY_AGG_CTE = """
+    pos AS (
         SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - 2, 1))) AS i
         FROM documents
@@ -496,6 +485,67 @@ SQL_QUALITY_SCORER = """
     ),
     agg AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score,
                    count(*) AS n_grams FROM w GROUP BY doc_id)
+"""
+
+
+
+def q_curation_chain(sf_dir: str):
+    """End-to-end LLM corpus-curation chain (pipelines/curation.py):
+    quality-score -> keep score>0 -> exact dedup (keep min id) -> token
+    count -> pack into 4096-token shards — ONE all-to-all for the whole
+    chain (the dedup shuffle ships (content_hash, doc_id<<20|n_tokens);
+    the winner's token count rides the min aggregate, no join-back).
+    SQL-checked bit-exact against the full chained replay: the shared
+    quality CTE, GROUP BY text with min(doc_id), and the same exclusive
+    prefix-sum packing rule."""
+    from .pipelines.curation import curation_chain
+
+    return curation_chain(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          budget=4096)
+
+
+SQL_CURATION_CHAIN = ("    WITH " + _SQL_QUALITY_AGG_CTE.strip() + r""",
+    kept AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+        WHERE a.score > 0
+    ),
+    ded AS (
+        SELECT min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_dupes,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY text
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, n_dupes,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS prefix
+        FROM ded
+    )
+    SELECT doc_id, n_tokens, n_dupes,
+           prefix // 4096 AS shard_id,
+           prefix % 4096 AS offset_in_shard
+    FROM c
+""")
+
+
+def q_quality_scorer(sf_dir: str):
+    """Hashed char-4-gram linear quality scorer
+    (functions/text_analysis.py:HashedNgramScorer) — the batched
+    model-inference pattern: weight LUT built once per actor, applied as a
+    rolling polynomial hash + gather + per-doc range sum over the batch's
+    flat byte buffer. Integer-exact end to end, so the SQL oracle replays
+    the gram hash (HUGEINT mod-2^64 polynomial, same prime/powers as
+    dedup._gram_hash64) and the sha256-derived weights bit-for-bit."""
+    from .functions.text_analysis import HashedNgramScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(HashedNgramScorer, concurrency=2,
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_SCORER = "    WITH " + _SQL_QUALITY_AGG_CTE.strip() + """
     SELECT d.doc_id,
            coalesce(a.n_grams, 0) AS n_grams,
            coalesce(a.score, 0) AS score,
@@ -7103,6 +7153,7 @@ def build_queries() -> dict:
         "q_line_freq_filter": q_line_freq_filter,
         "q_quality_scorer": q_quality_scorer,
         "q_pack_shards": q_pack_shards,
+        "q_curation_chain": q_curation_chain,
         "q_duplicated_spans": q_duplicated_spans,
         "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
@@ -7280,6 +7331,7 @@ def build_queries() -> dict:
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
+        "q_curation_chain",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7342,6 +7394,7 @@ def build_oracle_sql() -> dict:
         "q_line_freq_filter": SQL_LINE_FREQ_FILTER,
         "q_quality_scorer": SQL_QUALITY_SCORER,
         "q_pack_shards": SQL_PACK_SHARDS,
+        "q_curation_chain": SQL_CURATION_CHAIN,
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,

@@ -155,13 +155,18 @@ class HashedNgramScorer:
 
     def __init__(self, seed: str = "quality-v1", n: int = 4,
                  buckets: int = 4096, scale: int = 1000,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 passthrough: tuple = ()):
         from .hashing import sha256_64
 
         self.n = n
         self.buckets = buckets
         self.id_col = id_col
         self.text_col = text_col
+        # extra input columns to carry into the output batch unchanged
+        # (e.g. the text itself when a downstream chain stage needs it) —
+        # same-batch passthrough, never a join
+        self.passthrough = tuple(passthrough)
         self.lut = np.array(
             [sha256_64(f"{seed}|{j}") % (2 * scale + 1) - scale
              for j in range(buckets)], dtype=np.int64)
@@ -201,11 +206,13 @@ class HashedNgramScorer:
         s0 = np.minimum(starts, npos)
         s1 = np.minimum(starts + g, npos)
         score = cw[s1] - cw[s0]
-        return pa.table({self.id_col: batch[self.id_col],
-                         "n_grams": pa.array(g, pa.int64()),
-                         "score": pa.array(score, pa.int64()),
-                         "keep": pa.array((score > 0).astype(np.int64),
-                                          pa.int64())})
+        cols = {self.id_col: batch[self.id_col],
+                "n_grams": pa.array(g, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+                "keep": pa.array((score > 0).astype(np.int64), pa.int64())}
+        for c in self.passthrough:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
 
 def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -379,25 +379,32 @@ def pack_token_shards(ds, budget: int, id_col: str = "doc_id",
     side = sorted_ds.map_batches(block_sum, batch_format="pyarrow",
                                  zero_copy_batch=True,
                                  batch_size=None).to_pandas()
-    side = side.sort_values("first_id")
-    block_offs = np.zeros(len(side), dtype=np.int64)
-    np.cumsum(side["s"].to_numpy()[:-1], out=block_offs[1:])
-    off_ref = ray.put((side["first_id"].to_numpy(), block_offs))
+    if len(side) == 0:
+        # fully-empty input: Ray's empty to_pandas() loses column names
+        fids = np.empty(0, dtype=np.int64)
+        block_offs = np.empty(0, dtype=np.int64)
+    else:
+        side = side.sort_values("first_id")
+        fids = side["first_id"].to_numpy()
+        block_offs = np.zeros(len(side), dtype=np.int64)
+        np.cumsum(side["s"].to_numpy()[:-1], out=block_offs[1:])
+    off_ref = ray.put((fids, block_offs))
 
     def assign(b: pa.Table) -> pa.Table:
+        # appends shard_id/offset_in_shard, preserving every input column
+        # (chains carry extra per-doc columns like n_dupes through packing)
         if b.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             tokens_col: pa.array([], pa.int64()),
-                             "shard_id": pa.array([], pa.int64()),
-                             "offset_in_shard": pa.array([], pa.int64())})
+            return b.append_column(
+                "shard_id", pa.array([], pa.int64())).append_column(
+                "offset_in_shard", pa.array([], pa.int64()))
         fids, boffs = ray.get(off_ref)
         t = b[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
         base = int(boffs[np.searchsorted(fids, int(b[id_col][0].as_py()))])
         ex = np.full(len(t), base, dtype=np.int64)
         ex[1:] += np.cumsum(t[:-1])
-        return pa.table({id_col: b[id_col], tokens_col: b[tokens_col],
-                         "shard_id": pa.array(ex // budget, pa.int64()),
-                         "offset_in_shard": pa.array(ex % budget, pa.int64())})
+        return b.append_column(
+            "shard_id", pa.array(ex // budget, pa.int64())).append_column(
+            "offset_in_shard", pa.array(ex % budget, pa.int64()))
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
