@@ -754,11 +754,96 @@ def run_text_rehearsal(n_docs: int, num_cpus: int) -> dict:
         ray.shutdown()
 
 
+def run_curation_rehearsal(n_docs: int, num_cpus: int) -> dict:
+    """The end-to-end curation chain (pipelines/curation.py) at 10x bench
+    corpus: quality filter -> exact dedup -> token count -> shard packing,
+    one dedup shuffle of slim (hash, packed-int) rows + one packing sort.
+    Structural constants (docs out, total tokens, shard count) are
+    load-independent rerun anchors."""
+    import threading
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from geotrellis_ray.fixtures import write_pages_parquet
+
+    _init_ray(num_cpus)
+    peak = {"used": 0.0}
+    total_store = ray.cluster_resources().get("object_store_memory", 0.0)
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.wait(0.25):
+            avail = ray.available_resources().get("object_store_memory", total_store)
+            peak["used"] = max(peak["used"], total_store - avail)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        pages_path = f"/tmp/graft_pages_{n_docs}"
+        write_pages_parquet(pages_path, n_docs, shard_rows=100_000)
+
+        from geotrellis_ray.functions.hashing import sha256_prefix64_column
+        from geotrellis_ray.pipelines.curation import curation_chain
+
+        def with_id(b: pa.Table) -> pa.Table:
+            # curation packs doc_id<<20|n_tokens: ids must stay < 2^43 —
+            # same 42-bit hash id + dup-marker bit as the text rehearsal
+            h = sha256_prefix64_column(b["url"]) >> np.uint64(22)
+            return pa.table({"doc_id": pa.array(h.astype(np.int64), pa.int64()),
+                             "text": b["text"]})
+
+        def plant_dups(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sel = np.nonzero(ids % 100 == 0)[0]
+            return pa.table({
+                "doc_id": pa.array(ids[sel] ^ np.int64(1 << 42), pa.int64()),
+                "text": b["text"].take(pa.array(sel, pa.int64())),
+            })
+
+        docs = ray.data.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+            with_id, batch_format="pyarrow", zero_copy_batch=True)
+        corpus = docs.union(docs.map_batches(
+            plant_dups, batch_format="pyarrow", zero_copy_batch=True))
+        n_total = int(n_docs * 1.01)
+
+        t0 = time.monotonic()
+        out_ds = curation_chain(corpus, budget=4096).materialize()
+        n_out = out_ds.count()
+        tok = out_ds.map_batches(
+            lambda b: pa.table({"s": pa.array([int(b["n_tokens"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()["s"].sum()
+        n_shards = int(out_ds.map_batches(
+            lambda b: pa.table({"m": pa.array([int(b["shard_id"].to_numpy(
+                zero_copy_only=False).max(initial=0))], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()["m"].max()) + 1
+        w = time.monotonic() - t0
+        return {
+            "metric": f"curation chain rehearsal at {n_docs} docs", "unit": "sec",
+            "num_cpus": num_cpus, "docs_in": n_total,
+            "sec": round(w, 2), "docs_per_sec": round(n_total / w, 1),
+            "docs_out": int(n_out), "total_tokens": int(tok),
+            "n_shards": n_shards,
+            "object_store_total_bytes": int(total_store),
+            "object_store_peak_bytes": int(peak["used"]),
+            "object_store_peak_frac": (
+                round(peak["used"] / total_store, 4) if total_store else None),
+        }
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        ray.shutdown()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--rehearsal", action="store_true")
     ap.add_argument("--rehearsal-text", action="store_true")
+    ap.add_argument("--rehearsal-curation", action="store_true")
     ap.add_argument("--n-docs", type=int, default=2_000_000)
     ap.add_argument("--scaling-child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
@@ -782,6 +867,9 @@ def main(argv=None) -> int:
         return 0
     if args.rehearsal_text:
         print(json.dumps(run_text_rehearsal(args.n_docs, args.cpus)))
+        return 0
+    if args.rehearsal_curation:
+        print(json.dumps(run_curation_rehearsal(args.n_docs, args.cpus)))
         return 0
     print(json.dumps(run_default(SF_DIR, args.cpus)))
     return 0
