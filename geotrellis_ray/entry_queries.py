@@ -2366,6 +2366,54 @@ def q_geojson_rects(sf_dir: str):
         final="single")
 
 
+def q_shapefile_rects(sf_dir: str):
+    """The Shapefile SOURCE path SQL-BIT-EXACT (core/shapefile.py — from-spec
+    ESRI .shp/.shx/.dbf codec, GeoTrellis ShapeFileReader equivalent): the
+    dyadic rect fixture is exported as 4 shapefile shards (IEEE LE doubles
+    round-trip dyadic coords exactly; polygon_id rides the .dbf as an 'N'
+    field), read back distributed through the real read_shapefile source,
+    and clipped to the grid — the same closed-form cover oracle as
+    q_geojson_rects verifies the whole write -> file -> parse -> WKB ->
+    clip chain."""
+    import json
+    import os
+
+    from .core import wkb as wkb_mod
+    from .core.shapefile import read_shapefile, write_shapefile
+    from .fixtures import gen_rect_features
+    from .stages.agg import partial_groupby
+    from .stages.clip import clip_to_grid_batch
+
+    d = "/tmp/graft_shapefile_rects"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        tab = gen_rect_features()
+        geoms = [wkb_mod.decode(b) for b in tab["wkb"].to_pylist()]
+        pids = tab["polygon_id"].to_pylist()
+        for k in range(4):
+            idx = [i for i in range(len(geoms)) if i % 4 == k]
+            write_shapefile(f"{d}/part-{k}", [geoms[i] for i in idx],
+                            {"polygon_id": [pids[i] for i in idx]})
+    layout = LayoutDefinition(Extent(-180.0, -90.0, 180.0, 90.0), TileLayout(16, 8, 32, 32))
+    ds = read_shapefile(d)
+
+    def with_pid(b: pa.Table) -> pa.Table:
+        pids = pa.array([json.loads(p)["polygon_id"]
+                         for p in b["properties"].to_pylist()], pa.int64())
+        return pa.table({"polygon_id": pids, "wkb": b["wkb"]})
+
+    exploded = ds.map_batches(with_pid, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        lambda b: clip_to_grid_batch(b, layout), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda b: b.append_column("full_i", b["full"].cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partial_groupby(
+        exploded, ["polygon_id"],
+        [("key_col", "count", "n_keys"), ("full_i", "sum", "n_full")],
+        final="single")
+
+
 def q_cliptogrid_toy(sf_dir: str):
     import ray.data
 
@@ -7253,6 +7301,7 @@ def build_queries() -> dict:
         "q_rasterize_rects": q_rasterize_rects,
         "q_cliptogrid_rects": q_cliptogrid_rects,
         "q_geojson_rects": q_geojson_rects,
+        "q_shapefile_rects": q_shapefile_rects,
         "q_geotiff_sums": q_geotiff_sums,
         "q_layer_algebra_sums": q_layer_algebra_sums,
         "q_merge_layers_sums": q_merge_layers_sums,
@@ -7331,7 +7380,7 @@ def build_queries() -> dict:
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
-        "q_curation_chain",
+        "q_curation_chain", "q_shapefile_rects",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7502,6 +7551,7 @@ def build_oracle_sql() -> dict:
         "q_hll_registers": _sql_hll_registers(),
         "q_ann_dot": _sql_ann_dot(),
         "q_geojson_rects": _sql_cliptogrid_rects(),
+        "q_shapefile_rects": _sql_cliptogrid_rects(),
         "q_etl_grid": _sql_etl_grid(),
         "q_idw_grid": _sql_idw_grid(),
         "q_pages_extract_sql": _sql_pages_extract(),

@@ -350,6 +350,12 @@ def _op_read_geojson(ds, path: str):
     return read_geojson(path)
 
 
+def _op_read_shapefiles(ds, path: str):
+    from ..core.shapefile import read_shapefile
+
+    return read_shapefile(path)
+
+
 def _op_read_rasters(ds, path: str):
     from ..sources.raster_ingest import read_raster_files
 
@@ -594,6 +600,7 @@ for _name, _fn in {
     "read.geotiffs": _op_read_geotiffs,
     "write.geotiffs": _op_write_geotiffs,
     "read.geojson": _op_read_geojson,
+    "read.shapefiles": _op_read_shapefiles,
     "transform.tile_to_layout": _op_tile_to_layout,
     "agg.zonal_fractional": _op_zonal_fractional,
     "transform.simplify": _op_simplify,
