@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_pyramid_counts",
     "q_spatial_join_layers",
     "q_dedup_docs_exact",
+    "q_curation_chain",
     "q_minhash_dedup_docs",
     "q_ann_embeddings",
     "q_doc_token_counts",

@@ -296,7 +296,6 @@ def simplify_dp(coords: np.ndarray, tolerance: float) -> np.ndarray:
         return coords.copy()
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
-    tol2 = float(tolerance) * float(tolerance)
     stack = [(0, n - 1)]
     while stack:
         i, j = stack.pop()
@@ -306,22 +305,24 @@ def simplify_dp(coords: np.ndarray, tolerance: float) -> np.ndarray:
         a, b = coords[i], coords[j]
         ab = b - a
         L2 = ab @ ab
-        rel = seg - a
-        # sqrt-free threshold test: d > tol  <=>  cross^2 > tol^2 * L2
-        # (perpendicular distance to the INFINITE line through a-b — classic
-        # DP uses the line, not the clamped segment). For integer coords and
-        # binary-friendly tolerances every quantity below is exactly
-        # representable, so the keep decisions are bit-exact and replayable
-        # by an integer-arithmetic SQL oracle (entry_queries.SQL_SIMPLIFY_DP).
         if L2 == 0.0:
-            m2 = rel[:, 0] * rel[:, 0] + rel[:, 1] * rel[:, 1]
-            thr = tol2
+            d = np.linalg.norm(seg - a, axis=1)
         else:
-            cross = ab[0] * rel[:, 1] - ab[1] * rel[:, 0]
-            m2 = cross * cross
-            thr = tol2 * L2
-        kmax = int(np.argmax(m2))
-        if m2[kmax] > thr:
+            # perpendicular distance to the INFINITE line through a-b
+            # (classic DP uses the line, not the clamped segment). The
+            # |cross|/sqrt(L2) > tol form is kept EXACTLY as JTS evaluates
+            # it (a sqrt-free cross^2 > tol^2*L2 variant diverges by 1 ulp
+            # on float near-ties — caught by the hypothesis oracle). On
+            # INTEGER coordinates the decisions are still bit-exact and
+            # SQL-replayable (entry_queries.SQL_SIMPLIFY_DP): an exact tie
+            # cross^2 == tol^2*L2 with integer tol forces L2 to be a
+            # perfect square, where sqrt and the division are exact; any
+            # non-tie has an integer-sized gap, orders of magnitude above
+            # float rounding.
+            rel = seg - a
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / np.sqrt(L2)
+        kmax = int(np.argmax(d))
+        if d[kmax] > tolerance:
             mid = i + 1 + kmax
             keep[mid] = True
             stack.append((i, mid))

@@ -6836,12 +6836,13 @@ def q_simplify_geoms(sf_dir: str):
 
 
 def q_simplify_dp_grid(sf_dir: str):
-    """SQL-checked Douglas-Peucker (core/geom.simplify_dp, sqrt-free
-    threshold): one deterministic INTEGER zigzag polyline per sampled event
+    """SQL-checked Douglas-Peucker (core/geom.simplify_dp, classic JTS
+    |cross|/sqrt(L2) > tol form — bit-exact on integer coords because exact
+    ties force perfect-square L2): one INTEGER zigzag polyline per sampled event
     (x_k = k, y_k = (((event_id + k) * 2654435761) % 2147483647) % 21 - 10,
     n = 30, tolerance = 2.0), one output row per KEPT vertex
-    (event_id, seq, x, y). With integer coords the cross^2 > tol^2*L2 keep
-    test and the first-max argmax are exact, so the kept set is bit-exact
+    (event_id, seq, x, y). With integer coords the keep test and the
+    first-max argmax are exact, so the kept set is bit-exact
     vs a recursive-CTE DuckDB replay of the full DP recursion tree
     (ref:vector/src/main/scala/geotrellis/vector/simplify — JTS
     DouglasPeuckerSimplifier semantics; dir empty, path unverified)."""

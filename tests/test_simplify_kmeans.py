@@ -217,9 +217,10 @@ def test_weighted_sample_block_invariance(ray_session):
 
 
 def test_simplify_dp_sqrtfree_matches_classic():
-    """The r5 sqrt-free keep test (cross^2 > tol^2*L2) must reproduce the
-    classic |cross|/sqrt(L2) > tol form on generic float polylines (the
-    comparisons are algebraically identical; this guards the refactor)."""
+    """Pin simplify_dp to the classic |cross|/sqrt(L2) > tol evaluation on
+    generic float polylines (an r5 sqrt-free cross^2 > tol^2*L2 attempt
+    diverged by 1 ulp on near-ties — caught by the hypothesis oracle above
+    and reverted; this inline copy keeps the contract pinned)."""
     import numpy as np
 
     from geotrellis_ray.core.geom import simplify_dp
