@@ -78,8 +78,9 @@ def write_geoparquet(ds, path: str, wkb_col: str = "wkb") -> dict:
     blob = json.dumps(meta, sort_keys=True).encode()
 
     def stamp(b: pa.Table) -> pa.Table:
-        return b.replace_schema_metadata(
-            dict(b.schema.metadata or {}, **{b"geo": blob}))
+        md = dict(b.schema.metadata or {})
+        md[b"geo"] = blob
+        return b.replace_schema_metadata(md)
 
     os.makedirs(path, exist_ok=True)
     ds.map_batches(stamp, batch_format="pyarrow",

@@ -2366,6 +2366,42 @@ def q_geojson_rects(sf_dir: str):
         final="single")
 
 
+def q_geoparquet_tris(sf_dir: str):
+    """The GeoParquet SOURCE/SINK path SQL-BIT-EXACT (core/geoparquet.py —
+    GeoParquet 1.0.0: WKB columns + the 'geo' footer metadata, the engine's
+    native vector interchange under the Parquet-only north rule): the
+    doc-id triangle fixture is written via write_geoparquet (stats pre-pass
+    computes geometry_types + bbox; every file footer carries the
+    metadata), read back through read_geoparquet (footer validation), and
+    measured — SQL_GEOM_MEASURES verifies the whole encode -> parquet ->
+    decode -> shoelace chain bit-for-bit (WKB doubles ride Parquet
+    untouched)."""
+    import os
+
+    from .core.geoparquet import read_geoparquet, write_geoparquet
+    from .core.wkb import encode_polygon
+    from .stages.overlay import geom_measures
+
+    d = f"/tmp/graft_geoparquet_tris_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.isdir(d):
+        ds = _read(sf_dir, "documents", ["doc_id"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            wkbs = []
+            for doc in ids:
+                doc = int(doc)
+                x0, y0 = doc % 50, doc % 31
+                ring = [(x0, y0), (x0 + 3 + doc % 5, y0 + 1), (x0 + 1, y0 + 4 + doc % 7)]
+                wkbs.append(encode_polygon([ring]))
+            return pa.table({"polygon_id": b["doc_id"],
+                             "wkb": pa.array(wkbs, pa.binary())})
+
+        tris = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+        write_geoparquet(tris, d)
+    return geom_measures(read_geoparquet(d))
+
+
 def q_shapefile_rects(sf_dir: str):
     """The Shapefile SOURCE path SQL-BIT-EXACT (core/shapefile.py — from-spec
     ESRI .shp/.shx/.dbf codec, GeoTrellis ShapeFileReader equivalent): the
@@ -7303,6 +7339,7 @@ def build_queries() -> dict:
         "q_cliptogrid_rects": q_cliptogrid_rects,
         "q_geojson_rects": q_geojson_rects,
         "q_shapefile_rects": q_shapefile_rects,
+        "q_geoparquet_tris": q_geoparquet_tris,
         "q_geotiff_sums": q_geotiff_sums,
         "q_layer_algebra_sums": q_layer_algebra_sums,
         "q_merge_layers_sums": q_merge_layers_sums,
@@ -7381,7 +7418,7 @@ def build_queries() -> dict:
         "q_grouped_topk_sort", "q_distinct_cents_per_user",
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
-        "q_curation_chain", "q_shapefile_rects",
+        "q_curation_chain", "q_shapefile_rects", "q_geoparquet_tris",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7553,6 +7590,7 @@ def build_oracle_sql() -> dict:
         "q_ann_dot": _sql_ann_dot(),
         "q_geojson_rects": _sql_cliptogrid_rects(),
         "q_shapefile_rects": _sql_cliptogrid_rects(),
+        "q_geoparquet_tris": SQL_GEOM_MEASURES,
         "q_etl_grid": _sql_etl_grid(),
         "q_idw_grid": _sql_idw_grid(),
         "q_pages_extract_sql": _sql_pages_extract(),

@@ -356,6 +356,19 @@ def _op_read_shapefiles(ds, path: str):
     return read_shapefile(path)
 
 
+def _op_read_geoparquet(ds, path: str, columns=None):
+    from ..core.geoparquet import read_geoparquet
+
+    return read_geoparquet(path, columns=columns)
+
+
+def _op_write_geoparquet(ds, path: str, wkb_col: str = "wkb"):
+    from ..core.geoparquet import write_geoparquet
+
+    write_geoparquet(ds, path, wkb_col=wkb_col)
+    return ds
+
+
 def _op_read_rasters(ds, path: str):
     from ..sources.raster_ingest import read_raster_files
 
@@ -601,6 +614,8 @@ for _name, _fn in {
     "write.geotiffs": _op_write_geotiffs,
     "read.geojson": _op_read_geojson,
     "read.shapefiles": _op_read_shapefiles,
+    "read.geoparquet": _op_read_geoparquet,
+    "write.geoparquet": _op_write_geoparquet,
     "transform.tile_to_layout": _op_tile_to_layout,
     "agg.zonal_fractional": _op_zonal_fractional,
     "transform.simplify": _op_simplify,
