@@ -41,6 +41,7 @@ import numpy as np
 from .layout import Extent
 
 # TIFF tag ids
+_NEW_SUBFILE_TYPE = 254  # bit 0 = reduced-resolution (COG overview pages)
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
@@ -242,7 +243,7 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
+def decode_geotiff(buf: bytes, _page_off: int | None = None) -> tuple[Extent, np.ndarray, dict]:
     """GeoTiff bytes -> (Extent, float64 array with NaN NoData, meta).
 
     Single band: array shape (rows, cols). Multiband (round 3): shape
@@ -263,9 +264,13 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
         if osize != 8 or zero != 0:
             raise ValueError(f"malformed BigTIFF header (offsetsize={osize})")
         (ifd_off,) = struct.unpack_from(endian + "Q", buf, 8)
+        if _page_off is not None:
+            ifd_off = _page_off
         tags = _read_ifd_entries(buf, int(ifd_off), endian, big=True)
     elif magic == 42:
         (ifd_off,) = struct.unpack_from(endian + "I", buf, 4)
+        if _page_off is not None:
+            ifd_off = _page_off
         tags = _read_ifd_entries(buf, ifd_off, endian)
     else:
         raise ValueError(f"not a TIFF (magic {magic})")
@@ -406,7 +411,55 @@ def decode_geotiff(buf: bytes) -> tuple[Extent, np.ndarray, dict]:
                   if mixed else str(np.dtype(dt).newbyteorder("=")))
     meta = {"epsg": epsg, "nodata": nodata, "cols": cols, "rows": rows,
             "bands": nbands, "dtype": dtype_name, "rectified": rectified}
+    if _NEW_SUBFILE_TYPE in tags:
+        meta["reduced_resolution"] = bool(int(tags[_NEW_SUBFILE_TYPE][0]) & 1)
     return extent, out, meta
+
+
+def _ifd_chain(buf: bytes) -> tuple[str, bool, list[int]]:
+    """(endian, bigtiff, [ifd offsets]) — every page in the file."""
+    if buf[:2] == b"II":
+        endian = "<"
+    elif buf[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack_from(endian + "H", buf, 2)
+    if magic == 43:
+        big = True
+        (off,) = struct.unpack_from(endian + "Q", buf, 8)
+    elif magic == 42:
+        big = False
+        (off,) = struct.unpack_from(endian + "I", buf, 4)
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    offs: list[int] = []
+    while off:
+        offs.append(int(off))
+        if big:
+            (n,) = struct.unpack_from(endian + "Q", buf, int(off))
+            nxt_at = int(off) + 8 + 20 * int(n)
+            (off,) = struct.unpack_from(endian + "Q", buf, nxt_at)
+        else:
+            (n,) = struct.unpack_from(endian + "H", buf, int(off))
+            nxt_at = int(off) + 2 + 12 * int(n)
+            (off,) = struct.unpack_from(endian + "I", buf, nxt_at)
+        if len(offs) > 64:
+            raise ValueError("IFD chain too long (cycle?)")
+    return endian, big, offs
+
+
+def decode_geotiff_pages(buf: bytes) -> list[tuple[Extent, np.ndarray, dict]]:
+    """Every page of a multi-IFD (Big)TIFF — the COG overview chain
+    (encode_cog): page 0 is the full-resolution image (what decode_geotiff
+    returns), later pages carry meta['reduced_resolution'] = True when the
+    writer marked them NewSubfileType = 1."""
+    _endian, _big, offs = _ifd_chain(buf)
+    out = []
+    for off in offs:
+        extent, arr, meta = decode_geotiff(buf, _page_off=off)
+        out.append((extent, arr, meta))
+    return out
 
 
 def _rectify_affine(arr: np.ndarray, affine: tuple) -> tuple[np.ndarray, Extent]:
@@ -462,7 +515,7 @@ def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode_geotiff(
+def _build_page(
     extent: Extent,
     arr: np.ndarray,
     epsg: int = 4326,
@@ -471,15 +524,9 @@ def encode_geotiff(
     tile_size: int | None = 256,
     dtype: str | np.dtype | None = None,
     predictor: int = 1,
-    bigtiff: bool | None = None,
-) -> bytes:
-    """(Extent, 2-D (rows, cols) or 3-D (bands, rows, cols) array) ->
-    little-endian GeoTiff bytes. Multiband writes chunky
-    (PlanarConfiguration=1, pixel-interleaved). NaN cells become ``nodata``
-    (required for integer dtypes). ``tile_size=None`` writes strips (8 rows
-    each). compression: "none" | "deflate" | "lzw". ``bigtiff``: True forces
-    the BigTIFF container, False forces classic (raises if the payload
-    overflows 32-bit offsets), None (default) auto-promotes when needed."""
+    extra_entries: tuple = (),
+) -> dict:
+    """One TIFF page (IFD entries + compressed segments) for _encode_pages."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr3 = arr[None, :, :]
@@ -545,6 +592,7 @@ def encode_geotiff(
                (_GK_GEOGRAPHIC_TYPE if epsg == 4326 else _GK_PROJECTED_CS_TYPE), 0, 1, epsg]
 
     entries: list[tuple[int, int, list]] = [
+        *extra_entries,
         (_IMAGE_WIDTH, 4, [cols]),
         (_IMAGE_LENGTH, 4, [rows]),
         (_BITS_PER_SAMPLE, 3, [bits] * nbands),
@@ -563,9 +611,17 @@ def encode_geotiff(
         nd_txt = (f"{int(nodata)}" if float(nodata).is_integer() and dt.kind != "f"
                   else f"{nodata:.10g}").encode("ascii") + b"\x00"
         entries.append((_GDAL_NODATA, 2, [nd_txt]))
+    return {"entries": entries, "segs": segs,
+            "off_tag": off_tag, "cnt_tag": cnt_tag}
 
-    seg_counts = [len(s) for s in segs]
-    total_seg = sum(c + (c % 2) for c in seg_counts)
+
+def _encode_pages(pages: list[dict], bigtiff: bool | None) -> bytes:
+    """Pages -> one little-endian (Big)TIFF: header, then every page's
+    IFD + out-of-line tag data (chained via next-IFD pointers), then all
+    segment data — the COG-style headers-first layout. A single page is
+    the ordinary encode_geotiff output."""
+    seg_counts_all = [[len(s) for s in p["segs"]] for p in pages]
+    total_seg = sum(c + (c % 2) for counts in seg_counts_all for c in counts)
     if bigtiff is None:
         # conservative: payload + generous header/tag slack near the u32 edge
         big = total_seg + 1_048_576 > 0xFFFFFFFF
@@ -574,79 +630,165 @@ def encode_geotiff(
         if not big and total_seg + 1_048_576 > 0xFFFFFFFF:
             raise ValueError("payload overflows classic TIFF 32-bit offsets; use bigtiff=True/None")
 
-    # layout: header (8 classic / 16 BigTIFF) + IFD + out-of-line tag data +
-    # segment data. BigTIFF IFD: u64 entry count, 20-byte entries with 8-byte
-    # inline values, u64 next-IFD pointer; offsets/counts use LONG8 (16).
     inline = 8 if big else 4
     entry_sz = 20 if big else 12
     hdr_sz = 16 if big else 8
     off_ftype = 16 if big else 4
-    n_entries = len(entries) + 2  # + offsets/counts tags
-    ifd_size = (8 + entry_sz * n_entries + 8) if big else (2 + entry_sz * n_entries + 4)
-    data_off = hdr_sz + ifd_size
+    ptr_fmt = "<Q" if big else "<I"
 
-    overflow: list[bytes] = []
+    def pack_page(page: dict, ifd_at: int, seg_offsets: list[int] | None,
+                  next_ifd: int) -> bytes:
+        """Pack one page's IFD + overflow. With seg_offsets=None the
+        offsets are placeholders (sizing pass — layout is offset-free)."""
+        segs = page["segs"]
+        counts = [len(s) for s in segs]
+        all_entries = page["entries"] + [
+            (page["off_tag"], off_ftype,
+             seg_offsets if seg_offsets is not None else [0] * len(segs)),
+            (page["cnt_tag"], off_ftype, counts),
+        ]
+        n_entries = len(all_entries)
+        ifd_size = (8 + entry_sz * n_entries + 8) if big else (2 + entry_sz * n_entries + 4)
+        data_off = ifd_at + ifd_size
+        overflow: list[bytes] = []
+        packed: list[bytes] = []
+        for tag, ftype, vals in sorted(all_entries):
+            if ftype == 2:
+                raw = vals[0]
+                count = len(raw)
+            else:
+                code, _sz = _FIELD_TYPES[ftype]
+                raw = struct.pack("<" + code * len(vals), *vals)
+                count = len(vals)
+            if len(raw) <= inline:
+                data = raw.ljust(inline, b"\x00")
+            else:
+                data = struct.pack(ptr_fmt, data_off)
+                overflow.append(raw)
+                data_off += len(raw)
+                if data_off % 2:  # keep word alignment
+                    overflow.append(b"\x00")
+                    data_off += 1
+            head = struct.pack("<HHQ" if big else "<HHI", tag, ftype, count)
+            packed.append(head + data)
+        out = [struct.pack("<Q" if big else "<H", n_entries)]
+        out.extend(packed)
+        out.append(struct.pack(ptr_fmt, next_ifd))
+        out.extend(overflow)
+        return b"".join(out)
 
-    def pack_value(ftype: int, vals) -> tuple[bytes, int]:
-        nonlocal data_off
-        if ftype == 2:
-            raw = vals[0]
-            count = len(raw)
-        else:
-            code, _sz = _FIELD_TYPES[ftype]
-            raw = struct.pack("<" + code * len(vals), *vals)
-            count = len(vals)
-        if len(raw) <= inline:
-            return raw.ljust(inline, b"\x00"), count
-        ptr = data_off
-        overflow.append(raw)
-        data_off += len(raw)
-        if data_off % 2:  # keep word alignment
-            overflow.append(b"\x00")
-            data_off += 1
-        return struct.pack("<Q" if big else "<I", ptr), count
+    # sizing pass: page extents depend only on entry/raw sizes, not offsets
+    page_sizes = []
+    pos = hdr_sz
+    for p in pages:
+        sz = len(pack_page(p, pos, None, 0))
+        page_sizes.append(sz)
+        pos += sz
+    seg_base = pos
 
-    def pack_entry(tag: int, ftype: int, count: int, data: bytes) -> bytes:
-        head = struct.pack("<HHQ" if big else "<HHI", tag, ftype, count)
-        return head + data
-
-    all_entries = entries + [(off_tag, off_ftype, None), (cnt_tag, off_ftype, None)]
-    packed: list[bytes] = []
-    # reserve overflow space for offsets/counts before computing segment base
-    for tag, ftype, vals in sorted(all_entries):
-        if vals is None:
-            vals = [0] * len(segs)  # placeholder, re-packed below
-        data, count = pack_value(ftype, vals)
-        packed.append(pack_entry(tag, ftype, count, data))
-
-    seg_base = data_off
-    offsets = []
+    # absolute segment offsets, pages in order, word-aligned
+    seg_offsets_all: list[list[int]] = []
     o = seg_base
-    for c in seg_counts:
-        offsets.append(o)
-        o += c + (c % 2)
-
-    # re-pack with real offsets/counts (same sizes, so layout is unchanged)
-    overflow.clear()
-    data_off = hdr_sz + ifd_size
-    packed = []
-    for tag, ftype, vals in sorted(all_entries):
-        if vals is None:
-            vals = offsets if tag == off_tag else seg_counts
-        data, count = pack_value(ftype, vals)
-        packed.append(pack_entry(tag, ftype, count, data))
+    for counts in seg_counts_all:
+        offs = []
+        for c in counts:
+            offs.append(o)
+            o += c + (c % 2)
+        seg_offsets_all.append(offs)
 
     if big:
         out = [b"II", struct.pack("<HHH", 43, 8, 0), struct.pack("<Q", 16)]
-        out.append(struct.pack("<Q", n_entries))
     else:
         out = [b"II", struct.pack("<H", 42), struct.pack("<I", 8)]
-        out.append(struct.pack("<H", n_entries))
-    out.extend(packed)
-    out.append(struct.pack("<Q" if big else "<I", 0))  # no next IFD
-    out.extend(overflow)
-    for s in segs:
-        out.append(s)
-        if len(s) % 2:
-            out.append(b"\x00")
+    pos = hdr_sz
+    for k, p in enumerate(pages):
+        next_ifd = pos + page_sizes[k] if k + 1 < len(pages) else 0
+        body = pack_page(p, pos, seg_offsets_all[k], next_ifd)
+        assert len(body) == page_sizes[k]
+        out.append(body)
+        pos += page_sizes[k]
+    for p in pages:
+        for s in p["segs"]:
+            out.append(s)
+            if len(s) % 2:
+                out.append(b"\x00")
     return b"".join(out)
+
+
+def encode_geotiff(
+    extent: Extent,
+    arr: np.ndarray,
+    epsg: int = 4326,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    tile_size: int | None = 256,
+    dtype: str | np.dtype | None = None,
+    predictor: int = 1,
+    bigtiff: bool | None = None,
+) -> bytes:
+    """(Extent, 2-D (rows, cols) or 3-D (bands, rows, cols) array) ->
+    little-endian GeoTiff bytes. Multiband writes chunky
+    (PlanarConfiguration=1, pixel-interleaved). NaN cells become ``nodata``
+    (required for integer dtypes). ``tile_size=None`` writes strips (8 rows
+    each). compression: "none" | "deflate" | "lzw". ``bigtiff``: True forces
+    the BigTIFF container, False forces classic (raises if the payload
+    overflows 32-bit offsets), None (default) auto-promotes when needed."""
+    page = _build_page(extent, arr, epsg, nodata, compression, tile_size,
+                       dtype, predictor)
+    return _encode_pages([page], bigtiff)
+
+
+def _downsample_2x_any(a: np.ndarray) -> np.ndarray:
+    """NoData-aware 2x average for 2-D or 3-D (bands first) arrays of any
+    parity (odd edges NaN-padded so the last cell averages what exists)."""
+    from .raster import downsample_average_2x
+
+    if a.ndim == 3:
+        return np.stack([_downsample_2x_any(b) for b in a])
+    rows, cols = a.shape
+    pr, pc = rows % 2, cols % 2
+    if pr or pc:
+        a = np.pad(a.astype(np.float64), ((0, pr), (0, pc)),
+                   constant_values=np.nan)
+    return downsample_average_2x(a)
+
+
+def encode_cog(
+    extent: Extent,
+    arr: np.ndarray,
+    epsg: int = 4326,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    tile_size: int = 256,
+    dtype: str | np.dtype | None = None,
+    overviews: int | None = None,
+    min_size: int = 256,
+    bigtiff: bool | None = None,
+) -> bytes:
+    """Cloud-Optimized GeoTiff: the full-resolution page plus a chain of
+    2x average-downsampled overview pages (NewSubfileType = 1, tag 254 —
+    the reduced-resolution marker), ALL IFDs at the front of the file
+    before any segment data (the COG layout; GeoTrellis COGLayer keeps
+    per-zoom overview GeoTiffs the same way —
+    ref:spark/src/main/scala/geotrellis/spark/store/cog/COGLayer.scala,
+    L:unverified, dir empty). ``overviews=None`` keeps halving until
+    max(rows, cols) <= min_size; NaN NoData propagates weight-aware
+    through every level. Readable page-by-page via decode_geotiff_pages
+    (decode_geotiff sees the full-res page, unchanged)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    levels = [arr]
+    while (overviews is None or len(levels) <= overviews):
+        cur = levels[-1]
+        rows, cols = cur.shape[-2], cur.shape[-1]
+        if max(rows, cols) <= min_size or min(rows, cols) < 2:
+            break
+        levels.append(_downsample_2x_any(cur))
+        if overviews is None and len(levels) > 32:
+            break
+    pages = []
+    for k, lv in enumerate(levels):
+        extra = () if k == 0 else ((_NEW_SUBFILE_TYPE, 4, [1]),)
+        pages.append(_build_page(extent, lv, epsg, nodata, compression,
+                                 tile_size, dtype if k == 0 else None, 1,
+                                 extra_entries=extra))
+    return _encode_pages(pages, bigtiff)

@@ -2784,6 +2784,61 @@ def _sql_geotiff_sums() -> str:
     """
 
 
+def q_cog_sums(sf_dir: str):
+    """Cloud-Optimized GeoTiff SOURCE path SQL-BIT-EXACT (late-r5
+    core/geotiff.encode_cog — multi-IFD headers-first layout with a
+    2x-average overview chain, GeoTrellis COGLayerWriter parity): the same
+    mix32 world as q_geotiff_sums is written as 4 COG quadrants (deflate +
+    lzw, differing overview depths), ingested through the REAL
+    read_geotiffs -> tileToLayout path (which reads the full-resolution
+    page 0 of each chain), and summarized per tile — the
+    _sql_geotiff_sums closed form verifies that the multi-IFD chain,
+    overview pages and offset relocation leave the primary raster
+    bit-exact. Overview-pyramid math is pytest-verified (test_geotiff)."""
+    import os
+
+    from .core.geotiff import encode_cog
+    from .core.layout import Extent as Ext2
+    from .core.raster import decode_tile
+    from .sources.raster_ingest import read_geotiffs, tile_to_layout
+    from .stages.sample import mix32
+
+    d = f"/tmp/graft_cogs_sql_{os_basename(sf_dir)}"
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        idx = np.arange(128 * 128, dtype=np.int64)
+        world = (mix32(idx) % 997 + 1).astype(np.float64).reshape(128, 128)
+        cfgs = [("deflate", 16), ("deflate", 8), ("lzw", 16), ("deflate", 32)]
+        for i, (qx, qy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+            sub = world[qy * 64:(qy + 1) * 64, qx * 64:(qx + 1) * 64]
+            ext = Ext2(qx * 64.0, 128.0 - (qy + 1) * 64.0,
+                       (qx + 1) * 64.0, 128.0 - qy * 64.0)
+            comp, ms = cfgs[i]
+            with open(f"{d}/q{i}.tif", "wb") as f:
+                f.write(encode_cog(ext, sub, compression=comp, tile_size=16,
+                                   min_size=ms))
+    layout = LayoutDefinition(Extent(0.0, 0.0, 128.0, 128.0), TileLayout(8, 8, 16, 16))
+    tiles = tile_to_layout(read_geotiffs(d), layout)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        nd, sv, mn, mx = [], [], [], []
+        for row in b.to_pylist():
+            t = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
+            fin = t[np.isfinite(t)]
+            nd.append(int(fin.size))
+            sv.append(int(fin.sum()))
+            mn.append(int(fin.min()))
+            mx.append(int(fin.max()))
+        return pa.table({"key_col": b["key_col"].cast(pa.int64()),
+                         "key_row": b["key_row"].cast(pa.int64()),
+                         "n_defined": pa.array(nd, pa.int64()),
+                         "sum_val": pa.array(sv, pa.int64()),
+                         "min_val": pa.array(mn, pa.int64()),
+                         "max_val": pa.array(mx, pa.int64())})
+
+    return tiles.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_geotiff_ingest(sf_dir: str):
     """Real GeoTiff ingest end-to-end: deterministic Deflate-tiled GeoTiffs
     (core/geotiff.py writer) -> read_geotiffs -> tileToLayout -> per-tile
@@ -7341,6 +7396,7 @@ def build_queries() -> dict:
         "q_shapefile_rects": q_shapefile_rects,
         "q_geoparquet_tris": q_geoparquet_tris,
         "q_geotiff_sums": q_geotiff_sums,
+        "q_cog_sums": q_cog_sums,
         "q_layer_algebra_sums": q_layer_algebra_sums,
         "q_merge_layers_sums": q_merge_layers_sums,
         "q_cost_distance_grid": q_cost_distance_grid,
@@ -7419,6 +7475,7 @@ def build_queries() -> dict:
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
         "q_curation_chain", "q_shapefile_rects", "q_geoparquet_tris",
+        "q_cog_sums",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7578,6 +7635,7 @@ def build_oracle_sql() -> dict:
         "q_rasterize_rects": _sql_rasterize_rects(),
         "q_cliptogrid_rects": _sql_cliptogrid_rects(),
         "q_geotiff_sums": _sql_geotiff_sums(),
+        "q_cog_sums": _sql_geotiff_sums(),
         "q_layer_algebra_sums": _sql_layer_algebra_sums(),
         "q_merge_layers_sums": _sql_merge_layers_sums(),
         "q_cost_distance_grid": _sql_cost_distance_grid(),

@@ -138,14 +138,19 @@ def read_geotiffs(path: str):
 
 
 def write_geotiffs(ds, out_dir: str, layout: LayoutDefinition, epsg: int = 4326,
-                   compression: str = "deflate"):
+                   compression: str = "deflate", cog: bool = False,
+                   cog_min_size: int = 64):
     """Tile-layer Dataset -> one GeoTiff per tile under ``out_dir``
     (``z{key_col}_{key_row}.tif``) — a resumable partitioned sink (re-running
     overwrites per-tile files idempotently; no single giant file). Returns
-    the count of written tiles."""
+    the count of written tiles. ``cog=True`` writes each file as a
+    Cloud-Optimized GeoTiff (core/geotiff.encode_cog): headers-first
+    multi-IFD layout with a 2x-average overview chain down to
+    ``cog_min_size`` (GeoTrellis COGLayerWriter parity —
+    ref:spark/.../store/cog/COGLayerWriter.scala, L:unverified)."""
     import os
 
-    from ..core.geotiff import encode_geotiff
+    from ..core.geotiff import encode_cog, encode_geotiff
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -154,8 +159,13 @@ def write_geotiffs(ds, out_dir: str, layout: LayoutDefinition, epsg: int = 4326,
         for row in batch.to_pylist():
             arr = decode_tile(row["cells"], row["cols"], row["rows"], row["cell_type"])
             ext = layout.key_to_extent(int(row["key_col"]), int(row["key_row"]))
-            buf = encode_geotiff(ext, arr, epsg=epsg, compression=compression,
-                                 tile_size=min(256, int(row["cols"])))
+            if cog:
+                buf = encode_cog(ext, arr, epsg=epsg, compression=compression,
+                                 tile_size=min(256, int(row["cols"])),
+                                 min_size=cog_min_size)
+            else:
+                buf = encode_geotiff(ext, arr, epsg=epsg, compression=compression,
+                                     tile_size=min(256, int(row["cols"])))
             path = os.path.join(out_dir, f"z{row['key_col']}_{row['key_row']}.tif")
             with open(path + ".tmp", "wb") as f:
                 f.write(buf)

@@ -669,3 +669,85 @@ def test_reader_planar_mixed_band_dtypes():
     np.testing.assert_array_equal(out[0], b0.astype(np.float64))
     np.testing.assert_array_equal(out[1], b1.astype(np.float64))
     assert (ext.xmin, ext.ymax) == (5.0, 9.0)
+
+
+def test_cog_multi_ifd_roundtrip():
+    """encode_cog: headers-first multi-IFD chain; page 0 bit-exact, every
+    overview exactly the NaN-aware 2x average of its parent, overview pages
+    marked NewSubfileType=1, decode_geotiff (single-page) unchanged."""
+    import numpy as np
+
+    from geotrellis_ray.core.geotiff import (
+        _downsample_2x_any,
+        decode_geotiff,
+        decode_geotiff_pages,
+        encode_cog,
+    )
+    from geotrellis_ray.core.layout import Extent
+
+    rng = np.random.default_rng(9)
+    arr = rng.uniform(-50, 50, (120, 200))
+    arr[10:14, 17:21] = np.nan
+    ext = Extent(-10.0, 0.0, 42.0, 30.0)
+    # deflate, not lzw: the from-spec LZW coder is pure Python and random
+    # doubles are incompressible — fine for the small single-page codec
+    # tests, pathological at COG-pyramid size
+    buf = encode_cog(ext, arr, compression="deflate", tile_size=64, min_size=50)
+    pages = decode_geotiff_pages(buf)
+    assert [p[1].shape for p in pages] == [(120, 200), (60, 100), (30, 50)]
+    assert pages[0][2].get("reduced_resolution") is None
+    assert all(p[2]["reduced_resolution"] for p in pages[1:])
+    assert all(p[0] == ext for p in pages)
+    # page 0 == input, bit-exact incl. NaN mask
+    e0, a0, m0 = decode_geotiff(buf)
+    assert np.array_equal(a0, arr, equal_nan=True)
+    # each overview is exactly the 2x average of its parent
+    cur = arr
+    for _e, a, _m in pages[1:]:
+        cur = _downsample_2x_any(cur)
+        assert np.array_equal(a, cur, equal_nan=True)
+
+
+def test_cog_odd_dims_and_overview_cap():
+    import numpy as np
+
+    from geotrellis_ray.core.geotiff import decode_geotiff_pages, encode_cog
+    from geotrellis_ray.core.layout import Extent
+
+    arr = np.arange(21 * 17, dtype=np.float64).reshape(21, 17)
+    buf = encode_cog(Extent(0.0, 0.0, 17.0, 21.0), arr, tile_size=16,
+                     overviews=2, min_size=1)
+    shapes = [p[1].shape for p in decode_geotiff_pages(buf)]
+    assert shapes == [(21, 17), (11, 9), (6, 5)]  # ceil-halving, capped at 2
+
+
+def test_cog_sink_roundtrip(ray_session, tmp_path):
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geotrellis_ray.core.geotiff import decode_geotiff_pages
+    from geotrellis_ray.core.layout import Extent, LayoutDefinition, TileLayout
+    from geotrellis_ray.core.raster import encode_tile
+    from geotrellis_ray.core.sfc import zorder
+    from geotrellis_ray.sources.raster_ingest import write_geotiffs
+
+    layout = LayoutDefinition(Extent(0.0, 0.0, 64.0, 64.0), TileLayout(2, 2, 32, 32))
+    rows = []
+    for kr in range(2):
+        for kc in range(2):
+            a = np.full((32, 32), float(kc * 2 + kr), dtype=np.float64)
+            cells, cols, trows, ct = encode_tile(a)
+            rows.append({"key_col": kc, "key_row": kr, "sfc": int(zorder(kc, kr)),
+                         "cells": cells, "cols": cols, "rows": trows,
+                         "cell_type": ct})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    n = write_geotiffs(ds, str(tmp_path), layout, cog=True, cog_min_size=8)
+    assert n == 4
+    for f in glob.glob(str(tmp_path / "*.tif")):
+        pages = decode_geotiff_pages(open(f, "rb").read())
+        assert len(pages) == 3  # 32 -> 16 -> 8
+        v = pages[0][1][0, 0]
+        assert all(np.allclose(p[1], v) for p in pages)  # constant tiles stay constant
