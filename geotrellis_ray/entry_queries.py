@@ -6355,7 +6355,9 @@ def q_idw_grid(sf_dir: str):
                         zero_copy_batch=True)
     pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
                          batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    pts = pts.sort_values("event_id").reset_index(drop=True)
+    # first 8 samples by event_id — sf-independent (the 8-term pairwise sum
+    # tree is spelled out literally in the oracle, so the count is fixed)
+    pts = pts.sort_values("event_id").reset_index(drop=True).head(8)
     if len(pts) != 8:
         raise ValueError(f"q_idw_grid needs exactly 8 samples, got {len(pts)}")
     pts = pts.rename(columns={"lon": "x", "lat": "y"})
@@ -6390,6 +6392,7 @@ def _sql_idw_grid() -> str:
                -180.0 + CAST((event_id * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon,
                row_number() OVER (ORDER BY event_id) AS rn
         FROM events WHERE event_id % 1250 = 0
+        ORDER BY event_id LIMIT 8
     ),
     cells AS (
         SELECT CAST(i // 64 AS BIGINT) AS gr, CAST(i % 64 AS BIGINT) AS gc,
