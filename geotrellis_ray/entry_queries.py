@@ -530,6 +530,65 @@ SQL_CURATION_CHAIN = ("    WITH " + _SQL_QUALITY_AGG_CTE.strip() + r""",
 """)
 
 
+def q_bm25_rank(sf_dir: str):
+    """Distributed BM25 retrieval (stages/retrieval.bm25_rank, log-free
+    rational-idf variant): rank the documents for the query
+    ["spark", "merge", "window"], top 20. Text is reduced to slim
+    (doc_id, tf_t, dl) rows in ONE pass (vectorized RE2 \\b counts);
+    corpus stats tree-aggregate; ranking is the shuffle-free global_top_k.
+    SQL-checked bit-exact: every score op is + - * / on doubles in a
+    documented evaluation order (ln is banished to keep numpy and DuckDB
+    bit-identical), and the emitted columns (rank, doc_id, dl, tf_total)
+    are integers."""
+    from .stages.retrieval import bm25_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_rank(ds, ["spark", "merge", "window"], top_k=20)
+
+
+SQL_BM25_RANK = r"""
+    WITH slim AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
+               CAST(length(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS tf0,
+               CAST(length(regexp_extract_all(text, '\bmerge\b')) AS BIGINT) AS tf1,
+               CAST(length(regexp_extract_all(text, '\bwindow\b')) AS BIGINT) AS tf2
+        FROM documents
+    ),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM slim
+    ),
+    scored AS (
+        SELECT s.doc_id, s.dl, s.tf0 + s.tf1 + s.tf2 AS tf_total,
+               ((st.n - st.df0 + 0.5) / (st.df0 + 0.5))
+                 * (CAST(s.tf0 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(s.tf0 AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(s.dl AS DOUBLE) / st.avgdl))
+             + ((st.n - st.df1 + 0.5) / (st.df1 + 0.5))
+                 * (CAST(s.tf1 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(s.tf1 AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(s.dl AS DOUBLE) / st.avgdl))
+             + ((st.n - st.df2 + 0.5) / (st.df2 + 0.5))
+                 * (CAST(s.tf2 AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(s.tf2 AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * CAST(s.dl AS DOUBLE) / st.avgdl))
+               AS score
+        FROM slim s, st
+        WHERE s.tf0 + s.tf1 + s.tf2 > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, dl, tf_total
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+"""
+
+
 def q_quality_scorer(sf_dir: str):
     """Hashed char-4-gram linear quality scorer
     (functions/text_analysis.py:HashedNgramScorer) — the batched
@@ -7297,6 +7356,7 @@ def build_queries() -> dict:
         "q_quality_scorer": q_quality_scorer,
         "q_pack_shards": q_pack_shards,
         "q_curation_chain": q_curation_chain,
+        "q_bm25_rank": q_bm25_rank,
         "q_duplicated_spans": q_duplicated_spans,
         "q_exact_substring_spans": q_exact_substring_spans,
         "q_doc_token_counts": q_doc_token_counts,
@@ -7478,7 +7538,7 @@ def build_queries() -> dict:
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
         "q_curation_chain", "q_shapefile_rects", "q_geoparquet_tris",
-        "q_cog_sums",
+        "q_cog_sums", "q_bm25_rank",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7542,6 +7602,7 @@ def build_oracle_sql() -> dict:
         "q_quality_scorer": SQL_QUALITY_SCORER,
         "q_pack_shards": SQL_PACK_SHARDS,
         "q_curation_chain": SQL_CURATION_CHAIN,
+        "q_bm25_rank": SQL_BM25_RANK,
         "q_duplicated_spans": SQL_DUP_SPANS,
         "q_exact_substring_spans": SQL_EXACT_SPANS,
         "q_doc_token_counts": SQL_TOKEN_COUNTS,
