@@ -356,6 +356,12 @@ def _op_read_shapefiles(ds, path: str):
     return read_shapefile(path)
 
 
+def _op_bm25_rank(ds, terms, top_k: int = 20, **kw):
+    from ..stages.retrieval import bm25_rank
+
+    return bm25_rank(ds, list(terms), top_k=top_k, **kw)
+
+
 def _op_read_geoparquet(ds, path: str, columns=None):
     from ..core.geoparquet import read_geoparquet
 
@@ -615,6 +621,7 @@ for _name, _fn in {
     "read.geojson": _op_read_geojson,
     "read.shapefiles": _op_read_shapefiles,
     "read.geoparquet": _op_read_geoparquet,
+    "retrieval.bm25": _op_bm25_rank,
     "write.geoparquet": _op_write_geoparquet,
     "transform.tile_to_layout": _op_tile_to_layout,
     "agg.zonal_fractional": _op_zonal_fractional,
