@@ -6404,13 +6404,13 @@ def q_idw_grid(sf_dir: str):
     (w = 1/d2 — one correctly-rounded op, no np.power); (3) with EXACTLY 8
     samples, numpy's axis-1 reduction is the fixed pairwise tree
     ((w1+w2)+(w3+w4)) + ((w5+w6)+(w7+w8)) (verified), which the oracle
-    spells out literally. Samples: events with event_id % 1250 == 0,
-    ordered by event_id. Output: (gr, gc, val) per cell."""
+    spells out literally. Samples: the first 8 events with
+    event_id % 97 == 0 (dense enough for sf0.001's 1000 events). Output: (gr, gc, val) per cell."""
     from .core.raster import decode_tile
     from .stages.interpolation import idw_interpolation
 
     ds = _read(sf_dir, "events", ["event_id", "value"])
-    ds = ds.map_batches(_mod_filter("event_id", 1250), batch_format="pyarrow",
+    ds = ds.map_batches(_mod_filter("event_id", 97), batch_format="pyarrow",
                         zero_copy_batch=True)
     pts = ds.map_batches(lambda b: derive_coords_batch(b, "event_id"),
                          batch_format="pyarrow", zero_copy_batch=True).to_pandas()
@@ -6450,7 +6450,7 @@ def _sql_idw_grid() -> str:
                -85.0  + CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 * 170.0 AS lat,
                -180.0 + CAST((event_id * 40503) % 65536 AS DOUBLE) / 65536.0 * 360.0 AS lon,
                row_number() OVER (ORDER BY event_id) AS rn
-        FROM events WHERE event_id % 1250 = 0
+        FROM events WHERE event_id % 97 = 0
         ORDER BY event_id LIMIT 8
     ),
     cells AS (
