@@ -2147,6 +2147,22 @@ def q_ann_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def q_ann_hnsw_embeddings(sf_dir: str):
+    """HNSW graph ANN (stages/ann.HNSWIndex — from-spec Malkov & Yashunin
+    2016 with the Alg.-4 diversity heuristic; one graph per block, merged
+    by the shared grouped top-k). Rows-only like the other approximate ANN
+    variants (float cosine + graph order); recall >= 0.9 vs brute force is
+    pytest-pinned (test_retrieval). Vectors subsampled (vec_id % 7) to
+    bound the per-block sequential build across scales."""
+    from .stages.ann import ann_hnsw
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(_mod_filter("vec_id", 7), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = ann_hnsw(ds, _embedding_queries(sf_dir), k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def q_ann_lsh_embeddings(sf_dir: str):
     from .stages.ann import ann_lsh
 
@@ -7395,6 +7411,7 @@ def build_queries() -> dict:
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_ann_embeddings": q_ann_embeddings,
         "q_ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "q_ann_hnsw_embeddings": q_ann_hnsw_embeddings,
         "q_ann_ivf_embeddings": q_ann_ivf_embeddings,
         "q_ann_index_ivf": q_ann_index_ivf,
         "q_ann_pq_embeddings": q_ann_pq_embeddings,

@@ -70,3 +70,52 @@ def test_bm25_no_matches_and_bad_terms(ray_session):
     assert len(got) == 0
     with pytest.raises(ValueError, match="alphanumeric"):
         bm25_rank(ray.data.from_arrow(tab), ["bad term!"])
+
+
+def test_hnsw_recall_and_determinism(ray_session):
+    import ray.data
+
+    from geotrellis_ray.stages.ann import HNSWIndex, _normalize, ann_brute_force, ann_hnsw
+
+    rng = np.random.default_rng(2)
+    centers = _normalize(rng.normal(size=(10, 32)).astype(np.float32))
+    vecs = (np.repeat(centers, 150, axis=0)
+            + rng.normal(scale=0.12, size=(1500, 32)).astype(np.float32))
+    ids = np.arange(1500, dtype=np.int64)
+    tab = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([v.tolist() for v in vecs])})
+    queries = centers
+
+    brute = (ann_brute_force(ray.data.from_arrow(tab), queries, k=10)
+             .to_pandas())
+    got = (ann_hnsw(ray.data.from_arrow(tab).repartition(3), queries, k=10,
+                    ef_search=48).to_pandas())
+    recalls = []
+    for qi in range(len(queries)):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        h = set(got[got["query_id"] == qi]["vec_id"])
+        recalls.append(len(b & h) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    # deterministic for a fixed partitioning
+    got2 = (ann_hnsw(ray.data.from_arrow(tab).repartition(3), queries, k=10,
+                     ef_search=48).to_pandas())
+    assert got.sort_values(["query_id", "rank"])["vec_id"].tolist() == \
+        got2.sort_values(["query_id", "rank"])["vec_id"].tolist()
+
+
+def test_hnsw_index_unit():
+    from geotrellis_ray.stages.ann import HNSWIndex
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    ids = rng.permutation(120).astype(np.int64) * 3 + 1   # non-contiguous ids
+    idx = HNSWIndex(vecs, ids, M=6, ef_construction=32)
+    q = vecs[int(np.where(ids == ids.max())[0][0])]
+    out_ids, cos = idx.search(q, 5, ef_search=32)
+    assert len(out_ids) == 5
+    assert ids.max() in out_ids          # the query vector itself is found
+    assert cos[0] >= cos[-1] - 1e-12     # best-first
+    # empty index
+    empty = HNSWIndex(np.empty((0, 8), np.float32), np.empty(0, np.int64))
+    e_ids, e_cos = empty.search(q, 3)
+    assert len(e_ids) == 0
