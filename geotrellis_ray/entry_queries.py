@@ -454,6 +454,57 @@ SQL_PACK_SHARDS = r"""
 """
 
 
+def q_pack_spans(sf_dir: str):
+    """Sequence packing WITH document splitting (stages/agg.py:
+    pack_token_spans — the real pretraining convention: docs straddling a
+    shard boundary are CUT, one row per (doc, shard) overlap with the
+    half-open token span and its offset). Same one-sort + O(#blocks)
+    side-channel shape as q_pack_shards; the explosion is a vectorized
+    np.repeat. SQL-checked bit-exact — integer window sums + a LATERAL
+    shard range."""
+    from .functions.text_analysis import token_count_batch
+    from .stages.agg import pack_token_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = ds.map_batches(
+        lambda b: token_count_batch(b, "text").drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pack_token_spans(toks, budget=4096)
+
+
+SQL_PACK_SPANS = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS prefix
+        FROM t WHERE n_tokens > 0
+    ),
+    x AS (
+        SELECT c.doc_id, c.prefix,
+               c.prefix // 4096 + u.k AS shard_id,
+               greatest(c.prefix, (c.prefix // 4096 + u.k) * 4096) AS lo,
+               least(c.prefix + c.n_tokens,
+                     (c.prefix // 4096 + u.k + 1) * 4096) AS hi
+        FROM c, LATERAL (
+            SELECT unnest(range(0,
+                (c.prefix + c.n_tokens - 1) // 4096 - c.prefix // 4096 + 1)) AS k
+        ) u
+    )
+    SELECT doc_id,
+           CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(lo - prefix AS BIGINT) AS tok_start,
+           CAST(hi - prefix AS BIGINT) AS tok_end,
+           CAST(lo - shard_id * 4096 AS BIGINT) AS offset_in_shard
+    FROM x
+"""
+
+
 # The hashed-4-gram quality model's fragile contract (gram-hash prime powers
 # + sha256 weight derivation) lives in ONE fragment shared by every oracle
 # that replays it (ADVICE r4: keep fragile rounding/hash contracts in one
@@ -7371,6 +7422,7 @@ def build_queries() -> dict:
         "q_line_freq_filter": q_line_freq_filter,
         "q_quality_scorer": q_quality_scorer,
         "q_pack_shards": q_pack_shards,
+        "q_pack_spans": q_pack_spans,
         "q_curation_chain": q_curation_chain,
         "q_bm25_rank": q_bm25_rank,
         "q_duplicated_spans": q_duplicated_spans,
@@ -7555,7 +7607,7 @@ def build_queries() -> dict:
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
         "q_curation_chain", "q_shapefile_rects", "q_geoparquet_tris",
-        "q_cog_sums", "q_bm25_rank",
+        "q_cog_sums", "q_bm25_rank", "q_pack_spans",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7618,6 +7670,7 @@ def build_oracle_sql() -> dict:
         "q_line_freq_filter": SQL_LINE_FREQ_FILTER,
         "q_quality_scorer": SQL_QUALITY_SCORER,
         "q_pack_shards": SQL_PACK_SHARDS,
+        "q_pack_spans": SQL_PACK_SPANS,
         "q_curation_chain": SQL_CURATION_CHAIN,
         "q_bm25_rank": SQL_BM25_RANK,
         "q_duplicated_spans": SQL_DUP_SPANS,

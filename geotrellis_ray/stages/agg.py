@@ -410,6 +410,88 @@ def pack_token_shards(ds, budget: int, id_col: str = "doc_id",
                                  zero_copy_batch=True, batch_size=None)
 
 
+def pack_token_spans(ds, budget: int, id_col: str = "doc_id",
+                     tokens_col: str = "n_tokens"):
+    """Sequence packing WITH document splitting — the real pretraining
+    convention (``pack_token_shards`` assigns each doc to the shard where it
+    starts; this variant cuts docs at every shard boundary they straddle and
+    emits one row per (doc, shard) overlap):
+    (id_col, shard_id, tok_start, tok_end, offset_in_shard) with
+    tok_start/tok_end the half-open token span WITHIN the doc and
+    offset_in_shard where that span lands. Zero-token docs emit nothing.
+    Every shard except the last is exactly ``budget`` tokens full.
+
+    Same distributed shape as pack_token_shards: ONE range sort by id, an
+    O(#blocks) block-sum side channel, then a vectorized per-block span
+    explosion (np.repeat over span counts — no Python per-span loop)."""
+    import numpy as np
+    import ray
+
+    sorted_ds = ds.sort(id_col).materialize()
+
+    def block_sum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        t = b[tokens_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first_id": pa.array([int(b[id_col][0].as_py())], pa.int64()),
+                         "s": pa.array([int(t.sum())], pa.int64())})
+
+    side = sorted_ds.map_batches(block_sum, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=None).to_pandas()
+    if len(side) == 0:
+        fids = np.empty(0, dtype=np.int64)
+        block_offs = np.empty(0, dtype=np.int64)
+    else:
+        side = side.sort_values("first_id")
+        fids = side["first_id"].to_numpy()
+        block_offs = np.zeros(len(side), dtype=np.int64)
+        np.cumsum(side["s"].to_numpy()[:-1], out=block_offs[1:])
+    off_ref = ray.put((fids, block_offs))
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "shard_id": pa.array([], pa.int64()),
+                      "tok_start": pa.array([], pa.int64()),
+                      "tok_end": pa.array([], pa.int64()),
+                      "offset_in_shard": pa.array([], pa.int64())})
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        fids_, boffs = ray.get(off_ref)
+        n = b[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = int(boffs[np.searchsorted(fids_, int(b[id_col][0].as_py()))])
+        start = np.full(len(n), base, dtype=np.int64)
+        start[1:] += np.cumsum(n[:-1])
+        end = start + n
+        keep = n > 0
+        ids = b[id_col].to_numpy(zero_copy_only=False)[keep]
+        s0, e0, nn = start[keep], end[keep], n[keep]
+        first_shard = s0 // budget
+        last_shard = (e0 - 1) // budget
+        counts = (last_shard - first_shard + 1)
+        if counts.sum() == 0:
+            return empty
+        ridx = np.repeat(np.arange(len(ids)), counts)
+        # span k within doc i covers shard first_shard[i] + k
+        k = np.arange(len(ridx)) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        shard = first_shard[ridx] + k
+        lo = np.maximum(s0[ridx], shard * budget)          # global token lo
+        hi = np.minimum(e0[ridx], (shard + 1) * budget)    # global token hi
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "shard_id": pa.array(shard, pa.int64()),
+            "tok_start": pa.array(lo - s0[ridx], pa.int64()),
+            "tok_end": pa.array(hi - s0[ridx], pa.int64()),
+            "offset_in_shard": pa.array(lo - shard * budget, pa.int64()),
+        })
+
+    return sorted_ds.map_batches(explode, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+
+
 def exact_quantiles(ds, col: str, quantiles: list[float]):
     """EXACT distributed quantiles (discrete: the smallest element whose
     cumulative fraction >= q, i.e. sorted index max(0, ceil(q*n)-1) —

@@ -101,3 +101,45 @@ def test_curation_chain_empty_input(ray_session):
                     "text": pa.array(["ab", "xy"], pa.string())})  # < 4 chars
     got = curation_chain(ray.data.from_arrow(tab)).to_pandas()
     assert len(got) == 0
+
+
+def test_pack_token_spans_brute(ray_session):
+    """pack_token_spans vs a naive per-token loop: identical span rows,
+    every shard except the last exactly full, per-doc spans contiguous."""
+    import ray.data
+
+    from geotrellis_ray.stages.agg import pack_token_spans
+
+    rng = np.random.default_rng(3)
+    n_docs, budget = 200, 64
+    toks = rng.integers(0, 150, n_docs).astype(np.int64)  # zeros included
+    tab = pa.table({"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                    "n_tokens": pa.array(toks)})
+
+    exp = []
+    pos = 0
+    for d in range(n_docs):
+        n = int(toks[d])
+        if n == 0:
+            continue
+        s, e = pos, pos + n
+        sh = s // budget
+        while sh * budget < e:
+            lo, hi = max(s, sh * budget), min(e, (sh + 1) * budget)
+            exp.append((d, sh, lo - s, hi - s, lo - sh * budget))
+            sh += 1
+        pos = e
+
+    for nblocks in (1, 9):
+        got = (pack_token_spans(ray.data.from_arrow(tab).repartition(nblocks),
+                                budget=budget)
+               .to_pandas().sort_values(["doc_id", "shard_id"])
+               .reset_index(drop=True))
+        rows = list(got.itertuples(index=False, name=None))
+        assert rows == exp, nblocks
+
+    # every shard except the last is exactly full
+    per_shard = got.assign(w=got["tok_end"] - got["tok_start"]) \
+                   .groupby("shard_id")["w"].sum()
+    assert (per_shard.iloc[:-1] == budget).all()
+    assert per_shard.sum() == int(toks.sum())
