@@ -454,6 +454,92 @@ SQL_PACK_SHARDS = r"""
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing (functions/text_analysis.scrub_pii_batch — the standard
+    pre-training redaction pass): PII is PLANTED deterministically per doc
+    (email + IPv4 + phone derived from doc_id, string-concatenated the same
+    way in both engines), then redacted by sequential RE2 rules. SQL-checked
+    bit-exact: pyarrow's replace_substring_regex and DuckDB's
+    regexp_replace(…,'g') are both RE2, so the scrubbed text matches
+    string-for-string — verified by sha256 prefix — and the per-rule counts
+    are integers."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .functions.text_analysis import scrub_pii_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        sid = pc.cast(b["doc_id"], pa.string())
+        ip2 = pc.cast(pc.subtract(b["doc_id"], pc.multiply(
+            pc.divide(b["doc_id"], 200), 200)), pa.string())  # doc_id % 200
+        ip3 = pc.cast(pc.subtract(pc.multiply(b["doc_id"], 3), pc.multiply(
+            pc.divide(pc.multiply(b["doc_id"], 3), 250), 250)), pa.string())
+        ph = pc.utf8_lpad(pc.cast(pc.subtract(b["doc_id"], pc.multiply(
+            pc.divide(b["doc_id"], 10000), 10000)), pa.string()), 4, "0")
+        planted = pc.binary_join_element_wise(
+            b["text"], " contact user", sid, "@example.com from 10.",
+            ip2, ".0.", ip3, " call 555-123-", ph, "")
+        return pa.table({"doc_id": b["doc_id"], "text": planted})
+
+    scrubbed = ds.map_batches(plant, batch_format="pyarrow",
+                              zero_copy_batch=True).map_batches(
+        scrub_pii_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hashed(b: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256(t.encode()).hexdigest()[:16]
+                for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_email": b["n_email"], "n_ipv4": b["n_ipv4"],
+                         "n_phone": b["n_phone"],
+                         "scrub_sha": pa.array(shas, pa.string())})
+
+    return scrubbed.map_batches(hashed, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+SQL_PII_SCRUB = r"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.0.' || CAST((doc_id * 3) % 250 AS VARCHAR)
+                    || ' call 555-123-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t
+        FROM planted
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               CAST(length(regexp_extract_all(t,
+                   '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+               regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(length(regexp_extract_all(t,
+                   '\+?\d{3}[- ]?\d{3,4}[- ]?\d{4}\b')) AS BIGINT) AS n_phone,
+               regexp_replace(t, '\+?\d{3}[- ]?\d{3,4}[- ]?\d{4}\b',
+                              '<PHONE>', 'g') AS t
+        FROM s2
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           substr(sha256(t), 1, 16) AS scrub_sha
+    FROM s3
+"""
+
+
 def q_pack_spans(sf_dir: str):
     """Sequence packing WITH document splitting (stages/agg.py:
     pack_token_spans — the real pretraining convention: docs straddling a
@@ -7423,6 +7509,7 @@ def build_queries() -> dict:
         "q_quality_scorer": q_quality_scorer,
         "q_pack_shards": q_pack_shards,
         "q_pack_spans": q_pack_spans,
+        "q_pii_scrub": q_pii_scrub,
         "q_curation_chain": q_curation_chain,
         "q_bm25_rank": q_bm25_rank,
         "q_duplicated_spans": q_duplicated_spans,
@@ -7607,7 +7694,7 @@ def build_queries() -> dict:
         "q_grouped_median_cents", "q_dominant_type_per_user",
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
         "q_curation_chain", "q_shapefile_rects", "q_geoparquet_tris",
-        "q_cog_sums", "q_bm25_rank", "q_pack_spans",
+        "q_cog_sums", "q_bm25_rank", "q_pack_spans", "q_pii_scrub",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
@@ -7671,6 +7758,7 @@ def build_oracle_sql() -> dict:
         "q_quality_scorer": SQL_QUALITY_SCORER,
         "q_pack_shards": SQL_PACK_SHARDS,
         "q_pack_spans": SQL_PACK_SPANS,
+        "q_pii_scrub": SQL_PII_SCRUB,
         "q_curation_chain": SQL_CURATION_CHAIN,
         "q_bm25_rank": SQL_BM25_RANK,
         "q_duplicated_spans": SQL_DUP_SPANS,

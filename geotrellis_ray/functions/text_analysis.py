@@ -534,3 +534,32 @@ def ngram_repetition_batch(batch: pa.Table, id_col: str = "doc_id",
     for name, v in fracs.items():
         out[name] = pa.array(v, pa.float64())
     return pa.table(out)
+
+
+# PII scrubbing rules, applied IN ORDER (the order is part of the spec —
+# the SQL oracle replays the same sequence). RE2-only syntax: pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace(…, 'g') are both RE2,
+# which is what makes the scrubbed text bit-reproducible cross-engine.
+PII_RULES: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]?\d{3,4}[- ]?\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4s / phone-shaped numbers from ``text_col``
+    (standard corpus-cleaning pass before training). Replaces the text
+    column with the scrubbed version and appends one ``n_<rule>`` count per
+    rule (counted against the text as it stood when that rule ran —
+    sequential application is the contract). Vectorized: one RE2 count +
+    one RE2 global replace per rule over the whole Arrow column."""
+    cur = batch[text_col]
+    counts = {}
+    for name, pat, repl in PII_RULES:
+        counts[f"n_{name}"] = pc.count_substring_regex(cur, pat).cast(pa.int64())
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    out = batch.set_column(batch.schema.get_field_index(text_col), text_col, cur)
+    for k, v in counts.items():
+        out = out.append_column(k, v)
+    return out

@@ -430,6 +430,13 @@ def _op_pack_shards(ds, budget: int, id_col: str = "doc_id",
     return pack_token_shards(ds, budget, id_col=id_col, tokens_col=tokens_col)
 
 
+def _op_pack_spans(ds, budget: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens"):
+    from ..stages.agg import pack_token_spans
+
+    return pack_token_spans(ds, budget, id_col=id_col, tokens_col=tokens_col)
+
+
 def _op_quality_scorer(ds, concurrency: int = 2, **kw):
     from ..functions.text_analysis import HashedNgramScorer
 
@@ -610,6 +617,7 @@ for _name, _fn in {
     "dedup.line_freq": _op_line_freq_filter,
     "transform.quality_score": _op_quality_scorer,
     "transform.pack_shards": _op_pack_shards,
+    "transform.pack_spans": _op_pack_spans,
     "temporal.composite": _op_temporal_composite,
     "temporal.trend": _op_temporal_trend,
     "transform.url_canonicalize": _op_url_canonicalize,

@@ -348,3 +348,28 @@ def test_ngram_repetition_matches_duckdb_inline():
            .sort_values("doc_id").reset_index(drop=True))
     exp = exp[got.columns]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_scrub_pii_batch():
+    """Sequential RE2 redaction: rule order, multiplicity counts, and
+    non-PII text passing through untouched."""
+    import pyarrow as pa
+
+    from geotrellis_ray.functions.text_analysis import scrub_pii_batch
+
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@ex.co.uk and d@e.org ip 10.2.0.7 call 555-123-0042",
+        "no pii here at all",
+        "+420 555 1234 twice +421 555 4321",
+        "",
+    ])})
+    o = scrub_pii_batch(t)
+    assert o["text"].to_pylist() == [
+        "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE>",
+        "no pii here at all",
+        "<PHONE> twice <PHONE>",
+        "",
+    ]
+    assert o["n_email"].to_pylist() == [2, 0, 0, 0]
+    assert o["n_ipv4"].to_pylist() == [1, 0, 0, 0]
+    assert o["n_phone"].to_pylist() == [1, 0, 2, 0]
