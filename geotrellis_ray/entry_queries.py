@@ -7695,6 +7695,7 @@ def build_queries() -> dict:
         "q_simplify_dp_grid", "q_zonal_fractional_grid",
         "q_curation_chain", "q_shapefile_rects", "q_geoparquet_tris",
         "q_cog_sums", "q_bm25_rank", "q_pack_spans", "q_pii_scrub",
+        "q_ann_hnsw_embeddings",
     ]
     never_captured = [
         "q_terrain_toy", "q_cost_distance_toy", "q_viewshed_toy",
