@@ -105,6 +105,62 @@ _CLK = os.sysconf("SC_CLK_TCK")
 _NCPU_HOST = os.cpu_count() or 32
 
 
+class _TreeCpuTracker:
+    """Samples the process tree's utime+stime at 10 Hz and remembers every
+    PID's LAST-SEEN jiffies. End-to-end snapshots undercount: a worker that
+    EXITS inside the window takes its lifetime jiffies out of the tree (the
+    reaper may sit outside it), so `ours` could go NEGATIVE and the residual
+    read as external load — exactly why every actor-pool query (PIP,
+    polygonal summary, curation chain) kept getting flagged contaminated.
+    cutime/cstime are deliberately NOT counted (the tracker's last-seen
+    value already covers exited children; counting the fold would
+    double-count)."""
+
+    def __init__(self):
+        import threading
+
+        self._seen: dict[int, int] = {}
+        self._base: dict[int, int] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _sample(into: dict) -> None:
+        for pid in _proc_descendants(os.getpid()):
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                j = int(rest[11]) + int(rest[12])  # utime + stime only
+            except (OSError, IndexError, ValueError):
+                continue
+            if j > into.get(pid, -1):
+                into[pid] = j
+
+    def _run(self):
+        while not self._stop.wait(0.1):
+            self._sample(self._seen)
+
+    def __enter__(self):
+        self._sample(self._base)
+        self._seen = dict(self._base)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=1)
+        self._sample(self._seen)
+
+    def jiffies(self) -> int:
+        return sum(j - self._base.get(pid, 0) for pid, j in self._seen.items())
+
+
+def _host_busy() -> int:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
 def _timed_clean(fn, max_attempts: int = 3):
     """Run fn() up to max_attempts times until a window with external load
     below EXT_LOAD_FRAC; returns (result, sec, ext_frac, attempts,
@@ -112,13 +168,14 @@ def _timed_clean(fn, max_attempts: int = 3):
     per-query best-of-clean (VERDICT r02 #3)."""
     best = None
     for attempt in range(1, max_attempts + 1):
-        b0, o0 = _cpu_snapshot()
+        b0 = _host_busy()
         t0 = time.monotonic()
-        res = fn()
+        with _TreeCpuTracker() as trk:
+            res = fn()
         wall = time.monotonic() - t0
-        b1, o1 = _cpu_snapshot()
+        b1 = _host_busy()
         denom = max(wall, 1e-6) * _CLK * _NCPU_HOST
-        ext = max(0.0, (b1 - b0) - (o1 - o0)) / denom
+        ext = max(0.0, (b1 - b0) - trk.jiffies()) / denom
         cand = (res, wall, ext, attempt)
         if best is None or wall < best[1]:
             best = cand
@@ -279,11 +336,12 @@ def run_scaling_child(num_cpus: int, n_pages: int) -> None:
         runs = []
         for _ in range(3):
             _wait_quiet()
-            b0, o0 = _cpu_snapshot()
-            r = run_flagship(SF_DIR, n_pages=n_pages)
-            b1, o1 = _cpu_snapshot()
+            b0 = _host_busy()
+            with _TreeCpuTracker() as trk:
+                r = run_flagship(SF_DIR, n_pages=n_pages)
+            b1 = _host_busy()
             denom = max(r["sec"], 1e-6) * _CLK * _NCPU_HOST
-            r["ext_load_frac"] = round(max(0.0, (b1 - b0) - (o1 - o0)) / denom, 3)
+            r["ext_load_frac"] = round(max(0.0, (b1 - b0) - trk.jiffies()) / denom, 3)
             runs.append(r)
         clean = [r for r in runs if r["ext_load_frac"] <= EXT_LOAD_FRAC]
         flag = min(clean or runs, key=lambda r: r["sec"])
